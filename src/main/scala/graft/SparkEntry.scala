@@ -1,13 +1,65 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Each `queries` entry is one operator from the inventory; each
+  * `oracleSql` entry is the DuckDB-equivalent ANSI SQL the driver runs
+  * on the same parquet tables for the hash compare.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Core relational surface
+    "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q_semi_anti"          -> (Relational.semiAnti _),
+    "q_window_rank"        -> (Relational.windowRank _),
+    "q_rollup"             -> (Relational.rollupAgg _),
+    // DWD
+    "dwd_clean"            -> (Dwd.clean _),
+    "dwd_split"            -> (Dwd.split _),
+    "dwd_new_user_flag"    -> (Dwd.newUserFlag _),
+    "dwd_cdc_route"        -> (Dwd.cdcRoute _),
+    // DWM
+    "dwm_unique_visit"     -> (Dwm.uniqueVisit _),
+    "dwm_user_jump"        -> (Dwm.userJump _),
+    "dwm_order_wide"       -> (Dwm.orderWide _),
+    "dwm_payment_wide"     -> (Dwm.paymentWide _),
+    // DWS
+    "dws_visitor_stats"    -> (Dws.visitorStats _),
+    "dws_product_stats"    -> (Dws.productStats _),
+    "dws_province_stats"   -> (Dws.provinceStats _),
+    "dws_keyword_stats"    -> (Dws.keywordStats _),
+    // ADS
+    "ads_gmv"              -> (Ads.gmv _),
+    "ads_trademark_topn"   -> (Ads.trademarkTopN _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"   -> Relational.q1Sql,
+    "q3_shipping_priority" -> Relational.q3Sql,
+    "q_semi_anti"          -> Relational.semiAntiSql,
+    "q_window_rank"        -> Relational.windowRankSql,
+    "q_rollup"             -> Relational.rollupAggSql,
+    "dwd_clean"            -> Dwd.cleanSql,
+    "dwd_split"            -> Dwd.splitSql,
+    "dwd_new_user_flag"    -> Dwd.newUserFlagSql,
+    "dwd_cdc_route"        -> Dwd.cdcRouteSql,
+    "dwm_unique_visit"     -> Dwm.uniqueVisitSql,
+    "dwm_user_jump"        -> Dwm.userJumpSql,
+    "dwm_order_wide"       -> Dwm.orderWideSql,
+    "dwm_payment_wide"     -> Dwm.paymentWideSql,
+    "dws_visitor_stats"    -> Dws.visitorStatsSql,
+    "dws_product_stats"    -> Dws.productStatsSql,
+    "dws_province_stats"   -> Dws.provinceStatsSql,
+    "dws_keyword_stats"    -> Dws.keywordStatsSql,
+    "ads_gmv"              -> Ads.gmvSql,
+    "ads_trademark_topn"   -> Ads.trademarkTopNSql,
+  )
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DWD layer: clean, flag, split, route — the Spark-native versions of
+  * the reference's BaseLogApp / BaseDBApp
+  * (gmall-realtime/src/main/java/com/atguigu/app/dwd/BaseLogApp.java,
+  * BaseDBApp.java, app/func/TableProcessFunction.java).
+  *
+  * The reference does per-record imperative work (fastjson parse with
+  * try/catch side output, keyed ValueState, broadcast state). Here each
+  * becomes a declarative plan: regexp field extraction (codegen'd),
+  * window-function state, broadcast join routing — all of which scale
+  * horizontally with no per-key driver state.
+  */
+object Dwd {
+
+  /** Parse the JSON-ish `props` payload, drop dirty rows (no parseable
+    * `k`), emit typed columns. Mirrors BaseLogApp.java:52-68 (dirty
+    * side-output); the "dirty" stream is the complement of this filter.
+    */
+  def clean(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), """"k":\s*(\d+)""", 1))
+      .filter(col("k") =!= "")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("k").cast("int").as("k"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("event_id"))
+
+  val cleanSql: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+      |FROM events
+      |WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+      |ORDER BY event_id""".stripMargin
+
+  /** Stream splitting (BaseLogApp.java:110-145 side outputs): route
+    * each event to the page / start / other stream. */
+  def split(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_type").isin("view", "click"), "page")
+          .when(col("event_type") === "signup", "start")
+          .otherwise("other").as("stream"))
+      .orderBy(col("event_id"))
+
+  val splitSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CASE WHEN event_type IN ('view','click') THEN 'page'
+      |       WHEN event_type = 'signup' THEN 'start'
+      |       ELSE 'other' END AS stream
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** New-user flag repair (BaseLogApp.java:73-105: keyed ValueState
+    * holding first-visit date). Batch-native state = a window function:
+    * the first event a user ever produced is `is_new = 1`. */
+  def newUserFlag(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("event_id"), col("user_id"),
+        when(col("rn") === 1, 1).otherwise(0).as("is_new"))
+      .orderBy(col("event_id"))
+  }
+
+  val newUserFlagSql: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+      |       THEN 1 ELSE 0 END AS is_new
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Dynamic routing via a broadcast config table (BaseDBApp.java:66-95
+    * + TableProcessFunction: the MySQL `table_process` config decides
+    * each row's sink and its kept columns). The config is a tiny
+    * dimension broadcast to every executor — same information flow as
+    * Flink broadcast state, but re-planned by Catalyst. Unmatched types
+    * fall through to the default sink (reference drops them). */
+  def cdcRoute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val config = Seq(
+      ("view", "dwd_page_log", "kafka"),
+      ("click", "dwd_page_log", "kafka"),
+      ("signup", "dwd_start_log", "kafka"),
+      ("purchase", "dwd_order_info", "kafka"),
+      ("error", "dim_error", "hbase"))
+      .toDF("src_type", "sink_table", "sink_type")
+    Tables.events(s, d)
+      .join(broadcast(config), col("event_type") === col("src_type"), "left")
+      .select(
+        col("event_id"), col("event_type"),
+        coalesce(col("sink_table"), lit("dwd_default")).as("sink_table"),
+        coalesce(col("sink_type"), lit("kafka")).as("sink_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val cdcRouteSql: String =
+    """SELECT event_id, event_type,
+      |  CASE event_type WHEN 'view' THEN 'dwd_page_log'
+      |                  WHEN 'click' THEN 'dwd_page_log'
+      |                  WHEN 'signup' THEN 'dwd_start_log'
+      |                  WHEN 'purchase' THEN 'dwd_order_info'
+      |                  WHEN 'error' THEN 'dim_error'
+      |                  ELSE 'dwd_default' END AS sink_table,
+      |  CASE WHEN event_type = 'error' THEN 'hbase' ELSE 'kafka' END AS sink_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DWM layer: dedup, pattern (CEP) detection, wide fact tables — the
+  * Spark-native versions of UniqueVisitApp / UserJumpDetailApp /
+  * OrderWideApp / PaymentWideApp
+  * (gmall-realtime/src/main/java/com/atguigu/app/dwm/). */
+object Dwm {
+
+  /** Session gap (ns): an event starting >10 min after the user's
+    * previous one opens a new visit. Plays the role of the reference's
+    * per-day TTL'd state (UniqueVisitApp.java:78-118) and its 10 s CEP
+    * window (UserJumpDetailApp.java:85-99), scaled to the test data. */
+  private val GapNs = 600L * 1000 * 1000 * 1000
+
+  /** Daily unique visit: the first event of each (user, day) survives.
+    * Reference keeps a keyed first-visit-date ValueState with 1-day
+    * TTL; the batch-native equivalent is a per-(user,day) row_number.
+    * At 100 TB this is a single hash-partitioned window, no driver
+    * state. */
+  def uniqueVisit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("visit_date"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("visit_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("visit_date"), col("event_id"))
+      .orderBy(col("user_id"), col("visit_date"))
+  }
+
+  val uniqueVisitSql: String =
+    """SELECT user_id, visit_date, event_id FROM (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS visit_date, event_id,
+      |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, visit_date""".stripMargin
+
+  /** Jump (bounce) detection. Reference CEP: a session-start page not
+    * followed by another page within the window → the visit "jumped".
+    * Batch-native CEP over ordered per-key events: an event with no
+    * neighbor within the session gap on either side is a 1-event visit,
+    * i.e. a bounce. lag/lead over exact nanos — no timestamp-truncation
+    * ties. */
+  def userJump(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn("next_ns", lead(col("ts_ns"), 1).over(w))
+      .filter(
+        (col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs) &&
+        (col("next_ns").isNull || col("next_ns") - col("ts_ns") > GapNs))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("event_id"))
+  }
+
+  val userJumpSql: String =
+    """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM (
+      |  SELECT event_id, user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      |  FROM events) t
+      |WHERE (prev_ts IS NULL OR ts - prev_ts > INTERVAL 600 SECOND)
+      |  AND (next_ts IS NULL OR next_ts - ts > INTERVAL 600 SECOND)
+      |ORDER BY event_id""".stripMargin
+
+  /** Order-wide table (OrderWideApp.java:78-190): fact⋈fact join
+    * orders⋈lineitem, then the reference's six async dim lookups become
+    * broadcast hash joins (customer slice → nation → region). The big
+    * fact-fact join shuffles on the order key; every dim is broadcast so
+    * enrichment adds zero extra shuffles — the batch equivalent of the
+    * Redis-cached async lookup, but exactly-once and plan-visible. */
+  def orderWide(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name"), col("r_name"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("c_name"), col("c_mktsegment"),
+        col("n_name"), col("r_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val orderWideSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_totalprice, c_name, c_mktsegment, n_name, r_name
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Interval join (PaymentWideApp.java:80-92: payment⋈order_wide keyed
+    * by order id within [-15 min, 0]). Same shape here: key equality
+    * plus an event-time range — ship events land within [order date,
+    * order date + 30 d]. Catalyst plans the equi-key as the shuffle key
+    * and the range as a post-join residual, which is exactly how a
+    * cluster should do it (no cross product). */
+  def paymentWide(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select(
+        col("o_orderkey"), col("l_linenumber"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("l_extendedprice"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+
+  val paymentWideSql: String =
+    """SELECT o_orderkey, l_linenumber,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+      |  l_extendedprice
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |  AND l_shipdate >= o_orderdate
+      |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+}
