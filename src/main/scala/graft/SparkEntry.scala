@@ -39,6 +39,22 @@ object SparkEntry {
     // ADS
     "ads_gmv"              -> (Ads.gmv _),
     "ads_trademark_topn"   -> (Ads.trademarkTopN _),
+    // Text analysis
+    "text_token_count"     -> (TextOps.tokenCount _),
+    "text_quality"         -> (TextOps.quality _),
+    "text_lang_id"         -> (TextOps.langId _),
+    "text_fingerprint"     -> (TextOps.fingerprintOp _),
+    // Dedup
+    "dedup_exact"          -> (Dedup.exact _),
+    "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
+    "dedup_simhash"        -> (Dedup.simhash _),
+    "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // Similarity search
+    "ann_bruteforce"       -> ((s, d) => Similarity.annBruteforce(s, d)),
+    "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
+    // Multimodal plumbing
+    "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -61,5 +77,15 @@ object SparkEntry {
     "dws_keyword_stats"    -> Dws.keywordStatsSql,
     "ads_gmv"              -> Ads.gmvSql,
     "ads_trademark_topn"   -> Ads.trademarkTopNSql,
+    "text_token_count"     -> TextOps.tokenCountSql,
+    "text_quality"         -> TextOps.qualitySql,
+    "text_lang_id"         -> TextOps.langIdSql,
+    "text_fingerprint"     -> TextOps.fingerprintSql,
+    "dedup_exact"          -> Dedup.exactSql,
+    "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
+    // dedup_minhash_lsh / dedup_simhash / dedup_embedding / ann_* are
+    // hash-sketch based (not SQL-expressible) → driver rows-only check;
+    // ScalaTest specs assert their semantics against ground truth.
+    "mm_decode_pipeline"   -> Multimodal.decodePipelineSql,
   )
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the text-analysis and dedup
+  * operators. Everything here is built from native Spark functions
+  * (whole-stage-codegen'd) — no UDFs — so the hot path stays inside
+  * Tungsten at 100 TB.
+  *
+  * These extend the reference's single text utility (IK-segmenter
+  * tokenization in gmall-realtime/src/main/java/com/atguigu/utils/
+  * KeywordUtil.java) into the full LLM-pipeline text toolkit.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, empty tokens dropped (KeywordUtil analog). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** BPE-ish regex token count: word pieces, digits, or any other
+    * non-space symbol each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")), lit(0))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Canonical form for exact dedup: collapse whitespace, lowercase. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** 128-bit content fingerprint of the normalized text (md5 so the
+    * DuckDB oracle can reproduce it byte-for-byte). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Language marker-word hit count (n-gram heuristic): how many
+    * tokens of `text` belong to `markers`. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    coalesce(
+      regexp_count(lower(text), lit(markers.mkString("\\b(", "|", ")\\b"))),
+      lit(0))
+
+  /** Marker sets per language for the lang-id heuristic. Deterministic
+    * priority order en > de > es > fr > zh on ties. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"))
+
+  /** English stopword pattern used by the quality score. */
+  val stopwordPattern = "\\b(the|a|an|of|and|or|is|are|to|in)\\b"
+}

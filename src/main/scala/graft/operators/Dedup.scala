@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` — the LLM-pipeline extension of
+  * the reference's keyed-state dedup (UniqueVisitApp). Five levels:
+  * exact, n-gram Jaccard (exact pairwise over an inverted index),
+  * MinHash+LSH (the 100 TB path), SimHash, and embedding-cosine.
+  *
+  * Scale notes: nothing here compares all O(n²) pairs. The exact
+  * Jaccard op builds an inverted index (shingle → docs) and only joins
+  * docs sharing a shingle; MinHash/SimHash/embedding ops bucket by
+  * band key first, so shuffle volume is O(n · bands), and the exact
+  * verification runs only on bucket-collision candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content fingerprint, keep the smallest
+    * doc_id as survivor. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("dup_ct"))
+      .select(col("survivor_id"), col("dup_ct"))
+      .orderBy(col("survivor_id"))
+
+  val exactSql: String =
+    """SELECT min(doc_id) AS survivor_id, count(*) AS dup_ct
+      |FROM documents
+      |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |ORDER BY survivor_id""".stripMargin
+
+  /** Distinct 3-gram shingles per doc (the inverted-index rows). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join →
+    * per-pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ 0.5.
+    * This is the ground truth the probabilistic ops are judged
+    * against. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)]) AS shingle
+      |       FROM toks WHERE len(l) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT i, j, CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) AS jac
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = i
+      |JOIN sizes sb ON sb.doc_id = j
+      |WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  private val NumHashes = 128
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows // 32 → s-curve threshold ≈ 0.42
+  private val Prime = 2147483647L // 2^31 - 1, universal-hash modulus
+
+  /** MinHash signature + banded LSH: candidate pairs from band-bucket
+    * collisions, then exact Jaccard verification on candidates only.
+    * Per-doc work is 128 universal hashes of one xxhash64 base — all
+    * codegen'd column arithmetic, no UDF. Output matches
+    * `ngramJaccard` when the signature recalls every ≥0.5 pair (the
+    * spec asserts this on the planted dups). */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val abs = Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong)
+
+    val sh = shingleRows(s, d)
+    val base = pmod(xxhash64(col("shingle")), lit(Prime))
+    val hashed = sh.select(
+      col("doc_id") +: abs.zipWithIndex.map { case ((a, b), i) =>
+        pmod(lit(a) * base + lit(b), lit(Prime)).as(s"h$i")
+      }: _*)
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+
+    // band key = hash of the band's rows; bucket-join per band
+    val banded = sig.select(
+      (col("doc_id") +: (0 until NumBands).map { b =>
+        xxhash64((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*)
+          .as(s"band$b")
+      }): _*)
+    // bucket equi-join: shuffle on (band, key), never all-pairs
+    val bandRows = (0 until NumBands).map { b =>
+        banded.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("bk"))
+      }.reduce(_ unionAll _)
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+
+    verifyJaccard(s, d, candidates)
+  }
+
+  /** Exact Jaccard restricted to candidate (i, j) pairs. */
+  private def verifyJaccard(s: SparkSession, d: String, candidates: DataFrame): DataFrame = {
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    candidates.as("c")
+      .join(sh.as("a"), col("c.i") === col("a.doc_id"))
+      .join(sh.as("b"), col("c.j") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("i"), col("j"))
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 64-bit SimHash per doc + 16-bit-band candidate generation +
+    * Hamming-distance filter. Hashed over 3-gram shingles (unigram
+    * bags collide too easily on a small vocabulary); bit sums are 64
+    * codegen'd aggregates over the exploded shingle stream; pairs
+    * agree on ≥1 of 4 bands and have Hamming distance ≤ 3. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = shingleRows(s, d).select(col("doc_id"), col("shingle").as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitSums = toks.groupBy(col("doc_id"))
+      .agg(
+        sum(when(h.bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("s0"),
+        (1 until 64).map(i =>
+          sum(when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"s$i")): _*)
+    val sim = bitSums.select(
+      col("doc_id"),
+      (0 until 64).map(i =>
+        when(col(s"s$i") > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L)).as(s"bit$i")
+      ).reduce(_ + _).as("simhash"))
+
+    val banded = sim.select(
+      (Seq(col("doc_id"), col("simhash")) ++ (0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"band$b"))): _*)
+    val bandRows = (0 until 4).map { b =>
+        banded.select(col("doc_id"), col("simhash"), lit(b).as("band"), col(s"band$b").as("bk"))
+      }.reduce(_ unionAll _)
+    val pairs = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.simhash").as("sh_i"), col("y.simhash").as("sh_j"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+      .filter(col("hamming") <= 3)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  // ---- Embedding cosine ---------------------------------------------
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
+    * + exact cosine on candidates. Hyperplane components derive from
+    * xxhash64(plane, dim) so the sketch is deterministic with no
+    * driver-side randomness; 8 tables × 8 bits. */
+  def embeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+    // deterministic pseudo-random hyperplane component for (plane, dim)
+    def comp(plane: Int, dim: Column): Column =
+      (pmod(xxhash64(lit(plane), dim), lit(10007L)).cast("double") / 10007.0) - 0.5
+    def sketchBit(plane: Int): Column = {
+      val dot = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => x * comp(plane, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, 1L).otherwise(0L)
+    }
+    val nTables = 8
+    val bitsPerTable = 8
+    val sketched = emb.select(
+      col("vec_id") +: col("v") +:
+        (0 until nTables).map { t =>
+          (0 until bitsPerTable).map(b => sketchBit(t * bitsPerTable + b) * (1L << b))
+            .reduce[org.apache.spark.sql.Column](_ + _).as(s"tbl$t")
+        }: _*)
+
+    // candidates as bare (i, j) ids first; vectors re-joined after the
+    // distinct so the wide arrays never go through the dedup shuffle
+    val bandRows = (0 until nTables).map { t =>
+        sketched.select(col("vec_id"), lit(t).as("tbl"), col(s"tbl$t").as("bk"))
+      }.reduce(_ unionAll _)
+    val pairs = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
+      .distinct()
+      .join(emb.select(col("vec_id").as("i"), col("v").as("vi")), "i")
+      .join(emb.select(col("vec_id").as("j"), col("v").as("vj")), "j")
+
+    val dot = aggregate(zip_with(col("vi"), col("vj"), _ * _), lit(0.0), _ + _)
+    val ni = sqrt(aggregate(zip_with(col("vi"), col("vi"), _ * _), lit(0.0), _ + _))
+    val nj = sqrt(aggregate(zip_with(col("vj"), col("vj"), _ * _), lit(0.0), _ + _))
+    pairs
+      .withColumn("cosine", dot / (ni * nj))
+      .filter(col("cosine") >= threshold)
+      .select(col("i"), col("j"), col("cosine"))
+      .orderBy(col("i"), col("j"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * `annBruteforce` is the exact baseline: broadcast the (small) query
+  * set against the corpus — one scan, no shuffle of the corpus, exact
+  * top-k per query. `annLsh` is the 100 TB path: random-hyperplane
+  * buckets bound each query's candidate set, so corpus rows are only
+  * compared inside matching buckets.
+  *
+  * Dot products run through `zip_with`/`aggregate` higher-order
+  * functions — columnar, no UDF serialization.
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact top-k cosine neighbors for the first `nQueries` vectors.
+    * The query side is broadcast; ranking is a per-query window with a
+    * deterministic tie-break. */
+  def annBruteforce(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val c = corpus(s, d)
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** LSH-bucketed ANN: 8-bit random-hyperplane sketch partitions the
+    * corpus; each query only scans buckets within Hamming distance ≤ 3
+    * of its own sketch (multi-probe ≈ 36 % of buckets). Recall vs
+    * `annBruteforce` is spec-checked. NOTE: the synthetic embeddings
+    * are isotropic Gaussians — the hardest case for any sublinear ANN;
+    * on real (clustered) embedding corpora the same sketch gives far
+    * better recall at far lower probe fractions. */
+  def annLsh(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val nBits = 8
+    def comp(plane: Int, dim: Column): Column =
+      (pmod(xxhash64(lit(plane), dim), lit(10007L)).cast("double") / 10007.0) - 0.5
+    def sketch(v: Column): Column =
+      (0 until nBits).map { p =>
+        val pd = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * comp(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(pd >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val c = corpus(s, d).withColumn("bucket", sketch(col("v")))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))
+    // multi-probe: corpus row is a candidate if its bucket is within
+    // Hamming distance 2 of the query bucket (broadcast query side)
+    val scored = c.join(broadcast(q),
+        col("vec_id") =!= col("q_id") &&
+        bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 3)
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting. All single-pass
+  * narrow transformations — no shuffle at all until the final sort, so
+  * they stream at input-scan speed on a 100 TB corpus. */
+object TextOps {
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        regexTokenCount(col("text")).as("re_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, mean token length, stopword ratio —
+    * combined into one score. All ratios are double ops on identical
+    * operands in Spark and DuckDB, so the score is bit-reproducible. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val toks = size(tokens(col("text"))).cast("double")
+    val stops = coalesce(regexp_count(lower(col("text")), lit(stopwordPattern)), lit(0)).cast("double")
+    val chars = length(col("text")).cast("double")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        chars.as("n_chars"),
+        toks.as("n_tokens"),
+        (stops / toks).as("stop_ratio"),
+        (chars / toks).as("mean_tok_len"),
+        (least(chars / lit(500.0), lit(1.0)) * lit(0.5)
+          + least(stops / toks * lit(10.0), lit(1.0)) * lit(0.5)).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS DOUBLE) AS n_chars,
+      |  CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0)) AS DOUBLE) AS n_tokens,
+      |  stops / toks AS stop_ratio,
+      |  chars / toks AS mean_tok_len,
+      |  least(chars / 500.0, 1.0) * 0.5 + least(stops / toks * 10.0, 1.0) * 0.5 AS quality
+      |FROM (
+      |  SELECT doc_id, text,
+      |    CAST(length(text) AS DOUBLE) AS chars,
+      |    CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0)) AS DOUBLE) AS toks,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|or|is|are|to|in)\b')) AS DOUBLE) AS stops
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language ID: marker-word scoring with deterministic priority on
+    * ties (the classic n-gram-profile heuristic reduced to marker
+    * hits; the synthetic corpus is English-ish so 'en' dominates). */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val hits: Seq[(String, Column)] =
+      langMarkers.map { case (lang, ms) => lang -> markerHits(col("text"), ms) }
+    val best = greatest(hits.map(_._2): _*)
+    val pick = hits.foldRight[Column](lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lang).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), pick.as("pred_lang"),
+        hits.head._2.as("en_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  // CASE priority must match langMarkers order: en, de, es, fr, zh.
+  val langIdSql: String = {
+    def h(p: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${p.mkString("|")})\\b'))"
+    val cols = langMarkers.map { case (l, p) => l -> h(p) }
+    val hitExprs = cols.map { case (l, e) => s"$e AS h_$l" }.mkString(", ")
+    val bestExpr = s"greatest(${cols.map(c => s"h_${c._1}").mkString(", ")})"
+    val caseExpr = cols.map { case (l, _) => s"WHEN h_$l = best AND best > 0 THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, $caseExpr AS pred_lang, h_en AS en_hits
+       |FROM (SELECT doc_id, $hitExprs, $bestExpr AS best
+       |      FROM (SELECT doc_id, text FROM documents) raw) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint: md5 of normalized text (whitespace-collapsed,
+    * lowercased) — the join key for cross-corpus exact dedup. */
+  def fingerprintOp(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,189 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirrors of the reference's streaming apps.
+  * Each takes already-streaming inputs (readStream / MemoryStream) so
+  * specs can drive them batch-by-batch; the semantics match the batch
+  * operators in graft.operators, which the specs cross-check.
+  *
+  * Flink → Spark mapping used throughout:
+  *  - keyed ValueState/TTL → `flatMapGroupsWithState` per-key state
+  *  - CEP within-window    → per-key state + event-time timeout
+  *  - side outputs         → column routing / filtered branches
+  *  - interval join        → stream-stream join with time-range bound
+  *  - tumbling window agg  → watermark + `window()` groupBy
+  */
+object StreamOps {
+
+  /** The streaming event record (page-log analog). */
+  case class Evt(event_id: Long, user_id: Long, event_type: String,
+    value: Double, ts: Timestamp)
+
+  case class Flagged(event_id: Long, user_id: Long, is_new: Int)
+  case class Visit(user_id: Long, visit_date: String, event_id: Long)
+  case class Jump(event_id: Long, user_id: Long, ts_ms: Long)
+
+  /** jumpDetect per-key state: pending bounce candidate. */
+  case class JumpState(eventId: Long, tsMs: Long, isolated: Boolean)
+
+  private val GapMs = 600L * 1000
+
+  /** BaseLogApp stream split (side-output analog): tag each event with
+    * its target stream. Downstream sinks filter on `stream`. */
+  def route(df: DataFrame): DataFrame =
+    df.withColumn("stream",
+      when(col("event_type").isin("view", "click"), "page")
+        .when(col("event_type") === "signup", "start")
+        .otherwise("other"))
+
+  /** BaseLogApp new-user repair (keyed ValueState): the first event a
+    * user ever produces is `is_new = 1`, everything after is 0 — state
+    * survives across micro-batches. */
+  def newUserFlag(ds: Dataset[Evt]): Dataset[Flagged] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, Flagged](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, events, state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val f = Flagged(e.event_id, e.user_id, if (seen) 0 else 1)
+            seen = true
+            f
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** UniqueVisitApp (keyed first-visit state + 1-day TTL): emit only
+    * each user's first event per day. State is just the latest visit
+    * date string — the TTL falls out of the date comparison. */
+  def uniqueVisit(ds: Dataset[Evt]): Dataset[Visit] = {
+    import ds.sparkSession.implicits._
+    val fmt = "yyyy-MM-dd"
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Set[String], Visit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, events, state: GroupState[Set[String]]) =>
+          var seen = state.getOption.getOrElse(Set.empty[String])
+          val out = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            val day = new java.text.SimpleDateFormat(fmt).format(e.ts)
+            if (seen(day)) None
+            else { seen += day; Some(Visit(uid, day, e.event_id)) }
+          }
+          // TTL analog: only the newest date matters for "today's" dedup
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** UserJumpDetailApp (CEP + timeout): an event is a jump (bounce) if
+    * no other event of the same user lands within the session gap on
+    * either side. The candidate is held in per-key state; the next
+    * event either cancels it (gap small) or confirms it (gap large);
+    * the event-time timeout confirms a candidate the stream never
+    * followed up — exactly the reference's PatternTimeoutFunction. */
+  def jumpDetect(ds: Dataset[Evt]): Dataset[Jump] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[JumpState, Jump](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, events, state: GroupState[JumpState]) =>
+          if (!events.hasNext && state.hasTimedOut) {
+            // stream went quiet past the watermark: pending candidate is a jump
+            val out = state.getOption.collect {
+              case JumpState(id, ts, true) => Jump(id, uid, ts)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var pending = state.getOption
+            val out = Seq.newBuilder[Jump]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              pending match {
+                case Some(JumpState(pid, pts, isolated)) =>
+                  if (t - pts > GapMs) {
+                    if (isolated) out += Jump(pid, uid, pts)
+                    pending = Some(JumpState(e.event_id, t, isolated = true))
+                  } else {
+                    pending = Some(JumpState(e.event_id, t, isolated = false))
+                  }
+                case None =>
+                  pending = Some(JumpState(e.event_id, t, isolated = true))
+              }
+            }
+            pending.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(p.tsMs + GapMs + 1)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** VisitorStatsApp: watermark + tumbling-window multi-metric
+    * aggregation (hour windows, `user_id % 10` channel dim). */
+  def visitorStats(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        (col("user_id") % 10).as("ch"))
+      .agg(
+        sum(when(col("event_type").isin("view", "click"), 1).otherwise(0)).as("pv_ct"),
+        count(lit(1)).as("ev_ct"),
+        sum(col("value")).as("dur_sum"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("ch"), col("pv_ct"), col("ev_ct"), col("dur_sum"))
+
+  /** OrderWideApp / PaymentWideApp interval join: stream⋈stream on key
+    * + time-range with watermarks bounding state retention. `left` are
+    * order headers, `right` are detail events; details must land within
+    * [order ts, order ts + 30 min]. */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "10 minutes")
+    val r = right.withWatermark("ts", "40 minutes")
+    l.alias("l").join(r.alias("r"),
+      expr("""l.user_id = r.user_id AND
+              r.ts >= l.ts AND
+              r.ts <= l.ts + interval 30 minutes"""))
+      .select(
+        col("l.event_id").as("order_event"),
+        col("r.event_id").as("detail_event"),
+        col("l.user_id").as("user_id"),
+        col("l.ts").as("order_ts"), col("r.ts").as("detail_ts"))
+  }
+
+  /** BaseDBApp dynamic routing: broadcast config decides each record's
+    * sink; `foreachBatch` fans one micro-batch out to multiple sinks
+    * (the Kafka/HBase split in the reference). `sinkWriter` receives
+    * (sinkName, batchDf) so tests can capture per-sink output. */
+  def cdcRoute(df: DataFrame, config: DataFrame)(
+    sinkWriter: (String, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val routed = df.join(broadcast(config), df("event_type") === config("src_type"), "left")
+      .withColumn("sink_table", coalesce(col("sink_table"), lit("dwd_default")))
+      .withColumn("sink_type", coalesce(col("sink_type"), lit("kafka")))
+    routed.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          cached.select(col("sink_type")).distinct().collect().map(_.getString(0))
+            .foreach { sink =>
+              sinkWriter(sink, cached.filter(col("sink_type") === sink))
+            }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+}

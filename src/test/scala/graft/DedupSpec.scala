@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.Row
+
+/** Ground-truth checks for the probabilistic dedup operators (these
+  * have no SQL oracle; this spec is their correctness gate). */
+class DedupSpec extends SparkSpec {
+
+  private def exactPairs(d: String): Set[(Long, Long)] =
+    Dedup.ngramJaccard(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup keeps one survivor per distinct text") {
+    val docs = Tables.documents(spark, sf0001)
+    val survivors = Dedup.exact(spark, sf0001)
+    assert(survivors.count() ===
+      docs.selectExpr("lower(trim(regexp_replace(text, '\\\\s+', ' ')))").distinct().count())
+    // every survivor is a real doc_id
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.collect().forall(r => ids(r.getLong(0))))
+  }
+
+  test("minhash LSH finds exactly the >=0.5-jaccard pairs (planted dups)") {
+    val exact = exactPairs(sf0001)
+    val mh = Dedup.minhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(mh === exact)
+  }
+
+  test("simhash pairs are genuinely similar (jaccard >= 0.3) with high recall") {
+    val exact = exactPairs(sf0001)
+    val sh = Dedup.simhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: every simhash pair must be a true near-dup pair
+    val texts = Tables.documents(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def jac(a: Long, b: Long): Double = {
+      def sh3(t: String) = t.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+      val (x, y) = (sh3(texts(a)), sh3(texts(b)))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    sh.foreach { case (i, j) => assert(jac(i, j) >= 0.3, s"pair ($i,$j) not similar") }
+    // recall on the planted (~0.99 jaccard) dups should be substantial
+    assert(sh.intersect(exact).size >= exact.size / 2,
+      s"simhash recall too low: ${sh.intersect(exact).size}/${exact.size}")
+  }
+
+  test("embedding near-dup pairs report correct cosine and respect threshold") {
+    val rows: Array[Row] = Dedup.embeddingNearDup(spark, sf0001, threshold = 0.3).collect()
+    val vecs = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray.map(_.toDouble))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.foreach { r =>
+      val (i, j, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(c >= 0.3)
+      assert(math.abs(cos(vecs(i), vecs(j)) - c) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Similarity
+
+/** ANN correctness: brute force against a driver-side exact
+  * computation; LSH recall against brute force. */
+class SimilaritySpec extends SparkSpec {
+
+  private def exactTopK(d: String, nQueries: Int, k: Int): Map[Long, Seq[Long]] = {
+    val vecs = Tables.embeddings(spark, d).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    vecs.filter(_._1 < nQueries).map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("brute-force ANN matches exact driver-side top-k") {
+    val k = 5
+    val expected = exactTopK(sf0001, nQueries = 8, k = k)
+    val got = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got === expected)
+  }
+
+  test("LSH ANN returns valid neighbors with usable recall") {
+    val k = 5
+    val bf = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.annLsh(spark, sf0001, nQueries = 8, k = k).collect()
+    // each query returns at most k, ranked 1..n
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= k)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length))
+    }
+    val got = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    // isotropic-Gaussian corpus = worst case for LSH; just require the
+    // probing to beat random-bucket luck
+    assert(recall >= 0.15, s"LSH recall $recall below floor")
+  }
+}

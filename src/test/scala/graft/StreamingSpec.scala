@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** MemoryStream-driven checks of the Structured Streaming operators —
+  * state must survive across micro-batches, timeouts must fire, the
+  * interval join must bound its state with watermarks. */
+class StreamingSpec extends SparkSpec {
+
+  // base offset of 1 day: an event at exactly epoch 0 is dropped by the
+  // late-row filter (ts > initial watermark 0), which is an artifact of
+  // synthetic test times, not operator behavior
+  private def ts(minutes: Long): Timestamp = new Timestamp((24 * 60 + minutes) * 60 * 1000)
+
+  private def runBatches[T](name: String)(build: MemoryStream[Evt] => org.apache.spark.sql.Dataset[T])(
+    batches: Seq[Seq[Evt]]): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = build(input).writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("route tags streams like the batch splitter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.route(input.toDF()).writeStream.format("memory")
+      .queryName("route_out").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 1, "view", 1.0, ts(1)), Evt(2, 1, "signup", 1.0, ts(2)),
+        Evt(3, 2, "purchase", 1.0, ts(3)), Evt(4, 2, "click", 1.0, ts(4))))
+      q.processAllAvailable()
+      val got = spark.table("route_out").select("event_id", "stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "page", 2L -> "start", 3L -> "other", 4L -> "page"))
+    } finally q.stop()
+  }
+
+  test("newUserFlag state survives micro-batches") {
+    val rows = runBatches("nuf")(in => StreamOps.newUserFlag(in.toDS()))(Seq(
+      Seq(Evt(1, 7, "view", 0, ts(1)), Evt(2, 7, "view", 0, ts(2)), Evt(3, 8, "view", 0, ts(3))),
+      Seq(Evt(4, 7, "view", 0, ts(10)), Evt(5, 9, "view", 0, ts(11)))))
+    val flags = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(flags === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1))
+  }
+
+  test("uniqueVisit emits first event per user-day across batches") {
+    val day0 = ts(10)               // 1970-01-02
+    val day1 = ts(24 * 60 + 10)     // 1970-01-03
+    val rows = runBatches("uv")(in => StreamOps.uniqueVisit(in.toDS()))(Seq(
+      Seq(Evt(1, 7, "view", 0, day0), Evt(2, 7, "view", 0, ts(20))),
+      Seq(Evt(3, 7, "view", 0, ts(30)), Evt(4, 7, "view", 0, day1))))
+    val visits = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(visits.toSet === Set((7L, "1970-01-02", 1L), (7L, "1970-01-03", 4L)))
+  }
+
+  test("jumpDetect confirms isolated events and uses timeout for the tail") {
+    // user 7: e1 isolated (next is 20 min later), e2+e3 close together
+    // (not jumps), then nothing → e3 is NOT isolated (e2 is 1 min
+    // before); user 8: single event confirmed by watermark timeout.
+    val batches = Seq(
+      Seq(Evt(1, 7, "view", 0, ts(0)), Evt(10, 8, "view", 0, ts(1))),
+      Seq(Evt(2, 7, "view", 0, ts(20)), Evt(3, 7, "view", 0, ts(21))),
+      // sentinel far in the future advances the watermark past all timeouts
+      Seq(Evt(99, 999, "view", 0, ts(10000))),
+      Seq(Evt(100, 999, "view", 0, ts(10001))))
+    val rows = runBatches("jump")(in => StreamOps.jumpDetect(in.toDS()))(batches)
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(ids.contains(1L), "isolated first event must be a jump")
+    assert(ids.contains(10L), "lone event must be confirmed via timeout")
+    assert(!ids.contains(2L) && !ids.contains(3L), "clustered events are not jumps")
+  }
+
+  test("visitorStats windows and aggregates with a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.visitorStats(input.toDF()).writeStream.format("memory")
+      .queryName("vs").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 1, "view", 10.0, ts(5)), Evt(2, 1, "click", 20.0, ts(10)),
+        Evt(3, 11, "signup", 5.0, ts(15))))
+      q.processAllAvailable()
+      // advance watermark past the first hour window so it closes
+      input.addData(Seq(Evt(4, 2, "view", 1.0, ts(200))))
+      q.processAllAvailable()
+      val rows = spark.table("vs").collect()
+      val w0 = rows.filter(_.getString(0) == "1970-01-02 00:00:00")
+      // users 1 and 11 both hash to channel 1 → a single row for window 0
+      assert(w0.length === 1)
+      val ch1 = w0.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(ch1 === Set((1L, 2L, 3L))) // ch=1: pv=2, total events=3
+    } finally q.stop()
+  }
+
+  test("intervalJoin matches details within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[Evt]
+    val details = MemoryStream[Evt]
+    val joined = StreamOps.intervalJoin(orders.toDF(), details.toDF())
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      orders.addData(Seq(Evt(1, 7, "order", 0, ts(10))))
+      details.addData(Seq(
+        Evt(101, 7, "detail", 0, ts(15)),  // inside [10, 40]
+        Evt(102, 7, "detail", 0, ts(55)),  // outside
+        Evt(103, 8, "detail", 0, ts(12)))) // wrong key
+      q.processAllAvailable()
+      val got = spark.table("ij").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 101L)))
+    } finally q.stop()
+  }
+
+  test("cdcRoute fans a micro-batch out to per-sink writers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val config = Seq(
+      ("view", "dwd_page_log", "kafka"),
+      ("error", "dim_error", "hbase")).toDF("src_type", "sink_table", "sink_type")
+    val captured = scala.collection.concurrent.TrieMap[String, Set[Long]]()
+    val q = StreamOps.cdcRoute(input.toDF(), config) { (sink, batch) =>
+      val ids = batch.select("event_id").collect().map(_.getLong(0)).toSet
+      captured.updateWith(sink)(prev => Some(prev.getOrElse(Set.empty) ++ ids))
+      ()
+    }
+    try {
+      input.addData(Seq(
+        Evt(1, 1, "view", 0, ts(1)), Evt(2, 1, "error", 0, ts(2)),
+        Evt(3, 2, "purchase", 0, ts(3))))
+      q.processAllAvailable()
+      assert(captured.get("hbase") === Some(Set(2L)))
+      assert(captured.get("kafka") === Some(Set(1L, 3L)))
+    } finally q.stop()
+  }
+}
