@@ -28,7 +28,7 @@ object Ads {
     * `p_brand` plays tm_name. Deterministic tie-break on brand name. */
   def trademarkTopN(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(moneySum(col("l_extendedprice")).as("order_amount"))
       .orderBy(col("order_amount").desc, col("p_brand"))

@@ -96,7 +96,9 @@ object Dedup {
     val abs = Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong,
       rnd.nextInt(Int.MaxValue).toLong)
 
-    val sh = shingleRows(s, d)
+    // shingle index is read by the signature pass AND the verify pass —
+    // cache it once instead of re-scanning/exploding the corpus
+    val sh = shingleRows(s, d).persist()
     val base = pmod(xxhash64(col("shingle")), lit(Prime))
     val hashed = sh.select(
       col("doc_id") +: abs.zipWithIndex.map { case ((a, b), i) =>
@@ -106,16 +108,15 @@ object Dedup {
       .agg(min(col("h0")).as("m0"),
         (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
 
-    // band key = hash of the band's rows; bucket-join per band
-    val banded = sig.select(
-      (col("doc_id") +: (0 until NumBands).map { b =>
+    // one (doc, band, key) row per band via posexplode — a single
+    // signature computation fans out to all bands (no plan duplication)
+    val bandRows = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until NumBands).map { b =>
         xxhash64((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*)
-          .as(s"band$b")
-      }): _*)
-    // bucket equi-join: shuffle on (band, key), never all-pairs
-    val bandRows = (0 until NumBands).map { b =>
-        banded.select(col("doc_id"), lit(b).as("band"), col(s"band$b").as("bk"))
-      }.reduce(_ unionAll _)
+      }: _*)).as(Seq("band", "bk")))
+    // bucket equi-join: shuffle on (band, key), never all-pairs; the
+    // identical x/y subplans share one shuffle via ReuseExchange
     val candidates = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -123,12 +124,11 @@ object Dedup {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
 
-    verifyJaccard(s, d, candidates)
+    verifyJaccard(sh, candidates)
   }
 
   /** Exact Jaccard restricted to candidate (i, j) pairs. */
-  private def verifyJaccard(s: SparkSession, d: String, candidates: DataFrame): DataFrame = {
-    val sh = shingleRows(s, d)
+  private def verifyJaccard(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     candidates.as("c")
       .join(sh.as("a"), col("c.i") === col("a.doc_id"))
@@ -164,12 +164,11 @@ object Dedup {
         when(col(s"s$i") > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L)).as(s"bit$i")
       ).reduce(_ + _).as("simhash"))
 
-    val banded = sim.select(
-      (Seq(col("doc_id"), col("simhash")) ++ (0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as(s"band$b"))): _*)
-    val bandRows = (0 until 4).map { b =>
-        banded.select(col("doc_id"), col("simhash"), lit(b).as("band"), col(s"band$b").as("bk"))
-      }.reduce(_ unionAll _)
+    val bandRows = sim.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bk")))
     val pairs = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -215,9 +214,10 @@ object Dedup {
 
     // candidates as bare (i, j) ids first; vectors re-joined after the
     // distinct so the wide arrays never go through the dedup shuffle
-    val bandRows = (0 until nTables).map { t =>
-        sketched.select(col("vec_id"), lit(t).as("tbl"), col(s"tbl$t").as("bk"))
-      }.reduce(_ unionAll _)
+    val bandRows = sketched.select(
+      col("vec_id"),
+      posexplode(array((0 until nTables).map(t => col(s"tbl$t")): _*))
+        .as(Seq("tbl", "bk")))
     val pairs = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&

@@ -74,10 +74,11 @@ object Dwm {
 
   /** Order-wide table (OrderWideApp.java:78-190): fact⋈fact join
     * orders⋈lineitem, then the reference's six async dim lookups become
-    * broadcast hash joins (customer slice → nation → region). The big
-    * fact-fact join shuffles on the order key; every dim is broadcast so
-    * enrichment adds zero extra shuffles — the batch equivalent of the
-    * Redis-cached async lookup, but exactly-once and plan-visible. */
+    * hash-join dim enrichment (customer slice → nation → region).
+    * Bounded dims (nation, region) carry explicit broadcast hints; the
+    * customer join is left to Catalyst/AQE, which broadcasts when the
+    * build side fits and falls back to shuffle join at 100 TB where
+    * customer scales with the data. */
   def orderWide(s: SparkSession, d: String): DataFrame = {
     val dims = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -86,7 +87,7 @@ object Dwm {
         col("n_name"), col("r_name"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"),

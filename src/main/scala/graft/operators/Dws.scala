@@ -102,7 +102,7 @@ object Dws {
         sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice")))
           .otherwise(lit(BigDecimal(0)).cast(org.apache.spark.sql.types.DecimalType(18, 2))))
           .cast("double").as("refund_amount"))
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_name"), col("p_brand"),
         col("order_ct"), col("sku_num"), col("order_amount"),
         col("refund_order_ct"), col("refund_amount"))
