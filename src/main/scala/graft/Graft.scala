@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.RollingHash64
+
+/** User-facing entry points: a tuned session builder, table views for
+  * the SQL surface, and native function registration. A user of the
+  * reference system points this at their data directory and gets the
+  * whole engine — DataFrame operators (graft.operators._), streaming
+  * (graft.streaming.StreamOps), SQL over registered views, and the
+  * native extension functions.
+  */
+object Graft {
+
+  /** Build a session tuned for this engine. `shufflePartitions` should
+    * track cluster parallelism (driver harnesses pass cores; a real
+    * cluster sets ~2-3× total executor cores or relies on AQE). */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32,
+    appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    registerFunctions(s)
+    s
+  }
+
+  /** Register every table in `dir` as a temp view so the SQL surface
+    * (`spark.sql`) works alongside the DataFrame operators. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  /** Register the native extension functions on an existing session
+    * (idempotent). Sessions created through `GraftExtensions` get them
+    * automatically. */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}
+
+/** `spark.sql.extensions`-style injection point: a session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` has the native
+  * functions available with no code changes. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("graft_rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash64"),
+      (children: Seq[Expression]) => RollingHash64(children.head)))
+}

@@ -55,6 +55,13 @@ object SparkEntry {
     "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
+    // Event analytics (ADS-adjacent serving shapes)
+    "ea_sessionize"        -> (EventAnalytics.sessionize _),
+    "ea_funnel"            -> (EventAnalytics.funnel _),
+    "ea_retention"         -> (EventAnalytics.retention _),
+    "ea_pivot_counts"      -> (EventAnalytics.pivotCounts _),
+    // Native Catalyst expression surface
+    "text_rolling_fp"      -> (TextOps.rollingFingerprint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -87,5 +94,10 @@ object SparkEntry {
     // hash-sketch based (not SQL-expressible) → driver rows-only check;
     // ScalaTest specs assert their semantics against ground truth.
     "mm_decode_pipeline"   -> Multimodal.decodePipelineSql,
+    "ea_sessionize"        -> EventAnalytics.sessionizeSql,
+    "ea_funnel"            -> EventAnalytics.funnelSql,
+    "ea_retention"         -> EventAnalytics.retentionSql,
+    "ea_pivot_counts"      -> EventAnalytics.pivotCountsSql,
+    // text_rolling_fp: native hash, not SQL-expressible → rows-only + spec
   )
 }

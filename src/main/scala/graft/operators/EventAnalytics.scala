@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Agg._
+
+/** Event-analytics operators the reference's ADS/ClickHouse layer
+  * serves in practice (session stats, funnels, cohort retention,
+  * pivoted metrics) — DWS-adjacent capabilities over the `events`
+  * stream table. Each is one or two hash-partitioned passes; no
+  * driver-side iteration. */
+object EventAnalytics {
+
+  private val GapNs = 600L * 1000 * 1000 * 1000
+
+  /** Sessionization: gap > 10 min opens a session; one output row per
+    * session with count/duration. The session id is a running sum of
+    * session-start flags per user — one window pass, then one
+    * aggregation, both on the same user_id partitioning. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        moneySum(col("value")).as("value_sum"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val sessionizeSql: String =
+    s"""SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS edt,
+       |  ${sqlMoneySum("value")} AS value_sum
+       |FROM (
+       |  SELECT user_id, ts, value,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM (
+       |    SELECT user_id, event_id, ts, value,
+       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |                > INTERVAL 600 SECOND
+       |           THEN 1 ELSE 0 END AS new_s
+       |    FROM events) flags) sess
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Ordered funnel view → click → purchase: a user reaches stage N+1
+    * only with an event strictly after their stage-N entry. Per-stage
+    * reachable-user counts. Three aggregate+join hops, each keyed on
+    * user_id so the partitioning is reused. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_ns"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v, "user_id")
+      .filter(col("ts_ns") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c, "user_id")
+      .filter(col("ts_ns") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
+    val spark = s
+    import spark.implicits._
+    Seq("1_view", "2_click", "3_purchase").zip(Seq(v, c, p)).map { case (stage, df) =>
+        df.select(lit(stage).as("stage"), col("user_id"))
+      }
+      .reduce(_ unionAll _)
+      .groupBy(col("stage")).agg(count(lit(1)).as("user_ct"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT stage, count(*) AS user_ct FROM (
+      |  SELECT '1_view' AS stage, user_id FROM v
+      |  UNION ALL SELECT '2_click', user_id FROM c
+      |  UNION ALL SELECT '3_purchase', user_id FROM p) t
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
+  /** Cohort retention: users grouped by their first-activity day;
+    * day-N retention = distinct users of that cohort active N days
+    * later (N ≤ 7). */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("day_n", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_n") <= 7)
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("day_n"))
+      .agg(countDistinct(col("user_id")).as("user_ct"))
+      .orderBy(col("cohort"), col("day_n"))
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+      |  date_diff('day', cohort_day, day) AS day_n,
+      |  count(DISTINCT ev.user_id) AS user_ct
+      |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+      |WHERE date_diff('day', cohort_day, day) <= 7
+      |GROUP BY 1, 2
+      |ORDER BY cohort, day_n""".stripMargin
+
+  /** Pivoted per-user event-type counts (the wide-metric shape the
+    * ClickHouse tables store): one row per user, one column per event
+    * type. Spark's `pivot` with an explicit value list keeps the plan
+    * a single hash aggregation. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("view").as("view_ct"), col("click").as("click_ct"),
+        col("purchase").as("purchase_ct"), col("signup").as("signup_ct"),
+        col("error").as("error_ct"))
+      .orderBy(col("user_id"))
+
+  val pivotCountsSql: String =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_ct,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_ct,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_ct,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_ct
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+}

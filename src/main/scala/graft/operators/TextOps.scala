@@ -101,4 +101,16 @@ object TextOps {
   val fingerprintSql: String =
     """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** 64-bit rolling-hash fingerprint via the native Catalyst expression
+    * (graft.functions.RollingHash64, registered as a SQL function).
+    * No SQL oracle — DuckDB has no matching hash — so the spec checks
+    * the expression against its driver-side reference implementation. */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        call_function("graft_rolling_hash64", col("text")).as("fp64"))
+      .orderBy(col("doc_id"))
+  }
 }
