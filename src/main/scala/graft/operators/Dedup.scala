@@ -96,11 +96,13 @@ object Dedup {
     val abs = Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong,
       rnd.nextInt(Int.MaxValue).toLong)
 
-    // shingle index is read by the signature pass AND the verify pass —
-    // cache it once instead of re-scanning/exploding the corpus
-    val sh = shingleRows(s, d).persist()
+    // the signature pass reads the RAW shingle stream (min() is
+    // idempotent under duplicates, so the distinct's shuffle would be
+    // pure cost); only the exact-verify pass needs distinct sets
+    val rawShingles = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
     val base = pmod(xxhash64(col("shingle")), lit(Prime))
-    val hashed = sh.select(
+    val hashed = rawShingles.select(
       col("doc_id") +: abs.zipWithIndex.map { case ((a, b), i) =>
         pmod(lit(a) * base + lit(b), lit(Prime)).as(s"h$i")
       }: _*)
@@ -124,7 +126,7 @@ object Dedup {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
 
-    verifyJaccard(sh, candidates)
+    verifyJaccard(shingleRows(s, d), candidates)
   }
 
   /** Exact Jaccard restricted to candidate (i, j) pairs. */
@@ -186,29 +188,27 @@ object Dedup {
   // ---- Embedding cosine ---------------------------------------------
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
-    * + exact cosine on candidates. Hyperplane components derive from
-    * xxhash64(plane, dim) so the sketch is deterministic with no
-    * driver-side randomness; 8 tables × 8 bits. */
+    * + exact cosine on candidates. Hyperplanes are seeded-PRNG literal
+    * arrays baked into the plan (computed once at plan time, shipped in
+    * the task closure) — the sketch per row is 64 literal-array dot
+    * products, no per-element hashing; 8 tables × 8 bits. */
   def embeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-    // deterministic pseudo-random hyperplane component for (plane, dim)
-    def comp(plane: Int, dim: Column): Column =
-      (pmod(xxhash64(lit(plane), dim), lit(10007L)).cast("double") / 10007.0) - 0.5
-    def sketchBit(plane: Int): Column = {
+    def sketchBit(plane: Array[Double]): Column = {
       val dot = aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => x * comp(plane, i)),
+        zip_with(col("v"), typedLit(plane.toSeq), (x, p) => x * p),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1L).otherwise(0L)
     }
     val nTables = 8
     val bitsPerTable = 8
+    val planes = Hyperplanes.make(nTables * bitsPerTable, dim = 64, seed = 7)
     val sketched = emb.select(
       col("vec_id") +: col("v") +:
         (0 until nTables).map { t =>
-          (0 until bitsPerTable).map(b => sketchBit(t * bitsPerTable + b) * (1L << b))
+          (0 until bitsPerTable).map(b => sketchBit(planes(t * bitsPerTable + b)) * (1L << b))
             .reduce[org.apache.spark.sql.Column](_ + _).as(s"tbl$t")
         }: _*)
 
@@ -235,5 +235,18 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("i"), col("j"), col("cosine"))
       .orderBy(col("i"), col("j"))
+  }
+
+  // ---- shared sketch plumbing ---------------------------------------
+}
+
+/** Deterministic seeded hyperplanes for the cosine-LSH sketches. The
+  * vectors are plan-time literals: cheap to generate, identical on
+  * every run, and shipped to executors inside the serialized plan
+  * (64 doubles per plane — negligible). */
+object Hyperplanes {
+  def make(n: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
 }

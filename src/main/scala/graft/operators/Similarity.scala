@@ -52,12 +52,11 @@ object Similarity {
     * better recall at far lower probe fractions. */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val nBits = 8
-    def comp(plane: Int, dim: Column): Column =
-      (pmod(xxhash64(lit(plane), dim), lit(10007L)).cast("double") / 10007.0) - 0.5
+    val planes = Hyperplanes.make(nBits, dim = 64, seed = 11)
     def sketch(v: Column): Column =
       (0 until nBits).map { p =>
         val pd = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * comp(p, i)),
+          zip_with(v, typedLit(planes(p).toSeq), (x, c) => x * c),
           lit(0.0), (acc, x) => acc + x)
         when(pd >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
