@@ -21,6 +21,8 @@ object SparkEntry {
     "q_semi_anti"          -> (Relational.semiAnti _),
     "q_window_rank"        -> (Relational.windowRank _),
     "q_rollup"             -> (Relational.rollupAgg _),
+    "q_correlated_avg"     -> (Relational.correlatedAvg _),
+    "q_set_ops"            -> (Relational.setOps _),
     // DWD
     "dwd_clean"            -> (Dwd.clean _),
     "dwd_split"            -> (Dwd.split _),
@@ -70,6 +72,8 @@ object SparkEntry {
     "q_semi_anti"          -> Relational.semiAntiSql,
     "q_window_rank"        -> Relational.windowRankSql,
     "q_rollup"             -> Relational.rollupAggSql,
+    "q_correlated_avg"     -> Relational.correlatedAvgSql,
+    "q_set_ops"            -> Relational.setOpsSql,
     "dwd_clean"            -> Dwd.cleanSql,
     "dwd_split"            -> Dwd.splitSql,
     "dwd_new_user_flag"    -> Dwd.newUserFlagSql,

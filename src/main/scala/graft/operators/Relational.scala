@@ -131,4 +131,49 @@ object Relational {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY ROLLUP(r_name, n_name)
        |ORDER BY r_name, n_name""".stripMargin
+
+  /** Correlated scalar subquery shape: customers whose balance beats
+    * their nation's average. Declared as an agg+join (what a decorrelator
+    * produces); the per-nation average is a tiny broadcast side. */
+  def correlatedAvg(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val natAvg = cust.groupBy(col("c_nationkey").as("nk"))
+      .agg((moneySum(col("c_acctbal")) / count(lit(1))).as("nat_avg"))
+    cust.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val correlatedAvgSql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal
+       |FROM customer c
+       |JOIN (SELECT c_nationkey AS nk,
+       |        ${Agg.sqlMoneySum("c_acctbal")} / count(*) AS nat_avg
+       |      FROM customer GROUP BY c_nationkey) a
+       |  ON c.c_nationkey = a.nk
+       |WHERE c.c_acctbal > a.nat_avg
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Set operations: customers in BUILDING segment INTERSECT customers
+    * with an open order, then EXCEPT those with any high-price order. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val open = ord.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    val pricey = ord.filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(open).except(pricey)
+      .orderBy(col("c_custkey"))
+  }
+
+  val setOpsSql: String =
+    """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |ORDER BY c_custkey""".stripMargin
 }

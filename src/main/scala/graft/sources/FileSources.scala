@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File source/sink surface. The reference's connectors are network
+  * services (Kafka in/out, ClickHouse, Phoenix/HBase); in this engine
+  * the equivalent roles are played by schema-checked file sources and
+  * partitioned columnar sinks, which is also what a 100 TB batch
+  * deployment reads and writes.
+  *
+  * The dirty-record pattern mirrors BaseLogApp.java:52-68: instead of a
+  * side output, a permissive JSON read captures unparseable lines in a
+  * corrupt-record column, and the caller splits on its nullness.
+  */
+object FileSources {
+
+  /** JSON-lines source with explicit schema + corrupt-record capture.
+    * Returns the full frame; use [[splitDirty]] for the two branches. */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** (clean, dirty) split — the Flink side-output analog. The parsed
+    * frame is persisted first: Spark (correctly) refuses to re-read a
+    * raw file just to materialize the corrupt-record column, and the
+    * cache also means one parse feeds both branches. */
+  def splitDirty(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.persist()
+    (parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw")))
+  }
+
+  /** CSV source with explicit schema (no inference pass — a schema
+    * inference scan doubles the read at scale). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+    header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header).csv(path)
+
+  /** Partitioned parquet sink: the engine's table-materialization
+    * path. Partition columns should be low-cardinality (date, shard);
+    * `maxRecordsPerFile` bounds file size so downstream scans
+    * parallelize. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+    maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Streaming file source over a directory of JSON lines (the Kafka
+    * topic analog for replay/testing). */
+  def jsonLinesStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
+}
