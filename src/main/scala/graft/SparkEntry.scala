@@ -23,6 +23,8 @@ object SparkEntry {
     "q_rollup"             -> (Relational.rollupAgg _),
     "q_correlated_avg"     -> (Relational.correlatedAvg _),
     "q_set_ops"            -> (Relational.setOps _),
+    "q_quantile"           -> (Relational.quantiles _),
+    "q_approx_distinct"    -> (Relational.approxDistinct _),
     // DWD
     "dwd_clean"            -> (Dwd.clean _),
     "dwd_split"            -> (Dwd.split _),
@@ -74,6 +76,8 @@ object SparkEntry {
     "q_rollup"             -> Relational.rollupAggSql,
     "q_correlated_avg"     -> Relational.correlatedAvgSql,
     "q_set_ops"            -> Relational.setOpsSql,
+    "q_quantile"           -> Relational.quantilesSql,
+    // q_approx_distinct: HLL sketch is engine-specific → rows-only + spec
     "dwd_clean"            -> Dwd.cleanSql,
     "dwd_split"            -> Dwd.splitSql,
     "dwd_new_user_flag"    -> Dwd.newUserFlagSql,

@@ -176,4 +176,35 @@ object Relational {
       |EXCEPT
       |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
       |ORDER BY c_custkey""".stripMargin
+
+  /** Exact quantiles (interpolated percentile — single-pass sort-based
+    * aggregate; both engines use the same linear interpolation, so the
+    * doubles match bit-for-bit). */
+  def quantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("q25"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"),
+        expr("percentile(l_extendedprice, 0.75)").as("q75"))
+      .orderBy(col("l_returnflag"))
+
+  val quantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS q25,
+      |  quantile_cont(l_extendedprice, 0.5) AS median,
+      |  quantile_cont(l_extendedprice, 0.75) AS q75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Sketch-based distinct counting (HyperLogLog++): the 100 TB path
+    * for COUNT DISTINCT dashboards — mergeable, fixed memory, no exact
+    * two-phase distinct shuffle. Not SQL-oracle-able (engine-specific
+    * sketch); the spec bounds its error against the exact count. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
 }
