@@ -77,8 +77,10 @@ object StreamOps {
             if (seen(day)) None
             else { seen += day; Some(Visit(uid, day, e.event_id)) }
           }
-          // TTL analog: only the newest date matters for "today's" dedup
-          state.update(seen)
+          // TTL: drop all but the newest date (the reference's 1-day
+          // state TTL) — without this the per-key state grows by one
+          // entry per active day forever
+          state.update(Set(seen.max))
           out.iterator
       }
   }

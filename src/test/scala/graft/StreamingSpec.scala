@@ -65,6 +65,20 @@ class StreamingSpec extends SparkSpec {
     assert(visits.toSet === Set((7L, "1970-01-02", 1L), (7L, "1970-01-03", 4L)))
   }
 
+  test("uniqueVisit state TTL keeps only the newest day (reference 1-day TTL)") {
+    val day0a = ts(10)
+    val day1 = ts(24 * 60 + 10)
+    val day0b = ts(120) // same calendar day as day0a, arrives after day1
+    val rows = runBatches("uvttl")(in => StreamOps.uniqueVisit(in.toDS()))(Seq(
+      Seq(Evt(1, 7, "view", 0, day0a)),
+      Seq(Evt(2, 7, "view", 0, day1)),
+      Seq(Evt(3, 7, "view", 0, day0b))))
+    val visits = rows.map(r => (r.getString(1), r.getLong(2))).toSet
+    // e3's day was expired from state (TTL), so it re-emits — exactly
+    // the reference's behavior once its 1-day state TTL fires
+    assert(visits === Set(("1970-01-02", 1L), ("1970-01-03", 2L), ("1970-01-02", 3L)))
+  }
+
   test("jumpDetect confirms isolated events and uses timeout for the tail") {
     // user 7: e1 isolated (next is 20 min later), e2+e3 close together
     // (not jumps), then nothing → e3 is NOT isolated (e2 is 1 min
