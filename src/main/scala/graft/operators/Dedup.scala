@@ -148,12 +148,15 @@ object Dedup {
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc + 16-bit-band candidate generation +
-    * Hamming-distance filter. Hashed over 3-gram shingles (unigram
-    * bags collide too easily on a small vocabulary); bit sums are 64
-    * codegen'd aggregates over the exploded shingle stream; pairs
-    * agree on ≥1 of 4 bands and have Hamming distance ≤ 3. */
+    * Hamming-distance filter. Hashed over the RAW 3-gram shingle
+    * stream — the classic frequency-weighted SimHash, which also
+    * skips the distinct's shuffle entirely (unigram bags collide too
+    * easily on a small vocabulary); bit sums are 64 codegen'd
+    * aggregates; pairs agree on ≥1 of 4 bands and have Hamming
+    * distance ≤ 3. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = shingleRows(s, d).select(col("doc_id"), col("shingle").as("tok"))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("tok"))
     val h = xxhash64(col("tok"))
     val bitSums = toks.groupBy(col("doc_id"))
       .agg(
