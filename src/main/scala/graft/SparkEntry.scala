@@ -77,6 +77,7 @@ object SparkEntry {
     "q_correlated_avg"     -> Relational.correlatedAvgSql,
     "q_set_ops"            -> Relational.setOpsSql,
     "q_quantile"           -> Relational.quantilesSql,
+    "ann_bruteforce"       -> Similarity.annBruteforceSql,
     // q_approx_distinct: HLL sketch is engine-specific → rows-only + spec
     "dwd_clean"            -> Dwd.cleanSql,
     "dwd_split"            -> Dwd.splitSql,

@@ -43,6 +43,23 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** DuckDB oracle for [[annBruteforce]] — `list_dot_product` folds in
+    * index order exactly like Spark's `aggregate(zip_with(...))`, so
+    * the cosines are bit-identical. */
+  val annBruteforceSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q_id, c.vec_id,
+      |    list_dot_product(qv, v) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+      |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+      |ranked AS (SELECT q_id, vec_id, cosine,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= 5
+      |ORDER BY q_id, rnk""".stripMargin
+
   /** LSH-bucketed ANN: 8-bit random-hyperplane sketch partitions the
     * corpus; each query only scans buckets within Hamming distance ≤ 3
     * of its own sketch (multi-probe ≈ 36 % of buckets). Recall vs
