@@ -38,6 +38,7 @@ object SparkEntry {
     // DWS
     "dws_visitor_stats"    -> (Dws.visitorStats _),
     "dws_product_stats"    -> (Dws.productStats _),
+    "dws_product_stats_w"  -> (Dws.productStatsWindowed _),
     "dws_province_stats"   -> (Dws.provinceStats _),
     "dws_keyword_stats"    -> (Dws.keywordStats _),
     // ADS
@@ -89,6 +90,7 @@ object SparkEntry {
     "dwm_payment_wide"     -> Dwm.paymentWideSql,
     "dws_visitor_stats"    -> Dws.visitorStatsSql,
     "dws_product_stats"    -> Dws.productStatsSql,
+    "dws_product_stats_w"  -> Dws.productStatsWindowedSql,
     "dws_province_stats"   -> Dws.provinceStatsSql,
     "dws_keyword_stats"    -> Dws.keywordStatsSql,
     "ads_gmv"              -> Ads.gmvSql,

@@ -164,4 +164,34 @@ object Dws {
       |WHERE length(keyword) > 0
       |GROUP BY keyword
       |ORDER BY keyword""".stripMargin
+
+  /** Windowed product stats — the reference shape exactly: tumbling
+    * event-time window × sku key → sums + COUNT DISTINCT orders
+    * (ProductStatsApp.java:215-263: keyBy(sku).window(10s).reduce).
+    * 30-day tumble on ship date via Spark's `window()` (epoch-aligned),
+    * so both the window assignment and the aggregate are verified. */
+  def productStatsWindowed(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(window(col("l_shipdate"), "30 days").as("w"), col("l_partkey"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("order_ct"),
+        moneySum(col("l_extendedprice")).as("order_amount"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("l_partkey"), col("order_ct"), col("order_amount"))
+      .orderBy(col("stt"), col("l_partkey"))
+
+  val productStatsWindowedSql: String =
+    s"""SELECT
+       |  strftime(to_timestamp((CAST(epoch(l_shipdate) AS BIGINT) // 2592000) * 2592000),
+       |           '%Y-%m-%d %H:%M:%S') AS stt,
+       |  strftime(to_timestamp((CAST(epoch(l_shipdate) AS BIGINT) // 2592000) * 2592000
+       |           + 2592000), '%Y-%m-%d %H:%M:%S') AS edt,
+       |  l_partkey,
+       |  count(DISTINCT l_orderkey) AS order_ct,
+       |  ${sqlMoneySum("l_extendedprice")} AS order_amount
+       |FROM lineitem
+       |GROUP BY 1, 2, 3
+       |ORDER BY stt, l_partkey""".stripMargin
 }
