@@ -1,24 +1,42 @@
 package graft.tools
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 import graft.operators._
+
+/** Dumps formatted physical plans for the headline queries →
+  * PLANS.md — the audit trail that pushdown / pruning / broadcast /
+  * partial-agg hold for the plans we ship. */
 object PlanAudit {
   def main(a: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.ui.enabled","false")
-      .config("spark.sql.legacy.parquet.nanosAsLong","true")
-      .config("spark.sql.adaptive.enabled","true").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for ((n, df) <- Seq(
-      "q1" -> Relational.q1PricingSummary(spark, d),
-      "q3" -> Relational.q3ShippingPriority(spark, d),
-      "orderWide" -> Dwm.orderWide(spark, d),
-      "productStats" -> Dws.productStats(spark, d))) {
-      println(s"===== $n =====")
-      println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode).take(4000))
+    val notes = Seq(
+      ("q1_pricing_summary", "filter pushed to scan (PushedFilters), 5-column pruned read, partial HashAggregate before the single exchange",
+        Relational.q1PricingSummary(spark, d)),
+      ("q3_shipping_priority", "all three scans carry pushed filters; both dims broadcast; top-N is TakeOrderedAndProject (no global sort)",
+        Relational.q3ShippingPriority(spark, d)),
+      ("dwm_order_wide", "fact-fact SMJ on the order key; bounded dims broadcast; growing dims left to AQE",
+        Dwm.orderWide(spark, d)),
+      ("dws_product_stats_w", "window() assignment fused into one HashAggregate pair; COUNT DISTINCT expands to the two-phase plan",
+        Dws.productStatsWindowed(spark, d)),
+      ("dedup_minhash_lsh", "one signature pass (no distinct), posexplode band fan-out, bucket equi-join with ReuseExchange on the self-join",
+        Dedup.minhashLsh(spark, d)))
+    val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
+    md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
+    notes.foreach { case (name, note, df) =>
+      md.append(s"\n## $name\n\n$note\n\n```\n")
+      md.append(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      md.append("```\n")
     }
+    Files.writeString(Paths.get("PLANS.md"), md.toString)
+    println("wrote PLANS.md")
     spark.stop()
   }
 }
