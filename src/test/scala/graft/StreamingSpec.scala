@@ -65,6 +65,24 @@ class StreamingSpec extends SparkSpec {
     assert(visits.toSet === Set((7L, "1970-01-02", 1L), (7L, "1970-01-03", 4L)))
   }
 
+  test("transformWithState newUserFlag matches the classic API (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = runBatches("nuf2")(in => graft.streaming.ModernState.newUserFlag(in.toDS()))(Seq(
+        Seq(Evt(1, 7, "view", 0, ts(1)), Evt(2, 7, "view", 0, ts(2)), Evt(3, 8, "view", 0, ts(3))),
+        Seq(Evt(4, 7, "view", 0, ts(10)), Evt(5, 9, "view", 0, ts(11)))))
+      val flags = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(flags === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("uniqueVisit state TTL keeps only the newest day (reference 1-day TTL)") {
     val day0a = ts(10)
     val day1 = ts(24 * 60 + 10)
