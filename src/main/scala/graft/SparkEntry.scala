@@ -25,6 +25,8 @@ object SparkEntry {
     "q_set_ops"            -> (Relational.setOps _),
     "q_quantile"           -> (Relational.quantiles _),
     "q_approx_distinct"    -> (Relational.approxDistinct _),
+    "q_asof_join"          -> (AsOfJoin.purchaseAsOfView _),
+    "q_range_join"         -> (AsOfJoin.rangeJoin _),
     // DWD
     "dwd_clean"            -> (Dwd.clean _),
     "dwd_split"            -> (Dwd.split _),
@@ -79,6 +81,8 @@ object SparkEntry {
     "q_set_ops"            -> Relational.setOpsSql,
     "q_quantile"           -> Relational.quantilesSql,
     "ann_bruteforce"       -> Similarity.annBruteforceSql,
+    "q_asof_join"          -> AsOfJoin.purchaseAsOfViewSql,
+    "q_range_join"         -> AsOfJoin.rangeJoinSql,
     // q_approx_distinct: HLL sketch is engine-specific → rows-only + spec
     "dwd_clean"            -> Dwd.cleanSql,
     "dwd_split"            -> Dwd.splitSql,

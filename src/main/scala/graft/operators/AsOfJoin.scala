@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — the canonical "operator Spark lacks" (preference path
+  * (a): composed from built-ins, no custom plan node needed).
+  *
+  * For every left row, attach the latest right row with the same key
+  * and right.ts ≤ left.ts. The naive formulation (inequality join +
+  * per-left-row max) explodes to a near-cross-product per key. The
+  * scalable composition is the MERGE form: union both sides tagged,
+  * ONE shuffle on the key, one ordered window pass carrying the last
+  * seen right payload forward (`last(..., ignoreNulls)`), then keep
+  * the left rows. O(n log n) per key partition, no inequality join.
+  */
+object AsOfJoin {
+
+  /** Generic as-of: `left` rows pick up `payloadCols` from the most
+    * recent `right` row with equal `key` and ts ≤ left ts. Ties
+    * (identical ts) count as matches (the ASOF convention). */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+    payloadCols: Seq[String]): DataFrame = {
+    val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    // tag=0 sorts right rows first at equal ts so same-ts rights match
+    val l2 = payloadCols.foldLeft(left.withColumn("_tag", lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r2 = extraLeft.foldLeft(right.withColumn("_tag", lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(l2.unionByName(r2)) { (df, c) =>
+      df.withColumn(c, last(when(col("_tag") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_tag") === 1).drop("_tag")
+  }
+
+  /** Inventory entry: each purchase event picks up the user's most
+    * recent prior (or simultaneous) view event — "what was the user
+    * looking at when they bought". */
+  def purchaseAsOfView(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ns"), col("event_id").as("view_id"))
+    asOf(purchases, views, key = "user_id", ts = "ts_ns", payloadCols = Seq("view_id"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"), col("purchase_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** DuckDB oracle via its native ASOF JOIN (same ≥ tie semantics). */
+  val purchaseAsOfViewSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+      |  p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Range join: band each event's value into configured [lo, hi)
+    * ranges. With a small range table the right plan is a broadcast
+    * nested-loop join (each row tests a handful of bands); were the
+    * bands uniform it would collapse to arithmetic bucketing — both
+    * avoid a shuffle of the fact side. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = (0 until 10).map(i => (i * 20.0, (i + 1) * 20.0, f"band_$i%02d"))
+      .toDF("lo", "hi", "band")
+    Tables.events(s, d)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("ev_ct"), Agg.moneySum(col("value")).as("value_sum"))
+      .orderBy(col("band"))
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH bands AS (
+       |  SELECT i * 20.0 AS lo, (i + 1) * 20.0 AS hi,
+       |    'band_' || lpad(CAST(i AS VARCHAR), 2, '0') AS band
+       |  FROM (SELECT unnest(range(0, 10)) AS i))
+       |SELECT band, count(*) AS ev_ct,
+       |  ${Agg.sqlMoneySum("value")} AS value_sum
+       |FROM events JOIN bands ON value >= lo AND value < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+}
