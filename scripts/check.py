@@ -43,9 +43,13 @@ for name, sql in sorted(oracle.items()):
         except Exception as e:
             ok = False
         if not ok:
-            diff = (a.astype(str) != b.astype(str))
-            i = diff[diff].index[:3].tolist()
-            print(f"{name}: VALUE MISMATCH col={c} rows={i} spark={a.iloc[i].tolist() if i else '?'} duck={b.iloc[i].tolist() if i else '?'}")
+            import numpy as np
+            try:
+                neq = np.where(a.to_numpy() != b.to_numpy())[0][:3].tolist()
+            except Exception:
+                neq = (a.astype(str) != b.astype(str))
+                neq = neq[neq].index[:3].tolist()
+            print(f"{name}: VALUE MISMATCH col={c} rows={neq} spark={a.iloc[neq].tolist() if neq else '?'} duck={b.iloc[neq].tolist() if neq else '?'}")
             break
     if ok: print(f"{name}: OK ({len(sdf)} rows)")
     else: fails += 1

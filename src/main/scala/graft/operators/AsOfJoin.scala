@@ -21,8 +21,14 @@ object AsOfJoin {
   /** Generic as-of: `left` rows pick up `payloadCols` from the most
     * recent `right` row with equal `key` and ts ≤ left ts. Ties
     * (identical ts) count as matches (the ASOF convention). */
-  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+  def asOf(left: DataFrame, rightRaw: DataFrame, key: String, ts: String,
     payloadCols: Seq[String]): DataFrame = {
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"asOf payload columns collide with left columns: ${overlap.mkString(", ")}")
+    // auto-project the right side: any extra right column would make the
+    // union ambiguous (and is not part of the as-of contract)
+    val right = rightRaw.select((Seq(key, ts) ++ payloadCols).map(col): _*)
     val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == ts)
     // tag=0 sorts right rows first at equal ts so same-ts rights match
     val l2 = payloadCols.foldLeft(left.withColumn("_tag", lit(1))) { (df, c) =>

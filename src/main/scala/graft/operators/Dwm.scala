@@ -11,11 +11,6 @@ import org.apache.spark.sql.functions._
   * (gmall-realtime/src/main/java/com/atguigu/app/dwm/). */
 object Dwm {
 
-  /** Session gap (ns): an event starting >10 min after the user's
-    * previous one opens a new visit. Plays the role of the reference's
-    * per-day TTL'd state (UniqueVisitApp.java:78-118) and its 10 s CEP
-    * window (UserJumpDetailApp.java:85-99), scaled to the test data. */
-  private val GapNs = 600L * 1000 * 1000 * 1000
 
   /** Daily unique visit: the first event of each (user, day) survives.
     * Reference keeps a keyed first-visit-date ValueState with 1-day
@@ -54,8 +49,8 @@ object Dwm {
       .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
       .withColumn("next_ns", lead(col("ts_ns"), 1).over(w))
       .filter(
-        (col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs) &&
-        (col("next_ns").isNull || col("next_ns") - col("ts_ns") > GapNs))
+        (col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > Sessions.GapNs) &&
+        (col("next_ns").isNull || col("next_ns") - col("ts_ns") > Sessions.GapNs))
       .select(
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))

@@ -12,8 +12,6 @@ import Agg._
   * (gmall-realtime/src/main/java/com/atguigu/app/dws/). */
 object Dws {
 
-  private val GapNs = 600L * 1000 * 1000 * 1000
-
   /** Visitor stats (VisitorStatsApp.java): union four derived streams
     * (pv / uv / session-visit / jump), key by dimension, tumble by
     * hour, reduce-sum the metric columns and emit window start/end
@@ -41,11 +39,11 @@ object Dws {
       .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
       .withColumn("next_ns", lead(col("ts_ns"), 1).over(w))
     val svLeg = metric(0, 0, 1, 0)(
-      gapped.filter(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs))
+      gapped.filter(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > Sessions.GapNs))
     val ujLeg = metric(0, 0, 0, 1)(
       gapped.filter(
-        (col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs) &&
-        (col("next_ns").isNull || col("next_ns") - col("ts_ns") > GapNs)))
+        (col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > Sessions.GapNs) &&
+        (col("next_ns").isNull || col("next_ns") - col("ts_ns") > Sessions.GapNs)))
 
     pvLeg.unionAll(uvLeg).unionAll(svLeg).unionAll(ujLeg)
       .withColumn("stt", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
@@ -184,10 +182,10 @@ object Dws {
 
   val productStatsWindowedSql: String =
     s"""SELECT
-       |  strftime(to_timestamp((CAST(epoch(l_shipdate) AS BIGINT) // 2592000) * 2592000),
-       |           '%Y-%m-%d %H:%M:%S') AS stt,
-       |  strftime(to_timestamp((CAST(epoch(l_shipdate) AS BIGINT) // 2592000) * 2592000
-       |           + 2592000), '%Y-%m-%d %H:%M:%S') AS edt,
+       |  strftime(make_timestamp(((CAST(epoch(l_shipdate) AS BIGINT) // 2592000) * 2592000)
+       |           * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+       |  strftime(make_timestamp(((CAST(epoch(l_shipdate) AS BIGINT) // 2592000) * 2592000
+       |           + 2592000) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
        |  l_partkey,
        |  count(DISTINCT l_orderkey) AS order_ct,
        |  ${sqlMoneySum("l_extendedprice")} AS order_amount

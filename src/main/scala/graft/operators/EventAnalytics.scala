@@ -13,8 +13,6 @@ import Agg._
   * driver-side iteration. */
 object EventAnalytics {
 
-  private val GapNs = 600L * 1000 * 1000 * 1000
-
   /** Sessionization: gap > 10 min opens a session; one output row per
     * session with count/duration. The session id is a running sum of
     * session-start flags per user — one window pass, then one
@@ -24,7 +22,7 @@ object EventAnalytics {
     Tables.events(s, d)
       .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
       .withColumn("new_s",
-        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1).otherwise(0))
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > Sessions.GapNs, 1).otherwise(0))
       .withColumn("session_seq", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_seq"))
@@ -71,8 +69,6 @@ object EventAnalytics {
       .join(c, "user_id")
       .filter(col("ts_ns") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
-    val spark = s
-    import spark.implicits._
     Seq("1_view", "2_click", "3_purchase").zip(Seq(v, c, p)).map { case (stage, df) =>
         df.select(lit(stage).as("stage"), col("user_id"))
       }

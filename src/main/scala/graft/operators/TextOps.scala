@@ -38,10 +38,11 @@ object TextOps {
         col("doc_id"),
         chars.as("n_chars"),
         toks.as("n_tokens"),
-        (stops / toks).as("stop_ratio"),
-        (chars / toks).as("mean_tok_len"),
-        (least(chars / lit(500.0), lit(1.0)) * lit(0.5)
-          + least(stops / toks * lit(10.0), lit(1.0)) * lit(0.5)).as("quality"))
+        when(toks > 0, stops / toks).as("stop_ratio"),
+        when(toks > 0, chars / toks).as("mean_tok_len"),
+        when(toks > 0,
+          least(chars / lit(500.0), lit(1.0)) * lit(0.5)
+            + least(stops / toks * lit(10.0), lit(1.0)) * lit(0.5)).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -49,9 +50,11 @@ object TextOps {
     """SELECT doc_id,
       |  CAST(length(text) AS DOUBLE) AS n_chars,
       |  CAST(len(list_filter(string_split(text,' '), t -> len(t) > 0)) AS DOUBLE) AS n_tokens,
-      |  stops / toks AS stop_ratio,
-      |  chars / toks AS mean_tok_len,
-      |  least(chars / 500.0, 1.0) * 0.5 + least(stops / toks * 10.0, 1.0) * 0.5 AS quality
+      |  CASE WHEN toks > 0 THEN stops / toks END AS stop_ratio,
+      |  CASE WHEN toks > 0 THEN chars / toks END AS mean_tok_len,
+      |  CASE WHEN toks > 0 THEN
+      |    least(chars / 500.0, 1.0) * 0.5 + least(stops / toks * 10.0, 1.0) * 0.5
+      |  END AS quality
       |FROM (
       |  SELECT doc_id, text,
       |    CAST(length(text) AS DOUBLE) AS chars,

@@ -31,7 +31,7 @@ object StreamOps {
   /** jumpDetect per-key state: pending bounce candidate. */
   case class JumpState(eventId: Long, tsMs: Long, isolated: Boolean)
 
-  private val GapMs = 600L * 1000
+  private val GapMs = graft.operators.Sessions.GapMs
 
   /** BaseLogApp stream split (side-output analog): tag each event with
     * its target stream. Downstream sinks filter on `stream`. */
@@ -66,14 +66,15 @@ object StreamOps {
     * date string — the TTL falls out of the date comparison. */
   def uniqueVisit(ds: Dataset[Evt]): Dataset[Visit] = {
     import ds.sparkSession.implicits._
-    val fmt = "yyyy-MM-dd"
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[Set[String], Visit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, events, state: GroupState[Set[String]]) =>
           var seen = state.getOption.getOrElse(Set.empty[String])
           val out = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
-            val day = new java.text.SimpleDateFormat(fmt).format(e.ts)
+            // UTC-pinned (SimpleDateFormat would use the JVM default
+            // timezone and diverge from the UTC-session batch operator)
+            val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
             if (seen(day)) None
             else { seen += day; Some(Visit(uid, day, e.event_id)) }
           }

@@ -37,10 +37,11 @@ class FileSourcesSpec extends SparkSpec {
     assert(back.count() === df.count())
     // a day filter must prune partitions at the file-listing level
     val oneDay = back.filter(col("day") === "2024-01-01")
-    val scanned = oneDay.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString
     assert(oneDay.count() === df.filter(col("day") === "2024-01-01").count())
-    assert(scanned.contains("PartitionFilters") || oneDay.count() > 0)
+    val scan = oneDay.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter did not reach the scan's partition filters: $scan")
   }
 
   test("csv source reads with explicit schema, no inference pass") {
