@@ -69,6 +69,8 @@ object SparkEntry {
     "ea_pivot_counts"      -> (EventAnalytics.pivotCounts _),
     // Native Catalyst expression surface
     "text_rolling_fp"      -> (TextOps.rollingFingerprint _),
+    "text_chunk"           -> (Chunking.chunk _),
+    "text_pii_scrub"       -> (Chunking.piiScrub _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -83,6 +85,8 @@ object SparkEntry {
     "ann_bruteforce"       -> Similarity.annBruteforceSql,
     "q_asof_join"          -> AsOfJoin.purchaseAsOfViewSql,
     "q_range_join"         -> AsOfJoin.rangeJoinSql,
+    "text_chunk"           -> Chunking.chunkSql,
+    "text_pii_scrub"       -> Chunking.piiScrubSql,
     // q_approx_distinct: HLL sketch is engine-specific → rows-only + spec
     "dwd_clean"            -> Dwd.cleanSql,
     "dwd_split"            -> Dwd.splitSql,

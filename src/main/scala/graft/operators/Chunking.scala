@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preprocessing operators: fixed-window document
+  * chunking and PII scrubbing. Both are narrow single-pass transforms
+  * (the chunker explodes in place — no shuffle until the output sort),
+  * so they run at scan speed over a 100 TB corpus. */
+object Chunking {
+
+  private val ChunkSize = 64
+  private val Stride = 32 // 50% overlap — the usual LLM-pretraining split
+
+  /** Split each document into overlapping token windows. One chunk row
+    * per (doc, window); short tails kept (truncated, never padded). */
+  def chunk(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .filter(size(toks) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), ((size(toks) - 1) / Stride).cast("int")),
+            i => concat_ws(" ", slice(toks, i * Stride + 1, lit(ChunkSize))))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("chunk_tokens", size(split(col("chunk"), " ")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), t -> len(t) > 0) AS l
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    array_to_string(l[(i*$Stride+1):(i*$Stride+$ChunkSize)], ' ') AS chunk
+       |  FROM toks, (SELECT unnest(range(0, 100000)) AS i) r
+       |  WHERE len(l) > 0 AND i*$Stride < len(l))
+       |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk,
+       |  CAST(len(string_split(chunk,' ')) AS INTEGER) AS chunk_tokens
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** PII scrub: mask number runs and email-shaped tokens — the
+    * redaction pass a corpus gets before training. Pure regexp
+    * (codegen'd), identical semantics in the oracle. */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("scrubbed"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("digits_masked"))
+      .orderBy(col("doc_id"))
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |    '[0-9]+', '<NUM>', 'g') AS scrubbed,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS digits_masked
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -133,6 +133,14 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` repeats
+    * within the watermark horizon (at-least-once upstream → effectively-
+    * once downstream, the Kafka-redelivery guard). State is bounded by
+    * the watermark — the built-in form of UniqueVisitApp's TTL idea. */
+  def dedupWithinWatermark(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** VisitorStatsApp: watermark + tumbling-window multi-metric
     * aggregation (hour windows, `user_id % 10` channel dim). */
   def visitorStats(df: DataFrame): DataFrame =

@@ -114,6 +114,23 @@ class StreamingSpec extends SparkSpec {
     assert(!ids.contains(2L) && !ids.contains(3L), "clustered events are not jumps")
   }
 
+  test("dedupWithinWatermark drops redelivered events across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.dedupWithinWatermark(input.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(Seq(Evt(1, 7, "view", 0, ts(1)), Evt(2, 7, "view", 0, ts(2))))
+      q.processAllAvailable()
+      // redelivery of event 1 in a later micro-batch within the watermark
+      input.addData(Seq(Evt(1, 7, "view", 0, ts(1)), Evt(3, 8, "view", 0, ts(3))))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("visitorStats windows and aggregates with a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
