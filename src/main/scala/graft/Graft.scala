@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.RollingHash64
+import graft.functions.{RollingHash64, SimHashAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -66,5 +66,8 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("graft_rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash64"),
-      (children: Seq[Expression]) => RollingHash64(children.head)))
+      (children: Seq[Expression]) => RollingHash64(children.head)),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashAgg(children.head)))
 }
