@@ -21,6 +21,14 @@ class DedupSpec extends SparkSpec {
     assert(survivors.collect().forall(r => ids(r.getLong(0))))
   }
 
+  test("prefix-filtered jaccard returns exactly the naive formulation's pairs") {
+    val naive = Dedup.ngramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPrefix(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref === naive)
+  }
+
   test("minhash LSH finds exactly the >=0.5-jaccard pairs (planted dups)") {
     val exact = exactPairs(sf0001)
     val mh = Dedup.minhashLsh(spark, sf0001).collect()
