@@ -161,9 +161,16 @@ object StreamOps {
     * + time-range with watermarks bounding state retention. `left` are
     * order headers, `right` are detail events; details must land within
     * [order ts, order ts + 30 min]. */
-  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
-    val l = left.withWatermark("ts", "10 minutes")
-    val r = right.withWatermark("ts", "40 minutes")
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame =
+    intervalJoinOn(
+      left.withWatermark("ts", "10 minutes"),
+      right.withWatermark("ts", "40 minutes"))
+
+  /** Interval join over inputs that ALREADY carry watermarks — needed
+    * when chaining joins (OrderWide → PaymentWide): the output of a
+    * stream-stream join inherits its watermark, and redefining one is
+    * disallowed. */
+  def intervalJoinOn(l: DataFrame, r: DataFrame): DataFrame = {
     l.alias("l").join(r.alias("r"),
       expr("""l.user_id = r.user_id AND
               r.ts >= l.ts AND

@@ -174,6 +174,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stream-stream interval joins (OrderWide -> PaymentWide topology)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[Evt]
+    val details = MemoryStream[Evt]
+    val payments = MemoryStream[Evt]
+    // hop 1: order ⋈ detail (as in OrderWideApp)
+    val orderWide = StreamOps.intervalJoin(orders.toDF(), details.toDF())
+      .select(col("order_event").as("event_id"), col("user_id"),
+        col("order_ts").as("ts"))
+    // hop 2: order_wide ⋈ payment (as in PaymentWideApp); the left
+    // side inherits hop 1's watermark, only the new stream needs one
+    val paymentWide = StreamOps.intervalJoinOn(orderWide,
+      payments.toDF().withWatermark("ts", "40 minutes"))
+    val q = paymentWide.writeStream.format("memory").queryName("pw")
+      .outputMode("append").start()
+    try {
+      orders.addData(Seq(Evt(1, 7, "order", 0, ts(10))))
+      details.addData(Seq(Evt(101, 7, "detail", 0, ts(15))))
+      payments.addData(Seq(
+        Evt(201, 7, "payment", 0, ts(20)),   // within [10, 40] of the order
+        Evt(202, 7, "payment", 0, ts(90)),   // outside
+        Evt(203, 9, "payment", 0, ts(12))))  // wrong key
+      q.processAllAvailable()
+      val got = spark.table("pw").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 201L))) // (order_event, payment_event)
+    } finally q.stop()
+  }
+
   test("cdcRoute fans a micro-batch out to per-sink writers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
