@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one SparkSession (SparkSpec.session) and some tests
+// mutate session confs (BucketingSpec) — run suites serially.
+Test / parallelExecution := false

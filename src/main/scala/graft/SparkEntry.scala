@@ -60,6 +60,7 @@ object SparkEntry {
     // Similarity search
     "ann_bruteforce"       -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_ivf"              -> ((s, d) => Similarity.annIvf(s, d)),
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
     // Event analytics (ADS-adjacent serving shapes)

@@ -94,4 +94,41 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** IVF-style ANN: the corpus is partitioned into `nLists` inverted
+    * lists by nearest centroid; a query scans only the `nProbe`
+    * closest lists. Centroids are the first `nLists` corpus vectors
+    * (deterministic; a production build would k-means them — the
+    * plumbing is identical). The centroid table is tiny and broadcast
+    * twice (assignment + probe), so the corpus is scanned once and
+    * shuffled on nothing. */
+  def annIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus(s, d)
+    val cents = c.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    def nearest(n: Int, v: Column, cand: DataFrame): DataFrame =
+      cand.crossJoin(broadcast(cents))
+        .withColumn("cd", dot(v, col("cv")) / (norm(v) * norm(col("cv"))))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cent_id"))))
+        .filter(col("crnk") <= n)
+
+    val assigned = nearest(1, col("v"), c)
+      .select(col("vec_id"), col("v"), col("cent_id").as("list_id"))
+    val q = nearest(nProbe, col("qv"),
+        c.filter(col("vec_id") < nQueries).select(col("vec_id"), col("v").as("qv")))
+      .select(col("vec_id").as("q_id"), col("qv"), col("cent_id").as("probe_list"))
+
+    val scored = assigned.join(q,
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
 }

@@ -30,6 +30,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("IVF ANN probes a bounded list subset with usable recall") {
+    val k = 5
+    val bf = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.annIvf(spark, sf0001, nQueries = 8, k = k).collect()
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= k)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length))
+    }
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    // nProbe/nLists = 1/4 of the corpus scanned; isotropic Gaussians
+    // are the ANN worst case — only require beating random probing
+    assert(recall >= 0.15, s"IVF recall $recall below floor")
+  }
+
   test("LSH ANN returns valid neighbors with usable recall") {
     val k = 5
     val bf = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()
