@@ -63,6 +63,7 @@ object SparkEntry {
     "ann_ivf"              -> ((s, d) => Similarity.annIvf(s, d)),
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
+    "mm_chunk_binary"      -> (Multimodal.chunkBinary _),
     // Event analytics (ADS-adjacent serving shapes)
     "ea_sessionize"        -> (EventAnalytics.sessionize _),
     "ea_funnel"            -> (EventAnalytics.funnel _),
@@ -114,6 +115,7 @@ object SparkEntry {
     // hash-sketch based (not SQL-expressible) → driver rows-only check;
     // ScalaTest specs assert their semantics against ground truth.
     "mm_decode_pipeline"   -> Multimodal.decodePipelineSql,
+    "mm_chunk_binary"      -> Multimodal.chunkBinarySql,
     "ea_sessionize"        -> EventAnalytics.sessionizeSql,
     "ea_funnel"            -> EventAnalytics.funnelSql,
     "ea_retention"         -> EventAnalytics.retentionSql,

@@ -61,4 +61,38 @@ object Multimodal {
       |  CAST((octet_length(CAST(text AS BLOB)) // 256) % 256 AS INTEGER) AS height,
       |  CAST(1 + octet_length(CAST(text AS BLOB)) % 4 AS INTEGER) AS frames
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val BlobChunk = 256
+
+  /** Binary sharding: split each payload into fixed-size byte chunks
+    * (how oversized media blobs are staged for parallel decode /
+    * object-store multipart). The split is an in-place explode over
+    * binary `substring` — no shuffle; chunk integrity is witnessed by
+    * a per-chunk md5 the oracle reproduces. */
+  def chunkBinary(s: SparkSession, d: String): DataFrame = {
+    val payload = encode(col("text"), "utf-8")
+    val nChunks = ceil(octet_length(payload).cast("double") / BlobChunk).cast("int")
+    Tables.documents(s, d)
+      .filter(octet_length(payload) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => substring(payload, (i * BlobChunk + 1).cast("int"), lit(BlobChunk)))))
+      .select(
+        col("doc_id"), col("pos").as("chunk_no"),
+        octet_length(col("col")).as("n_bytes"),
+        md5(col("col")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  /** The documents are ASCII, so DuckDB's string slicing is
+    * byte-identical to the binary slicing above. */
+  val chunkBinarySql: String =
+    s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
+       |  CAST(length(substring(text, i*$BlobChunk + 1, $BlobChunk)) AS INTEGER) AS n_bytes,
+       |  md5(substring(text, i*$BlobChunk + 1, $BlobChunk)) AS chunk_md5
+       |FROM documents, (SELECT unnest(range(0, 100000)) AS i) r
+       |WHERE length(text) > 0 AND i*$BlobChunk < length(text)
+       |ORDER BY doc_id, chunk_no""".stripMargin
 }
