@@ -25,6 +25,7 @@ object SparkEntry {
     "q_set_ops"            -> (Relational.setOps _),
     "q_quantile"           -> (Relational.quantiles _),
     "q_approx_distinct"    -> (Relational.approxDistinct _),
+    "q_grouping_sets"      -> (Relational.groupingSets _),
     "q_asof_join"          -> (AsOfJoin.purchaseAsOfView _),
     "q_range_join"         -> (AsOfJoin.rangeJoin _),
     // DWD
@@ -69,10 +70,13 @@ object SparkEntry {
     "ea_funnel"            -> (EventAnalytics.funnel _),
     "ea_retention"         -> (EventAnalytics.retention _),
     "ea_pivot_counts"      -> (EventAnalytics.pivotCounts _),
+    "ea_transitions"       -> (EventAnalytics.transitions _),
     // Native Catalyst expression surface
     "text_rolling_fp"      -> (TextOps.rollingFingerprint _),
     "text_chunk"           -> (Chunking.chunk _),
     "text_pii_scrub"       -> (Chunking.piiScrub _),
+    "text_ngram_freq"      -> (Chunking.ngramFreq _),
+    "pipeline_decontam"    -> (Chunking.decontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -84,6 +88,10 @@ object SparkEntry {
     "q_correlated_avg"     -> Relational.correlatedAvgSql,
     "q_set_ops"            -> Relational.setOpsSql,
     "q_quantile"           -> Relational.quantilesSql,
+    "q_grouping_sets"      -> Relational.groupingSetsSql,
+    "ea_transitions"       -> EventAnalytics.transitionsSql,
+    "text_ngram_freq"      -> Chunking.ngramFreqSql,
+    "pipeline_decontam"    -> Chunking.decontaminateSql,
     "ann_bruteforce"       -> Similarity.annBruteforceSql,
     "q_asof_join"          -> AsOfJoin.purchaseAsOfViewSql,
     "q_range_join"         -> AsOfJoin.rangeJoinSql,

@@ -65,4 +65,50 @@ object Chunking {
       |    '[0-9]+', '<NUM>', 'g') AS scrubbed,
       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS digits_masked
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus n-gram frequency table (LM preprocessing: vocabulary /
+    * boilerplate statistics): top 3-grams by document frequency and
+    * total occurrences. */
+  def ngramFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_ct"))
+      .orderBy(col("doc_freq").desc, col("total_ct").desc, col("ngram"))
+      .limit(100)
+
+  val ngramFreqSql: String =
+    """SELECT ngram, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_ct
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest([array_to_string(l[i:i+2], ' ') for i in range(1, len(l)-1)]) AS ngram
+      |  FROM (SELECT doc_id, list_filter(string_split(text,' '), t -> len(t) > 0) AS l
+      |        FROM documents)
+      |  WHERE len(l) >= 3) t
+      |GROUP BY ngram
+      |ORDER BY doc_freq DESC, total_ct DESC, ngram
+      |LIMIT 100""".stripMargin
+
+  /** Benchmark decontamination: drop corpus documents whose normalized
+    * fingerprint appears in a held-out "benchmark" set (sources
+    * src0-src4 play the benchmark) — the anti-join every training
+    * corpus goes through before release. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val benchFps = docs.filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct()
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .join(benchFps, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN (
+      |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |  FROM documents WHERE source IN ('src0','src1','src2','src3','src4'))
+      |ORDER BY doc_id""".stripMargin
 }

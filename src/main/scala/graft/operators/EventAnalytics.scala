@@ -143,4 +143,26 @@ object EventAnalytics {
       |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_ct,
       |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_ct
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Event-type transition counts (first-order Markov pairs): for each
+    * user's chronological stream, count (previous type → type) pairs —
+    * the path-analysis primitive behind "what do users do next". */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val transitionsSql: String =
+    """SELECT prev_type, next_type, count(*) AS ct FROM (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |    event_type AS next_type
+      |  FROM events) t
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY prev_type, next_type""".stripMargin
 }

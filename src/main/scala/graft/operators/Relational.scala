@@ -207,4 +207,29 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy(col("l_returnflag"))
+
+  /** GROUPING SETS beyond rollup: independent (region) and (segment)
+    * subtotals in one pass over the join. */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name")), Seq(col("c_mktsegment"))),
+        col("r_name"), col("c_mktsegment"))
+      .agg(moneySum(col("c_acctbal")).as("acctbal"), count(lit(1)).as("cust_ct"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+        col("acctbal"), col("cust_ct"))
+      .orderBy(col("r_name"), col("c_mktsegment"))
+
+  val groupingSetsSql: String =
+    s"""SELECT coalesce(r_name, 'ALL') AS r_name,
+       |  coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+       |  ${sqlMoneySum("c_acctbal")} AS acctbal, count(*) AS cust_ct
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+       |ORDER BY r_name, c_mktsegment""".stripMargin
 }
