@@ -157,6 +157,20 @@ object StreamOps {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("ch"), col("pv_ct"), col("ev_ct"), col("dur_sum"))
 
+  /** KeywordStatsApp (tokenize + LATERAL explode + windowed count):
+    * the UDTF becomes an explode over the tokenizer; counts roll up
+    * per keyword per tumbling window behind a watermark. `textCol`
+    * rides in the Evt `event_type` slot in specs. */
+  def keywordStats(df: DataFrame, textCol: String): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .select(col("ts"), explode(split(col(textCol), " ")).as("keyword"))
+      .filter(length(col("keyword")) > 0)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("keyword"), col("ct"))
+
   /** OrderWideApp / PaymentWideApp interval join: stream⋈stream on key
     * + time-range with watermarks bounding state retention. `left` are
     * order headers, `right` are detail events; details must land within

@@ -154,6 +154,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keywordStats explodes tokens into windowed counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.keywordStats(input.toDF(), "event_type").writeStream
+      .format("memory").queryName("kw").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 1, "spark flink spark", 0, ts(5)),
+        Evt(2, 2, "flink", 0, ts(10))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(3, 3, "later", 0, ts(300)))) // close the window
+      q.processAllAvailable()
+      val got = spark.table("kw").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(got === Map("spark" -> 2L, "flink" -> 2L))
+    } finally q.stop()
+  }
+
   test("intervalJoin matches details within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
