@@ -163,7 +163,7 @@ object Relational {
     val building = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
     val open = ord.filter(col("o_orderstatus") === "O")
       .select(col("o_custkey").as("c_custkey"))
-    val pricey = ord.filter(col("o_totalprice") > 300000.0)
+    val pricey = ord.filter(col("o_totalprice") > 450000.0)
       .select(col("o_custkey").as("c_custkey"))
     building.intersect(open).except(pricey)
       .orderBy(col("c_custkey"))
@@ -174,7 +174,7 @@ object Relational {
       | INTERSECT
       | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
       |EXCEPT
-      |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
       |ORDER BY c_custkey""".stripMargin
 
   /** Exact quantiles (interpolated percentile — single-pass sort-based

@@ -1,0 +1,35 @@
+package graft
+
+/** Guards the driver contract: every registered query must run and
+  * return rows at sf0.001, every oracle key must have a query, and
+  * results must be stable across two executions (determinism — the
+  * driver hash-compares). */
+class ContractSpec extends SparkSpec {
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("every query runs, returns rows, and is deterministic at sf0.001") {
+    val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val first = fn(spark, sf0001).collect()
+        if (first.isEmpty) Some(s"$name: empty result")
+        else {
+          val second = fn(spark, sf0001).collect()
+          if (first.map(_.toString).toSeq != second.map(_.toString).toSeq)
+            Some(s"$name: nondeterministic across runs")
+          else None
+        }
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}")
+      }
+    }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+
+  test("entry() returns rows (driver smoke check)") {
+    assert(SparkEntry.entry(spark).collect().nonEmpty)
+  }
+}
