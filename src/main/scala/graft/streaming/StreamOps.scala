@@ -196,6 +196,15 @@ object StreamOps {
         col("l.ts").as("order_ts"), col("r.ts").as("detail_ts"))
   }
 
+  /** Running GMV (the publisher's getGMV served continuously): global
+    * per-day sums maintained across micro-batches, emitted in Update
+    * mode — the Spark analog of the ClickHouse table the reference
+    * upserts into. */
+  def runningGmv(df: DataFrame): DataFrame =
+    df.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("dt"))
+      .agg(sum(col("value")).as("gmv"), count(lit(1)).as("purchase_ct"))
+
   /** BaseDBApp dynamic routing: broadcast config decides each record's
     * sink; `foreachBatch` fans one micro-batch out to multiple sinks
     * (the Kafka/HBase split in the reference). `sinkWriter` receives

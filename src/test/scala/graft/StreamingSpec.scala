@@ -223,6 +223,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningGmv maintains per-day totals across batches (update mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.runningGmv(input.toDF()).writeStream
+      .format("memory").queryName("gmv").outputMode("update").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 1, "purchase", 10.0, ts(1)), Evt(2, 1, "view", 99.0, ts(2))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(3, 2, "purchase", 5.0, ts(3))))
+      q.processAllAvailable()
+      // update mode re-emits the day's row on each change; latest wins
+      val latest = spark.table("gmv").collect()
+        .map(r => (r.getDate(0).toString, r.getDouble(1), r.getLong(2)))
+        .groupBy(_._1).map { case (d, rows) => d -> rows.last }
+      assert(latest.values.map(v => (v._2, v._3)).toSet === Set((15.0, 2L)))
+    } finally q.stop()
+  }
+
   test("cdcRoute fans a micro-batch out to per-sink writers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
