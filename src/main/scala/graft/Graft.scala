@@ -63,11 +63,18 @@ object GraftExtensions {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  private def unary(name: String)(build: Expression => Expression)
+    : Seq[Expression] => Expression = { children =>
+    require(children.length == 1,
+      s"$name expects exactly 1 argument, got ${children.length}")
+    build(children.head)
+  }
+
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("graft_rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "graft_rolling_hash64"),
-      (children: Seq[Expression]) => RollingHash64(children.head)),
+      unary("graft_rolling_hash64")(RollingHash64(_))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHashAgg(children.head)))
+      unary("graft_simhash")(SimHashAgg(_))))
 }

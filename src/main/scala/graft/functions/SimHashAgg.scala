@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * result (frequency-weighted SimHash).
   *
   * As a `TypedImperativeAggregate` the whole per-group state is one
-  * 64-int array — versus composing it from 64 separate `sum(CASE …)`
+  * 64-long array (long tallies: int would overflow past ~2.1B rows
+  * per group) — versus composing it from 64 separate `sum(CASE …)`
   * aggregate columns, this is one buffer, one update loop, and a
   * mergeable partial (map-side combine works across partitions), which
   * is what a 100 TB grouped sketch needs.
@@ -23,7 +24,7 @@ case class SimHashAgg(
   child: Expression,
   mutableAggBufferOffset: Int = 0,
   inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Int]] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -35,9 +36,9 @@ case class SimHashAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a BIGINT hash argument, got ${child.dataType.catalogString}")
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
-  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
@@ -50,13 +51,13 @@ case class SimHashAgg(
     buffer
   }
 
-  override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var i = 0
     while (i < 64) { b1(i) += b2(i); i += 1 }
     b1
   }
 
-  override def eval(buffer: Array[Int]): Any = {
+  override def eval(buffer: Array[Long]): Any = {
     var out = 0L
     var i = 0
     while (i < 64) {
@@ -66,15 +67,15 @@ case class SimHashAgg(
     out
   }
 
-  override def serialize(buffer: Array[Int]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(64 * 4)
-    buffer.foreach(bb.putInt)
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 8)
+    buffer.foreach(bb.putLong)
     bb.array()
   }
 
-  override def deserialize(storageFormat: Array[Byte]): Array[Int] = {
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(storageFormat)
-    Array.fill(64)(bb.getInt())
+    Array.fill(64)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
@@ -88,7 +89,7 @@ case class SimHashAgg(
 object SimHashAgg {
   /** Reference implementation for the spec. */
   def reference(hashes: Seq[Long]): Long = {
-    val tally = new Array[Int](64)
+    val tally = new Array[Long](64)
     hashes.foreach { h =>
       var i = 0
       while (i < 64) {

@@ -39,7 +39,9 @@ object Chunking {
        |chunks AS (
        |  SELECT doc_id, i AS chunk_idx,
        |    array_to_string(l[(i*$Stride+1):(i*$Stride+$ChunkSize)], ' ') AS chunk
-       |  FROM toks, (SELECT unnest(range(0, 100000)) AS i) r
+       |  FROM toks, (SELECT unnest(range(0, (
+       |      SELECT 1 + max(len(list_filter(string_split(text,' '), t -> len(t) > 0))) // $Stride
+       |      FROM documents))) AS i) r
        |  WHERE len(l) > 0 AND i*$Stride < len(l))
        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk,
        |  CAST(len(string_split(chunk,' ')) AS INTEGER) AS chunk_tokens
@@ -105,10 +107,14 @@ object Chunking {
       .orderBy(col("doc_id"))
   }
 
+  // NOT EXISTS (not NOT IN): NULL fingerprints must behave like the
+  // Spark side's left_anti join, where NULL never matches
   val decontaminateSql: String =
-    """SELECT doc_id, source FROM documents
-      |WHERE md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) NOT IN (
-      |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-      |  FROM documents WHERE source IN ('src0','src1','src2','src3','src4'))
-      |ORDER BY doc_id""".stripMargin
+    """SELECT a.doc_id, a.source FROM documents a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents b
+      |  WHERE b.source IN ('src0','src1','src2','src3','src4')
+      |    AND md5(lower(trim(regexp_replace(b.text, '\s+', ' ', 'g'))))
+      |      = md5(lower(trim(regexp_replace(a.text, '\s+', ' ', 'g')))))
+      |ORDER BY a.doc_id""".stripMargin
 }

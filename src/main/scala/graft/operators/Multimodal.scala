@@ -92,7 +92,8 @@ object Multimodal {
     s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
        |  CAST(length(substring(text, i*$BlobChunk + 1, $BlobChunk)) AS INTEGER) AS n_bytes,
        |  md5(substring(text, i*$BlobChunk + 1, $BlobChunk)) AS chunk_md5
-       |FROM documents, (SELECT unnest(range(0, 100000)) AS i) r
+       |FROM documents, (SELECT unnest(range(0, (
+       |    SELECT 1 + max(length(text)) // $BlobChunk FROM documents))) AS i) r
        |WHERE length(text) > 0 AND i*$BlobChunk < length(text)
        |ORDER BY doc_id, chunk_no""".stripMargin
 }

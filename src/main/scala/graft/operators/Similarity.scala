@@ -99,32 +99,40 @@ object Similarity {
     * lists by nearest centroid; a query scans only the `nProbe`
     * closest lists. Centroids are the first `nLists` corpus vectors
     * (deterministic; a production build would k-means them — the
-    * plumbing is identical). The centroid table is tiny and broadcast
-    * twice (assignment + probe), so the corpus is scanned once and
-    * shuffled on nothing. */
+    * plumbing is identical) collected once and baked into the plan as
+    * literal arrays, so BOTH centroid assignment and query probing are
+    * pure column arithmetic: the corpus is never shuffled for
+    * assignment, and the probe side is a broadcast join. The only
+    * shuffle is the per-query top-k window over matched candidates. */
   def annIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
     nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus(s, d)
-    val cents = c.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    def nearest(n: Int, v: Column, cand: DataFrame): DataFrame =
-      cand.crossJoin(broadcast(cents))
-        .withColumn("cd", dot(v, col("cv")) / (norm(v) * norm(col("cv"))))
-        .withColumn("crnk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("cd").desc, col("cent_id"))))
-        .filter(col("crnk") <= n)
+    // tiny, deterministic, bounded collect: the nLists centroid vectors
+    val cents: Array[(Int, Array[Double])] = c.filter(col("vec_id") < nLists)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val centNorms = cents.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
 
-    val assigned = nearest(1, col("v"), c)
-      .select(col("vec_id"), col("v"), col("cent_id").as("list_id"))
-    val q = nearest(nProbe, col("qv"),
-        c.filter(col("vec_id") < nQueries).select(col("vec_id"), col("v").as("qv")))
-      .select(col("vec_id").as("q_id"), col("qv"), col("cent_id").as("probe_list"))
+    // cosine(v, centroid_i) for every centroid as literal-array math
+    def centSims(v: Column): Seq[Column] = cents.map { case (id, cv) =>
+      struct(
+        (dot(v, typedLit(cv.toSeq)) / (norm(v) * centNorms(id))).as("sim"),
+        lit(id).as("cent_id"))
+    }.toSeq
+    // descending struct sort: (sim, cent_id) ranks by similarity
+    def topCents(v: Column, n: Int): Column =
+      slice(reverse(array_sort(array(centSims(v): _*))), 1, n)
 
-    val scored = assigned.join(q,
+    val assigned = c.withColumn("list_id", topCents(col("v"), 1)(0)("cent_id"))
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(topCents(col("v"), nProbe)("cent_id")).as("probe_list"))
+
+    val scored = assigned.join(broadcast(q),
         col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

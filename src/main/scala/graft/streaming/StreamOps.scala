@@ -203,7 +203,8 @@ object StreamOps {
   def runningGmv(df: DataFrame): DataFrame =
     df.filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("dt"))
-      .agg(sum(col("value")).as("gmv"), count(lit(1)).as("purchase_ct"))
+      .agg(graft.operators.Agg.moneySum(col("value")).as("gmv"),
+        count(lit(1)).as("purchase_ct"))
 
   /** BaseDBApp dynamic routing: broadcast config decides each record's
     * sink; `foreachBatch` fans one micro-batch out to multiple sinks

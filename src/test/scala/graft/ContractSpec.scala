@@ -23,7 +23,7 @@ class ContractSpec extends SparkSpec {
           else None
         }
       } catch {
-        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}")
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
       }
     }
     assert(problems.isEmpty, problems.mkString("\n"))
