@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Chunking, Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Drives the text pipeline over planted pathological documents —
+  * empty text, whitespace-only, exact duplicates, single token — the
+  * cases the synthetic corpus never contains (its min is 10 tokens).
+  * This is what exercises the divide-by-zero guards and short-input
+  * bounds for real. */
+class EdgeCaseSpec extends SparkSpec {
+
+  /** Write a miniature documents.parquet and return its directory. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-edge").toFile.getAbsolutePath
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L),
+      (1L, "", "en", "src1", 0L),                       // empty
+      (2L, "   ", "en", "src1", 3L),                    // whitespace-only
+      (3L, "solo", "en", "src2", 4L),                   // single token
+      (4L, "the quick brown fox jumps over the lazy dog", "en", "src3", 43L), // dup of 0
+      (5L, "a b", "en", "src4", 3L))                    // below shingle width
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("quality guards empty/whitespace docs with nulls instead of failing") {
+    val rows = TextOps.quality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 6)
+    // zero-token docs: ratios are null, not a DIVIDE_BY_ZERO crash
+    Seq(1L, 2L).foreach { id =>
+      assert(rows(id).isNullAt(3), s"doc $id stop_ratio should be null")
+      assert(rows(id).isNullAt(5), s"doc $id quality should be null")
+    }
+    assert(!rows(0L).isNullAt(5))
+  }
+
+  test("chunking drops token-less docs and keeps sub-window docs whole") {
+    val chunks = Chunking.chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = chunks.groupBy(_._1)
+    assert(!byDoc.contains(1L) && !byDoc.contains(2L), "no chunks for empty docs")
+    assert(byDoc(3L).map(_._3).toSeq === Seq("solo"))
+    assert(byDoc(5L).map(_._3).toSeq === Seq("a b"))
+  }
+
+  test("exact dedup collapses planted duplicates, shingle ops skip short docs") {
+    val survivors = Dedup.exact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(survivors(0L) === 2L, "docs 0 and 4 are identical")
+    assert(!survivors.contains(4L))
+    // pairwise jaccard must not blow up on docs below the shingle width
+    val pairs = Dedup.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 4L)))
+  }
+
+  test("pii scrub and token counts behave on empty text") {
+    val tc = TextOps.tokenCount(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(tc(1L) === ((0, 0)) && tc(2L) === ((0, 0)))
+    assert(tc(3L) === ((1, 1)))
+    val scrub = Chunking.piiScrub(spark, dir).collect()
+    assert(scrub.length === 6)
+  }
+}
