@@ -33,6 +33,7 @@ object SparkEntry {
     "dwd_split"            -> (Dwd.split _),
     "dwd_new_user_flag"    -> (Dwd.newUserFlag _),
     "dwd_cdc_route"        -> (Dwd.cdcRoute _),
+    "dwd_props_explode"    -> (Dwd.propsExplode _),
     // DWM
     "dwm_unique_visit"     -> (Dwm.uniqueVisit _),
     "dwm_user_jump"        -> (Dwm.userJump _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "dwd_split"            -> Dwd.splitSql,
     "dwd_new_user_flag"    -> Dwd.newUserFlagSql,
     "dwd_cdc_route"        -> Dwd.cdcRouteSql,
+    "dwd_props_explode"    -> Dwd.propsExplodeSql,
     "dwm_unique_visit"     -> Dwm.uniqueVisitSql,
     "dwm_user_jump"        -> Dwm.userJumpSql,
     "dwm_order_wide"       -> Dwm.orderWideSql,

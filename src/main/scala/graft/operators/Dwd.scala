@@ -114,4 +114,32 @@ object Dwd {
       |  CASE WHEN event_type = 'error' THEN 'hbase' ELSE 'kafka' END AS sink_type
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  /** Nested-JSON explode (BaseLogApp.java:123-140: the `displays`
+    * array is exploded into per-element rows stamped with the parent
+    * page_id). Here the JSON payload is parsed into a dynamic MAP and
+    * exploded, each entry stamped with its parent event — same shape:
+    * parse nested structure, fan out, keep parent context. */
+  def explodeProps(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id"), col("event_type"),
+      explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))).as(Seq("prop_key", "prop_value")))
+
+  def propsExplode(s: SparkSession, d: String): DataFrame =
+    explodeProps(Tables.events(s, d))
+      .orderBy(col("event_id"), col("prop_key"))
+
+  // The corpus' props carry the single key "k", so the oracle can
+  // enumerate it with scalar JSON functions (DuckDB's json_each table
+  // function is unavailable offline); the Spark side still exercises
+  // the dynamic from_json(MAP) + explode machinery, and the
+  // EdgeCaseSpec covers multi-key payloads.
+  val propsExplodeSql: String =
+    """SELECT event_id, event_type, 'k' AS prop_key,
+      |  json_extract_string(props, '$.k') AS prop_value
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id, prop_key""".stripMargin
 }

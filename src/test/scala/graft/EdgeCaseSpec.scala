@@ -60,6 +60,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pairs === Set((0L, 4L)))
   }
 
+  test("props explode fans out multi-key JSON maps with parent context") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "view", """{"k": 87, "x": "a b", "y": null}"""),
+      (2L, "click", "not json"),
+      (3L, "view", """{}"""))
+      .toDF("event_id", "event_type", "props")
+    val rows = graft.operators.Dwd.explodeProps(df).collect()
+      .map(r => (r.getLong(0), r.getString(2), Option(r.getString(3))))
+    assert(rows.toSet === Set(
+      (1L, "k", Some("87")), (1L, "x", Some("a b")), (1L, "y", None)))
+  }
+
   test("pii scrub and token counts behave on empty text") {
     val tc = TextOps.tokenCount(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
