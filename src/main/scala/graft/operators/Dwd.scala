@@ -123,9 +123,8 @@ object Dwd {
   def explodeProps(df: DataFrame): DataFrame =
     df.select(
       col("event_id"), col("event_type"),
-      explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.StringType))).as(Seq("prop_key", "prop_value")))
+      explode(from_json(col("props"), "map<string,string>", Map.empty[String, String]))
+        .as(Seq("prop_key", "prop_value")))
 
   def propsExplode(s: SparkSession, d: String): DataFrame =
     explodeProps(Tables.events(s, d))

@@ -29,6 +29,18 @@ class ContractSpec extends SparkSpec {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  test("corpus invariant the props-explode oracle depends on: props is exactly {\"k\": digits}") {
+    import org.apache.spark.sql.functions._
+    // dwd_props_explode's DuckDB oracle enumerates the single key 'k'
+    // (json_each is unavailable offline); if the generated corpus ever
+    // carries other keys / nulls / dirty JSON, this names the coupling
+    // before the driver's hash compare breaks mysteriously
+    val bad = Tables.events(spark, sf0001)
+      .filter(!col("props").rlike("""^\{"k": \d+\}$"""))
+      .count()
+    assert(bad === 0, s"$bad props rows violate the single-key invariant")
+  }
+
   test("entry() returns rows (driver smoke check)") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }
