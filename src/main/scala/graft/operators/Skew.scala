@@ -34,10 +34,13 @@ object Skew {
         finals.tail.map { case (a, c) => c.as(a) }: _*)
   }
 
-  /** Convenience: salted sum+count for one value column. */
+  /** Convenience: salted sum+count for one value column. The sum runs
+    * on DECIMAL(18,2) (Agg.dec) so the salted two-phase total is
+    * bit-identical to a direct groupBy — raw double sums would drift
+    * with the extra reduction level. */
   def saltedSumCount(df: DataFrame, keys: Seq[Column], value: Column,
     buckets: Int = 32): DataFrame =
     saltedAgg(df, keys, buckets,
-      partials = Seq("p_sum" -> sum(value), "p_ct" -> count(lit(1))),
-      finals = Seq("total" -> sum(col("p_sum")), "ct" -> sum(col("p_ct"))))
+      partials = Seq("p_sum" -> sum(Agg.dec(value)), "p_ct" -> count(lit(1))),
+      finals = Seq("total" -> sum(col("p_sum")).cast("double"), "ct" -> sum(col("p_ct"))))
 }
