@@ -50,4 +50,35 @@ class StreamPipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(streams === Map(1L -> "page", 2L -> "start", 3L -> "other"))
   }
+
+  test("composed DWD->DWM topology: route feeds unique-visit from one source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    import graft.streaming.StreamOps.Evt
+
+    def ts(m: Long) = new java.sql.Timestamp((24 * 60 + m) * 60 * 1000)
+    val input = MemoryStream[Evt]
+    // DWD: route, keep the page stream (as BaseLogApp feeds
+    // UniqueVisitApp via the dwd_page_log topic), then DWM dedup
+    val pageStream = StreamOps.route(input.toDF())
+      .filter(org.apache.spark.sql.functions.col("stream") === "page")
+      .select("event_id", "user_id", "event_type", "value", "ts").as[Evt]
+    val q = StreamOps.uniqueVisit(pageStream).writeStream
+      .format("memory").queryName("dwd_dwm").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 7, "signup", 0, ts(1)),   // start stream — must not count
+        Evt(2, 7, "view", 0, ts(2)),     // first page view of user 7
+        Evt(3, 7, "click", 0, ts(3))))   // same day — deduped
+      q.processAllAvailable()
+      input.addData(Seq(Evt(4, 7, "view", 0, ts(24 * 60 + 2)))) // next day
+      q.processAllAvailable()
+      val visits = spark.table("dwd_dwm").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(visits === Set(("1970-01-02", 2L), ("1970-01-03", 4L)),
+        "signup must not open the visit; page events dedupe per day")
+    } finally q.stop()
+  }
 }
