@@ -33,13 +33,17 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
     * a long (spark.sql.legacy.parquet.nanosAsLong). We keep the exact
-    * nanos in `ts_ns` (used for tie-free ordering / gap arithmetic) and
-    * expose a proper micro-precision `ts` timestamp for window ops.
+    * nanos in `ts_ns`, plus `ts_us = ts_ns div 1000` — the resolution
+    * DuckDB sees after its truncating TIMESTAMP(NANOS) read, so every
+    * oracle-compared ordering / gap comparison runs on `ts_us` (with
+    * unique `event_id` as tie-break) — and a micro-precision `ts`
+    * timestamp for window ops.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     p(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
   }
 }

@@ -20,7 +20,12 @@ object AsOfJoin {
 
   /** Generic as-of: `left` rows pick up `payloadCols` from the most
     * recent `right` row with equal `key` and ts ≤ left ts. Ties
-    * (identical ts) count as matches (the ASOF convention). */
+    * (identical ts) count as matches (the ASOF convention).
+    *
+    * The payloads ride inside ONE struct column: `last(ignoreNulls)`
+    * then tests "was there a right row", not "was the payload value
+    * non-null" — a right row whose payload IS null still wins over an
+    * older non-null one, matching true ASOF semantics. */
   def asOf(left: DataFrame, rightRaw: DataFrame, key: String, ts: String,
     payloadCols: Seq[String]): DataFrame = {
     val overlap = payloadCols.toSet.intersect(left.columns.toSet)
@@ -30,19 +35,22 @@ object AsOfJoin {
     // union ambiguous (and is not part of the as-of contract)
     val right = rightRaw.select((Seq(key, ts) ++ payloadCols).map(col): _*)
     val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val payloadStruct = struct(payloadCols.map(col): _*)
     // tag=0 sorts right rows first at equal ts so same-ts rights match
-    val l2 = payloadCols.foldLeft(left.withColumn("_tag", lit(1))) { (df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val r2 = extraLeft.foldLeft(right.withColumn("_tag", lit(0))) { (df, c) =>
+    val l2 = left.withColumn("_tag", lit(1))
+      .withColumn("_p", lit(null).cast(right.select(payloadStruct).schema.head.dataType))
+    val r2 = extraLeft.foldLeft(
+      right.withColumn("_tag", lit(0)).withColumn("_p", payloadStruct)
+        .drop(payloadCols: _*)) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(l2.unionByName(r2)) { (df, c) =>
-      df.withColumn(c, last(when(col("_tag") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_tag") === 1).drop("_tag")
+    val carried = l2.unionByName(r2)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(carried.filter(col("_tag") === 1)) { (df, c) =>
+      df.withColumn(c, col("_p").getField(c))
+    }.drop("_tag", "_p")
   }
 
   /** Inventory entry: each purchase event picks up the user's most
@@ -51,11 +59,11 @@ object AsOfJoin {
   def purchaseAsOfView(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_ns"), col("event_id").as("purchase_id"),
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"),
         col("value").as("purchase_value"))
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts_ns"), col("event_id").as("view_id"))
-    asOf(purchases, views, key = "user_id", ts = "ts_ns", payloadCols = Seq("view_id"))
+      .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"))
+    asOf(purchases, views, key = "user_id", ts = "ts_us", payloadCols = Seq("view_id"))
       .select(col("purchase_id"), col("user_id"), col("view_id"), col("purchase_value"))
       .orderBy(col("purchase_id"))
   }

@@ -63,7 +63,7 @@ object Dwd {
     * the first event a user ever produced is `is_new = 1`. */
   def newUserFlag(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, d)
       .withColumn("rn", row_number().over(w))
       .select(

@@ -19,7 +19,7 @@ object Dwm {
     * state. */
   def uniqueVisit(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("visit_date"))
-      .orderBy(col("ts_ns"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, d)
       .withColumn("visit_date", date_format(col("ts"), "yyyy-MM-dd"))
       .withColumn("rn", row_number().over(w))
@@ -41,16 +41,16 @@ object Dwm {
     * followed by another page within the window → the visit "jumped".
     * Batch-native CEP over ordered per-key events: an event with no
     * neighbor within the session gap on either side is a 1-event visit,
-    * i.e. a bounce. lag/lead over exact nanos — no timestamp-truncation
-    * ties. */
+    * i.e. a bounce. lag/lead over micros + unique event_id — the same
+    * ordering and gap resolution the DuckDB oracle observes. */
   def userJump(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, d)
-      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
-      .withColumn("next_ns", lead(col("ts_ns"), 1).over(w))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
       .filter(
-        (col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > Sessions.GapNs) &&
-        (col("next_ns").isNull || col("next_ns") - col("ts_ns") > Sessions.GapNs))
+        (col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs) &&
+        (col("next_us").isNull || col("next_us") - col("ts_us") > Sessions.GapUs))
       .select(
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))

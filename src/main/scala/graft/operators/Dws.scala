@@ -12,42 +12,39 @@ import Agg._
   * (gmall-realtime/src/main/java/com/atguigu/app/dws/). */
 object Dws {
 
-  /** Visitor stats (VisitorStatsApp.java): union four derived streams
-    * (pv / uv / session-visit / jump), key by dimension, tumble by
-    * hour, reduce-sum the metric columns and emit window start/end
-    * strings — precisely the reference's reduce + ProcessWindowFunction,
-    * with `user_id % 10` playing the channel dimension. Each leg is a
-    * zero-valued metric row so the union aggregates with one map-side
-    * partial agg. */
+  /** Visitor stats (VisitorStatsApp.java): the reference unions four
+    * derived streams (pv / uv / session-visit / jump), keys by
+    * dimension, tumbles by hour and reduce-sums the metric columns.
+    * Spark-first formulation: ONE scan of events, one window pass
+    * computing prev/next neighbors per user, then every metric as a
+    * conditional column — the 100 TB input is read once instead of
+    * four times, and the four "streams" collapse into flags that feed
+    * a single map-side-partial aggregation. uv (first event of the
+    * user's day) falls out of the same ordered pass: the first event
+    * of a calendar day is exactly where the previous event's date is
+    * older (dates are monotone along the per-user ordering), so no
+    * second window partitioning is needed. `user_id % 10` plays the
+    * channel dimension. */
   def visitorStats(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-    val metric = (pv: Int, uv: Int, sv: Int, uj: Int) => (df: DataFrame) =>
-      df.select(
-        col("user_id"), col("ts"),
-        lit(pv).as("pv"), lit(uv).as("uv"), lit(sv).as("sv"), lit(uj).as("uj"),
-        (if (pv == 1) col("value") else lit(0.0)).as("dur"))
-
-    val pvLeg = metric(1, 0, 0, 0)(ev.filter(col("event_type").isin("view", "click")))
-    val uvLeg = metric(0, 1, 0, 0)(
-      ev.withColumn("visit_date", to_date(col("ts")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("user_id"), col("visit_date"))
-            .orderBy(col("ts_ns"), col("event_id"))))
-        .filter(col("rn") === 1))
-    val gapped = ev
-      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
-      .withColumn("next_ns", lead(col("ts_ns"), 1).over(w))
-    val svLeg = metric(0, 0, 1, 0)(
-      gapped.filter(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > Sessions.GapNs))
-    val ujLeg = metric(0, 0, 0, 1)(
-      gapped.filter(
-        (col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > Sessions.GapNs) &&
-        (col("next_ns").isNull || col("next_ns") - col("ts_ns") > Sessions.GapNs)))
-
-    pvLeg.unionAll(uvLeg).unionAll(svLeg).unionAll(ujLeg)
-      .withColumn("stt", date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss"))
-      .withColumn("ch", col("user_id") % 10)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+    val isPv = col("event_type").isin("view", "click")
+    val isUv = col("prev_us").isNull ||
+      to_date(expr("timestamp_micros(prev_us)")) < to_date(col("ts"))
+    val isSv = col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs
+    val isUj = isSv &&
+      (col("next_us").isNull || col("next_us") - col("ts_us") > Sessions.GapUs)
+    flagged
+      .select(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        (col("user_id") % 10).as("ch"),
+        when(isPv, 1).otherwise(0).as("pv"),
+        when(isUv, 1).otherwise(0).as("uv"),
+        when(isSv, 1).otherwise(0).as("sv"),
+        when(isUj, 1).otherwise(0).as("uj"),
+        when(isPv, col("value")).otherwise(lit(0.0)).as("dur"))
       .groupBy(col("stt"), col("ch"))
       .agg(
         sum(col("pv")).as("pv_ct"), sum(col("uv")).as("uv_ct"),
@@ -56,31 +53,33 @@ object Dws {
       .orderBy(col("stt"), col("ch"))
   }
 
+  // CAST(... AS BIGINT) on every integer sum: DuckDB promotes sum(int)
+  // to HUGEINT, which the driver's hash compare renders differently.
   val visitorStatsSql: String =
     s"""WITH ordered AS (
        |  SELECT user_id, ts, event_id, event_type, value,
        |    lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
-       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
-       |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-       |                       ORDER BY ts, event_id) AS day_rn
+       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
        |  FROM events),
-       |legs AS (
-       |  SELECT user_id, ts, 1 AS pv, 0 AS uv, 0 AS sv, 0 AS uj, value AS dur
-       |  FROM ordered WHERE event_type IN ('view','click')
-       |  UNION ALL
-       |  SELECT user_id, ts, 0, 1, 0, 0, 0.0 FROM ordered WHERE day_rn = 1
-       |  UNION ALL
-       |  SELECT user_id, ts, 0, 0, 1, 0, 0.0 FROM ordered
-       |  WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 600 SECOND
-       |  UNION ALL
-       |  SELECT user_id, ts, 0, 0, 0, 1, 0.0 FROM ordered
-       |  WHERE (prev_ts IS NULL OR ts - prev_ts > INTERVAL 600 SECOND)
-       |    AND (next_ts IS NULL OR next_ts - ts > INTERVAL 600 SECOND))
-       |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
-       |  user_id % 10 AS ch,
-       |  sum(pv) AS pv_ct, sum(uv) AS uv_ct, sum(sv) AS sv_ct, sum(uj) AS uj_ct,
+       |flagged AS (
+       |  SELECT
+       |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+       |    user_id % 10 AS ch,
+       |    CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END AS pv,
+       |    CASE WHEN prev_ts IS NULL
+       |           OR CAST(prev_ts AS DATE) < CAST(ts AS DATE) THEN 1 ELSE 0 END AS uv,
+       |    CASE WHEN prev_ts IS NULL
+       |           OR ts - prev_ts > INTERVAL 600 SECOND THEN 1 ELSE 0 END AS sv,
+       |    CASE WHEN (prev_ts IS NULL OR ts - prev_ts > INTERVAL 600 SECOND)
+       |          AND (next_ts IS NULL OR next_ts - ts > INTERVAL 600 SECOND)
+       |         THEN 1 ELSE 0 END AS uj,
+       |    CASE WHEN event_type IN ('view','click') THEN value ELSE 0.0 END AS dur
+       |  FROM ordered)
+       |SELECT stt, ch,
+       |  CAST(sum(pv) AS BIGINT) AS pv_ct, CAST(sum(uv) AS BIGINT) AS uv_ct,
+       |  CAST(sum(sv) AS BIGINT) AS sv_ct, CAST(sum(uj) AS BIGINT) AS uj_ct,
        |  ${sqlMoneySum("dur")} AS dur_sum
-       |FROM legs
+       |FROM flagged
        |GROUP BY 1, 2
        |ORDER BY stt, ch""".stripMargin
 

@@ -18,11 +18,11 @@ object EventAnalytics {
     * session-start flags per user — one window pass, then one
     * aggregation, both on the same user_id partitioning. */
   def sessionize(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, d)
-      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("new_s",
-        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > Sessions.GapNs, 1).otherwise(0))
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs, 1).otherwise(0))
       .withColumn("session_seq", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_seq"))
@@ -58,17 +58,17 @@ object EventAnalytics {
     * reachable-user counts. Three aggregate+join hops, each keyed on
     * user_id so the partitioning is reused. */
   def funnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_ns"))
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
     val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
     val c = ev.filter(col("event_type") === "click").as("e")
       .join(v, "user_id")
-      .filter(col("ts_ns") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t2"))
+      .filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
     val p = ev.filter(col("event_type") === "purchase").as("e")
       .join(c, "user_id")
-      .filter(col("ts_ns") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t3"))
+      .filter(col("ts_us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
     Seq("1_view", "2_click", "3_purchase").zip(Seq(v, c, p)).map { case (stage, df) =>
         df.select(lit(stage).as("stage"), col("user_id"))
       }
@@ -148,7 +148,7 @@ object EventAnalytics {
     * user's chronological stream, count (previous type → type) pairs —
     * the path-analysis primitive behind "what do users do next". */
   def transitions(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     Tables.events(s, d)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)

@@ -11,5 +11,11 @@ package graft.operators
 object Sessions {
   val GapSeconds = 600L
   val GapMs: Long = GapSeconds * 1000
+  /** Gap in MICROSECONDS — the resolution both engines share. DuckDB
+    * reads the parquet TIMESTAMP(NANOS) truncated to micros, so oracle
+    * gap arithmetic can never observe nanos; the Spark side therefore
+    * compares at micros too (`ts_us`), with `event_id` (unique) as the
+    * deterministic tie-break. */
+  val GapUs: Long = GapMs * 1000
   val GapNs: Long = GapMs * 1000 * 1000
 }
