@@ -21,12 +21,43 @@ class DedupSpec extends SparkSpec {
     assert(survivors.collect().forall(r => ids(r.getLong(0))))
   }
 
-  test("prefix-filtered jaccard returns exactly the naive formulation's pairs") {
-    val naive = Dedup.ngramJaccard(spark, sf0001).collect()
+  test("adaptive, naive and prefix-filtered jaccard all return the same pairs") {
+    val adaptive = Dedup.ngramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = Dedup.ngramJaccardNaive(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val pref = Dedup.ngramJaccardPrefix(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(adaptive === naive)
     assert(pref === naive)
+  }
+
+  test("adaptive jaccard stays exact on a boilerplate-skewed corpus (hot path engaged)") {
+    import spark.implicits._
+    // every doc shares a 10-token boilerplate header; with hotDf = 4 all
+    // 8 pure-boilerplate shingles (df = 40) go through the prefix path
+    // while the per-pair unique tails (df = 2) stay on the capped index
+    val boiler = "the quick brown fox jumps over a very lazy dog"
+    val docs = (0L until 40L).map { i =>
+      if (i >= 38) (i, boiler) // a pair whose overlap is ONLY hot shingles
+      else (i, s"$boiler unique${i / 2} tail${i / 2} more${i / 2} extra${i / 2}")
+    }.toDF("doc_id", "text")
+
+    val got = Dedup.ngramJaccardDocs(docs, hotDf = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    def sh3(t: String) = t.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    val texts = (0L until 40L).map(i => i ->
+      (if (i >= 38) boiler
+       else s"$boiler unique${i / 2} tail${i / 2} more${i / 2} extra${i / 2}")).toMap
+    val expect = (for {
+      i <- texts.keys; j <- texts.keys if i < j
+      a = sh3(texts(i)); b = sh3(texts(j))
+      jac = a.intersect(b).size.toDouble / a.union(b).size if jac >= 0.5
+    } yield (i, j, jac)).toSet
+
+    assert(expect.contains((38L, 39L, 1.0)), "hot-only dup pair must be in the ground truth")
+    assert(got === expect)
   }
 
   test("minhash LSH finds exactly the >=0.5-jaccard pairs (planted dups)") {
