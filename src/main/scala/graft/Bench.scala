@@ -1,12 +1,41 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, to_json, xxhash64}
+import org.apache.spark.sql.types.MapType
 
 /** Per-round benchmark main: times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and emits one JSON line. Sorts at the tail of
-  * each query are eliminated under count() (EliminateSorts), so timings
-  * measure scans/joins/aggregations, not the presentation order. */
+  * SPARK_GRAFT_SF_DIR and emits one JSON line.
+  *
+  * Each query is forced through a full-evaluation sink — a sum of
+  * xxhash64 over every output column — so Catalyst cannot prune away
+  * unevaluated work the way it can under `count()` (where a projected
+  * regexp_replace, say, is column-pruned out entirely and the "query"
+  * times only its scan). Sorts at the tail are still eliminated
+  * (EliminateSorts), which is intended: presentation order is not the
+  * work being measured.
+  *
+  * Every query runs ITERS times and the MEDIAN is reported, damping
+  * the 2–3× host-load variance documented in BENCH_NOTES.md.
+  */
 object Bench {
+  private val Iters = 3
+
+  /** Forces evaluation of every column: hash each row's full width,
+    * xor-fold to one long. Map columns are serialized first (Spark
+    * forbids hashing MapType — key order is undefined). */
+  private def forceEval(df: DataFrame): Unit = {
+    val cols: Array[Column] = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType => to_json(col(f.name))
+        case _          => col(f.name)
+      }
+    }
+    // xor-fold, not sum: sum(hash) overflows a long under ANSI mode
+    df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,15 +53,19 @@ object Bench {
     // timed query doesn't absorb one-time costs
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.range(1000000L).selectExpr("sum(id)").collect()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
+      val times = (1 to Iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { forceEval(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
+            None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
+      (name, median, times.size == Iters)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -41,7 +74,7 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","iters":$Iters,"stat":"median","sink":"bit_xor(xxhash64(*))"}""")
     spark.stop()
   }
 }
