@@ -33,15 +33,19 @@ object SparkEntry {
     "dwd_split"            -> (Dwd.split _),
     "dwd_new_user_flag"    -> (Dwd.newUserFlag _),
     "dwd_cdc_route"        -> (Dwd.cdcRoute _),
+    "dwd_cdc_ops"          -> (Dwd.cdcOps _),
     "dwd_props_explode"    -> (Dwd.propsExplode _),
+    "dim_upsert"           -> (DimMaintenance.dimUpsert _),
     // DWM
     "dwm_unique_visit"     -> (Dwm.uniqueVisit _),
     "dwm_user_jump"        -> (Dwm.userJump _),
+    "dwm_user_jump_strict" -> (Dwm.userJumpStrict _),
     "dwm_order_wide"       -> (Dwm.orderWide _),
     "dwm_payment_wide"     -> (Dwm.paymentWide _),
     // DWS
     "dws_visitor_stats"    -> (Dws.visitorStats _),
     "dws_product_stats"    -> (Dws.productStats _),
+    "dws_product_stats_full" -> (Dws.productStatsFull _),
     "dws_product_stats_w"  -> (Dws.productStatsWindowed _),
     "dws_province_stats"   -> (Dws.provinceStats _),
     "dws_keyword_stats"    -> (Dws.keywordStats _),
@@ -103,13 +107,17 @@ object SparkEntry {
     "dwd_split"            -> Dwd.splitSql,
     "dwd_new_user_flag"    -> Dwd.newUserFlagSql,
     "dwd_cdc_route"        -> Dwd.cdcRouteSql,
+    "dwd_cdc_ops"          -> Dwd.cdcOpsSql,
     "dwd_props_explode"    -> Dwd.propsExplodeSql,
+    "dim_upsert"           -> DimMaintenance.dimUpsertSql,
     "dwm_unique_visit"     -> Dwm.uniqueVisitSql,
     "dwm_user_jump"        -> Dwm.userJumpSql,
+    "dwm_user_jump_strict" -> Dwm.userJumpStrictSql,
     "dwm_order_wide"       -> Dwm.orderWideSql,
     "dwm_payment_wide"     -> Dwm.paymentWideSql,
     "dws_visitor_stats"    -> Dws.visitorStatsSql,
     "dws_product_stats"    -> Dws.productStatsSql,
+    "dws_product_stats_full" -> Dws.productStatsFullSql,
     "dws_product_stats_w"  -> Dws.productStatsWindowedSql,
     "dws_province_stats"   -> Dws.provinceStatsSql,
     "dws_keyword_stats"    -> Dws.keywordStatsSql,

@@ -115,6 +115,88 @@ object Dwd {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** CDC envelope + op-type routing — the part of BaseDBApp the plain
+    * [[cdcRoute]] lacks (BaseDBApp.java:57-62 filters `type = 'delete'`
+    * before routing; the envelope itself is built in
+    * app/func/MyDeserializerFunc.java; per-sink column pruning is
+    * TableProcessFunction.java `filterColumn`). Three pieces, all
+    * codegen'd column work:
+    *   1. envelope: an `op` column (c=insert / u=update / d=delete),
+    *      derived deterministically from the record id — the synthetic
+    *      stand-in for the Debezium/Maxwell `type` field;
+    *   2. delete filtering: `op = 'd'` rows never reach a sink;
+    *   3. column pruning: the broadcast config carries each sink's
+    *      `sink_columns` list and the generic filter/transform pass
+    *      keeps exactly those fields in the serialized payload —
+    *      the row narrows BEFORE the shuffle/sink, which at 100 TB is
+    *      the difference between shipping 4 columns and shipping all.
+    * Money fields ride as DECIMAL(18,2) strings so the rendering is
+    * engine-stable (the Agg.moneySum convention, per-row). */
+  def cdcOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val config = Seq(
+      ("view", "dwd_page_log", "kafka", "event_id,user_id,value_c"),
+      ("click", "dwd_page_log", "kafka", "event_id,user_id,value_c"),
+      ("signup", "dwd_start_log", "kafka", "event_id,user_id"),
+      ("purchase", "dwd_order_info", "kafka", "event_id,k,user_id,value_c"),
+      ("error", "dim_error", "hbase", "event_id"))
+      .toDF("src_type", "sink_table", "sink_type", "sink_columns")
+    val candidates = array(
+      struct(lit("event_id").as("n"), col("event_id").cast("string").as("v")),
+      struct(lit("k").as("n"), col("k").as("v")),
+      struct(lit("user_id").as("n"), col("user_id").cast("string").as("v")),
+      struct(lit("value_c").as("n"),
+        col("value").cast(DecimalType(18, 2)).cast("string").as("v")))
+    // functions.split, not the Dwd.split operator this object shadows it with
+    val kept = org.apache.spark.sql.functions.split(
+      coalesce(col("sink_columns"), lit("event_id")), ",")
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), """"k":\s*(\d+)""", 1))
+      .withColumn("op",
+        when(col("event_id") % 5 === 0, "d")
+          .when(col("event_id") % 5 === 1, "u")
+          .otherwise("c"))
+      .filter(col("op") =!= "d")
+      .join(broadcast(config), col("event_type") === col("src_type"), "left")
+      .select(
+        col("event_id"), col("event_type"), col("op"),
+        coalesce(col("sink_table"), lit("dwd_default")).as("sink_table"),
+        coalesce(col("sink_type"), lit("kafka")).as("sink_type"),
+        concat_ws(",",
+          transform(
+            filter(candidates, c => array_contains(kept, c("n"))),
+            c => concat_ws("=", c("n"), c("v")))).as("payload"))
+      .orderBy(col("event_id"))
+  }
+
+  // The oracle enumerates the static config per sink (the Spark side
+  // runs the generic filter/transform pruning machinery).
+  val cdcOpsSql: String =
+    """SELECT event_id, event_type, op, sink_table, sink_type, payload FROM (
+      |  SELECT event_id, event_type,
+      |    CASE event_id % 5 WHEN 0 THEN 'd' WHEN 1 THEN 'u' ELSE 'c' END AS op,
+      |    CASE event_type WHEN 'view' THEN 'dwd_page_log'
+      |                    WHEN 'click' THEN 'dwd_page_log'
+      |                    WHEN 'signup' THEN 'dwd_start_log'
+      |                    WHEN 'purchase' THEN 'dwd_order_info'
+      |                    WHEN 'error' THEN 'dim_error'
+      |                    ELSE 'dwd_default' END AS sink_table,
+      |    CASE WHEN event_type = 'error' THEN 'hbase' ELSE 'kafka' END AS sink_type,
+      |    CASE event_type
+      |      WHEN 'signup' THEN 'event_id=' || event_id || ',user_id=' || user_id
+      |      WHEN 'purchase' THEN 'event_id=' || event_id
+      |        || ',k=' || json_extract_string(props, '$.k')
+      |        || ',user_id=' || user_id
+      |        || ',value_c=' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+      |      WHEN 'error' THEN 'event_id=' || event_id
+      |      ELSE 'event_id=' || event_id || ',user_id=' || user_id
+      |        || ',value_c=' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+      |    END AS payload
+      |  FROM events) t
+      |WHERE op <> 'd'
+      |ORDER BY event_id""".stripMargin
+
   /** Nested-JSON explode (BaseLogApp.java:123-140: the `displays`
     * array is exploded into per-element rows stamped with the parent
     * page_id). Here the JSON payload is parsed into a dynamic MAP and

@@ -67,6 +67,44 @@ object Dwm {
       |  AND (next_ts IS NULL OR next_ts - ts > INTERVAL 600 SECOND)
       |ORDER BY event_id""".stripMargin
 
+  /** Strict CEP jump — the reference's exact pattern
+    * (UserJumpDetailApp.java:84-95): `begin(last_page_id == null)
+    * .times(2).consecutive().within(10s)` plus the timeout side output.
+    * The session-entry page maps to the `signup` event (the same event
+    * the dwd_split "start" stream routes); a visit "jumped" when an
+    * entry is consecutively followed by ANOTHER entry within 10 s, or
+    * when nothing at all follows within 10 s (the CEP timeout branch).
+    * An entry followed within 10 s by a normal page is a real visit —
+    * this is the predicate [[userJump]]'s 600 s isolation approximates,
+    * and the two provably differ (see StrictJumpSpec): an entry whose
+    * next event lands between 10 s and 600 s is a jump here, not there.
+    * One window pass, no per-key driver state — scales like userJump. */
+  def userJumpStrict(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val winUs = 10L * 1000000L
+    Tables.events(s, d)
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("event_type") === "signup" &&
+        ((col("next_us").isNull || col("next_us") - col("ts_us") > winUs) ||
+         (col("next_type") === "signup" && col("next_us") - col("ts_us") <= winUs)))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("event_id"))
+  }
+
+  val userJumpStrictSql: String =
+    """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events) t
+      |WHERE event_type = 'signup'
+      |  AND ((next_ts IS NULL OR next_ts - ts > INTERVAL 10 SECOND)
+      |    OR (next_type = 'signup' AND next_ts - ts <= INTERVAL 10 SECOND))
+      |ORDER BY event_id""".stripMargin
+
   /** Order-wide table (OrderWideApp.java:78-190): fact⋈fact join
     * orders⋈lineitem, then the reference's six async dim lookups become
     * hash-join dim enrichment (customer slice → nation → region).

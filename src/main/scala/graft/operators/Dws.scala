@@ -117,6 +117,108 @@ object Dws {
        |GROUP BY l_partkey, p_name, p_brand
        |ORDER BY l_partkey""".stripMargin
 
+  /** Full multi-stream product stats — the reference's complete wide
+    * row (ProductStatsApp.java + bean/ProductStats.java): ~7 streams
+    * (display, click, favor, cart, order, payment, refund) unioned into
+    * ONE per-sku row. Spark-first shape: each SOURCE is scanned once
+    * with the per-stream metrics as conditional columns (the in-source
+    * "streams" cost nothing extra), the two sources union by name, and
+    * a single hash aggregation — with map-side partials on every sum —
+    * produces the wide row. At 100 TB that is 2 scans + 1 shuffle, vs
+    * the naive 7-leg union's 7 scans. Stream→column mapping: the event
+    * stream's view/click/signup/purchase play display/click/favor/cart
+    * (+ payment_amount from purchase value); lineitem plays the
+    * order/refund streams. Sku alignment between the two synthetic id
+    * spaces: events' `k` (0..99) ≡ `l_partkey % 100`. Distinct order
+    * counts are two-phase distinct aggregates, never HashSets-in-rows
+    * (the reference carries orderIdSet through its reduce —
+    * ProductStats.java:40). */
+  def productStatsFull(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val decZero = lit(BigDecimal(0)).cast(DecimalType(18, 2))
+    val ev = Tables.events(s, d)
+      .withColumn("sku",
+        regexp_extract(col("props"), """"k":\s*(\d+)""", 1).cast("int"))
+      .select(
+        col("sku"),
+        when(col("event_type") === "view", 1).otherwise(0).as("display_pv"),
+        when(col("event_type") === "click", 1).otherwise(0).as("click_pv"),
+        when(col("event_type") === "signup", 1).otherwise(0).as("favor_pv"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("cart_pv"),
+        when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(decZero).as("pay_amt"),
+        lit(null).cast("long").as("order_key"),
+        lit(null).cast("long").as("refund_key"),
+        decZero.as("qty"), decZero.as("ord_amt"), decZero.as("ref_amt"))
+    val li = Tables.lineitem(s, d)
+      .select(
+        (col("l_partkey") % 100).cast("int").as("sku"),
+        lit(0).as("display_pv"), lit(0).as("click_pv"),
+        lit(0).as("favor_pv"), lit(0).as("cart_pv"),
+        decZero.as("pay_amt"),
+        col("l_orderkey").as("order_key"),
+        when(col("l_returnflag") === "R", col("l_orderkey")).as("refund_key"),
+        dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice")).as("ord_amt"),
+        when(col("l_returnflag") === "R", dec(col("l_extendedprice")))
+          .otherwise(decZero).as("ref_amt"))
+    ev.unionByName(li)
+      .groupBy(col("sku"))
+      .agg(
+        sum(col("display_pv")).as("display_ct"),
+        sum(col("click_pv")).as("click_ct"),
+        sum(col("favor_pv")).as("favor_ct"),
+        sum(col("cart_pv")).as("cart_ct"),
+        sum(col("pay_amt")).cast("double").as("payment_amount"),
+        countDistinct(col("order_key")).as("order_ct"),
+        countDistinct(col("refund_key")).as("refund_order_ct"),
+        sum(col("qty")).cast("double").as("order_sku_num"),
+        sum(col("ord_amt")).cast("double").as("order_amount"),
+        sum(col("ref_amt")).cast("double").as("refund_amount"))
+      .orderBy(col("sku"))
+  }
+
+  val productStatsFullSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS sku,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS display_pv,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS click_pv,
+      |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS favor_pv,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cart_pv,
+      |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+      |         ELSE CAST(0 AS DECIMAL(18,2)) END AS pay_amt,
+      |    CAST(NULL AS BIGINT) AS order_key, CAST(NULL AS BIGINT) AS refund_key,
+      |    CAST(0 AS DECIMAL(18,2)) AS qty,
+      |    CAST(0 AS DECIMAL(18,2)) AS ord_amt,
+      |    CAST(0 AS DECIMAL(18,2)) AS ref_amt
+      |  FROM events),
+      |li AS (
+      |  SELECT CAST(l_partkey % 100 AS INTEGER) AS sku,
+      |    0 AS display_pv, 0 AS click_pv, 0 AS favor_pv, 0 AS cart_pv,
+      |    CAST(0 AS DECIMAL(18,2)) AS pay_amt,
+      |    l_orderkey AS order_key,
+      |    CASE WHEN l_returnflag = 'R' THEN l_orderkey END AS refund_key,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS ord_amt,
+      |    CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |         ELSE CAST(0 AS DECIMAL(18,2)) END AS ref_amt
+      |  FROM lineitem),
+      |u AS (SELECT * FROM ev UNION ALL SELECT * FROM li)
+      |SELECT sku,
+      |  CAST(sum(display_pv) AS BIGINT) AS display_ct,
+      |  CAST(sum(click_pv) AS BIGINT) AS click_ct,
+      |  CAST(sum(favor_pv) AS BIGINT) AS favor_ct,
+      |  CAST(sum(cart_pv) AS BIGINT) AS cart_ct,
+      |  CAST(sum(pay_amt) AS DOUBLE) AS payment_amount,
+      |  count(DISTINCT order_key) AS order_ct,
+      |  count(DISTINCT refund_key) AS refund_order_ct,
+      |  CAST(sum(qty) AS DOUBLE) AS order_sku_num,
+      |  CAST(sum(ord_amt) AS DOUBLE) AS order_amount,
+      |  CAST(sum(ref_amt) AS DOUBLE) AS refund_amount
+      |FROM u
+      |GROUP BY sku
+      |ORDER BY sku""".stripMargin
+
   /** Province stats (ProvinceStatsSqlApp.java:52-62): tumbling window ×
     * province GROUP BY with count(distinct order_id) + sum(amount).
     * Nation plays province; the month plays the 10 s tumble. */

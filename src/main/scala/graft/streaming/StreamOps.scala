@@ -78,10 +78,16 @@ object StreamOps {
             if (seen(day)) None
             else { seen += day; Some(Visit(uid, day, e.event_id)) }
           }
-          // TTL: drop all but the newest date (the reference's 1-day
-          // state TTL) — without this the per-key state grows by one
-          // entry per active day forever
-          state.update(Set(seen.max))
+          // TTL: keep every date within the 1-day lateness horizon of
+          // the newest (the reference's 1-day state TTL) — keeping ONLY
+          // the max would re-emit a duplicate first-visit row when a
+          // late cross-day event lands inside the allowed lateness.
+          // State stays bounded (≤ horizon+1 dates per key); events
+          // older than the horizon are past the upstream watermark.
+          val newest = java.time.LocalDate.parse(seen.max)
+          state.update(seen.filter(d =>
+            java.time.temporal.ChronoUnit.DAYS.between(
+              java.time.LocalDate.parse(d), newest) <= 1L))
           out.iterator
       }
   }
@@ -205,6 +211,17 @@ object StreamOps {
       .groupBy(to_date(col("ts")).as("dt"))
       .agg(graft.operators.Agg.moneySum(col("value")).as("gmv"),
         count(lit(1)).as("purchase_ct"))
+
+  /** BaseDBApp delete filtering (BaseDBApp.java:57-62): stamp the CDC
+    * op envelope (the Debezium/Maxwell `type` analog, derived the same
+    * way as the batch Dwd.cdcOps) and drop deletes BEFORE routing, so
+    * tombstones never reach a sink. Compose in front of [[cdcRoute]]. */
+  def cdcEnvelope(df: DataFrame): DataFrame =
+    df.withColumn("op",
+        when(col("event_id") % 5 === 0, "d")
+          .when(col("event_id") % 5 === 1, "u")
+          .otherwise("c"))
+      .filter(col("op") =!= "d")
 
   /** BaseDBApp dynamic routing: broadcast config decides each record's
     * sink; `foreachBatch` fans one micro-batch out to multiple sinks

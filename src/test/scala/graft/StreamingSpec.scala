@@ -83,7 +83,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("uniqueVisit state TTL keeps only the newest day (reference 1-day TTL)") {
+  test("uniqueVisit TTL: late cross-day events inside the horizon stay deduped") {
     val day0a = ts(10)
     val day1 = ts(24 * 60 + 10)
     val day0b = ts(120) // same calendar day as day0a, arrives after day1
@@ -92,9 +92,24 @@ class StreamingSpec extends SparkSpec {
       Seq(Evt(2, 7, "view", 0, day1)),
       Seq(Evt(3, 7, "view", 0, day0b))))
     val visits = rows.map(r => (r.getString(1), r.getLong(2))).toSet
-    // e3's day was expired from state (TTL), so it re-emits — exactly
-    // the reference's behavior once its 1-day state TTL fires
-    assert(visits === Set(("1970-01-02", 1L), ("1970-01-03", 2L), ("1970-01-02", 3L)))
+    // day0 is within the 1-day lateness horizon of day1, so it is
+    // still in state and e3 must NOT re-emit a duplicate first visit
+    assert(visits === Set(("1970-01-02", 1L), ("1970-01-03", 2L)))
+  }
+
+  test("uniqueVisit TTL: days beyond the horizon expire (reference 1-day TTL)") {
+    val day0 = ts(10)
+    val day5 = ts(5 * 24 * 60 + 10)
+    val day0late = ts(120)
+    val rows = runBatches("uvttl2")(in => StreamOps.uniqueVisit(in.toDS()))(Seq(
+      Seq(Evt(1, 7, "view", 0, day0)),
+      Seq(Evt(2, 7, "view", 0, day5)),
+      Seq(Evt(3, 7, "view", 0, day0late))))
+    val visits = rows.map(r => (r.getString(1), r.getLong(2))).toSet
+    // day0 fell out of the bounded state (4 days beyond the horizon),
+    // so the very-late e3 re-emits — the reference's TTL firing; such
+    // an event is past the upstream watermark anyway
+    assert(visits === Set(("1970-01-02", 1L), ("1970-01-07", 2L), ("1970-01-02", 3L)))
   }
 
   test("jumpDetect confirms isolated events and uses timeout for the tail") {
@@ -263,6 +278,33 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(captured.get("hbase") === Some(Set(2L)))
       assert(captured.get("kafka") === Some(Set(1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("cdcEnvelope drops delete tombstones before they reach any sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val config = Seq(
+      ("view", "dwd_page_log", "kafka"),
+      ("error", "dim_error", "hbase")).toDF("src_type", "sink_table", "sink_type")
+    val captured = scala.collection.concurrent.TrieMap[String, Set[Long]]()
+    val q = StreamOps.cdcRoute(StreamOps.cdcEnvelope(input.toDF()), config) {
+      (sink, batch) =>
+        val ids = batch.select("event_id").collect().map(_.getLong(0)).toSet
+        captured.updateWith(sink)(prev => Some(prev.getOrElse(Set.empty) ++ ids))
+        ()
+    }
+    try {
+      input.addData(Seq(
+        Evt(5, 1, "view", 0, ts(1)),     // 5 % 5 == 0 → delete, dropped
+        Evt(6, 1, "error", 0, ts(2)),    // update → routes to hbase
+        Evt(7, 2, "purchase", 0, ts(3)), // insert → default kafka sink
+        Evt(10, 2, "view", 0, ts(4))))   // delete, dropped
+      q.processAllAvailable()
+      assert(captured.get("hbase") === Some(Set(6L)))
+      assert(captured.get("kafka") === Some(Set(7L)))
+      assert(!captured.values.flatten.exists(id => id == 5L || id == 10L))
     } finally q.stop()
   }
 }

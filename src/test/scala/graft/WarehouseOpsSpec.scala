@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{DimMaintenance, Dwd, Dwm, Dws}
+import org.apache.spark.sql.functions._
+
+/** Round-2 warehouse operators: CDC op-type routing, dim upsert,
+  * strict-CEP jump, full multi-stream product stats. Planted-data
+  * cases pin the semantics the sf oracles can't distinguish. */
+class WarehouseOpsSpec extends SparkSpec {
+
+  /** Planted events: five users covering every strict-vs-approx jump
+    * disagreement. `ts` is written as raw nanos (the events.parquet
+    * physical type Tables.events expects). */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-wops").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    Seq(
+      // user 1: entry then a page 300 s later — strict jump, approx no
+      (1L, ns(0), 1L, "signup", 1.0, """{"k": 1}"""),
+      (2L, ns(300), 1L, "view", 1.0, """{"k": 2}"""),
+      // user 2: two consecutive entries 5 s apart — both strict jumps
+      // (first by the .times(2) match, second by timeout), approx none
+      (3L, ns(0), 2L, "signup", 1.0, """{"k": 3}"""),
+      (4L, ns(5), 2L, "signup", 1.0, """{"k": 4}"""),
+      // user 3: entry then a page 5 s later — a real visit for both
+      (5L, ns(0), 3L, "signup", 1.0, """{"k": 5}"""),
+      (6L, ns(5), 3L, "view", 1.0, """{"k": 6}"""),
+      // user 4: one isolated page view — approx jump, strict no (not an entry)
+      (7L, ns(0), 4L, "view", 1.0, """{"k": 7}"""),
+      // user 5: one isolated entry — jump under both predicates
+      (8L, ns(0), 5L, "signup", 1.0, """{"k": 8}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("strict CEP jump matches the reference predicate and differs from the approximation") {
+    val strict = Dwm.userJumpStrict(spark, dir).collect().map(_.getLong(0)).toSet
+    val approx = Dwm.userJump(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(strict === Set(1L, 3L, 4L, 8L))
+    assert(approx === Set(7L, 8L))
+    // the disagreement is real in both directions
+    assert((strict -- approx).nonEmpty && (approx -- strict).nonEmpty)
+  }
+
+  test("cdc ops: deletes never reach a sink, payloads are pruned per sink config") {
+    val rows = Dwd.cdcOps(spark, sf001).collect()
+    val total = graft.Tables.events(spark, sf001).count()
+    // op envelope: event_id % 5 == 0 → delete, filtered before routing
+    assert(rows.map(_.getString(2)).toSet === Set("c", "u"))
+    assert(!rows.exists(_.getLong(0) % 5 == 0))
+    assert(rows.length.toLong === total - (total / 5 + (if (total % 5 > 0) 1 else 0)))
+    // per-sink pruning: dim_error keeps only event_id; dwd_order_info
+    // keeps the full 4-field payload; dwd_start_log drops money fields
+    val bySink = rows.groupBy(_.getString(3))
+    bySink("dim_error").foreach { r =>
+      assert(r.getString(5) === s"event_id=${r.getLong(0)}")
+    }
+    bySink("dwd_order_info").foreach { r =>
+      val p = r.getString(5)
+      assert(p.contains(",k=") && p.contains(",user_id=") && p.contains(",value_c="))
+    }
+    bySink("dwd_start_log").foreach { r =>
+      assert(!r.getString(5).contains("value_c="))
+    }
+    // hbase/kafka sink split survives routing
+    assert(rows.map(_.getString(4)).toSet === Set("kafka", "hbase"))
+  }
+
+  test("dim upsert: latest version wins, ties break by record id, deletes tombstone") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "name")
+    val updates = Seq(
+      (2L, "b-v10-first", 10L, 1L, "u"),
+      (2L, "b-v10-second", 10L, 2L, "u"), // same version, higher tie wins
+      (2L, "b-v3-old", 3L, 9L, "u"),      // older version never wins
+      (3L, "dead", 5L, 3L, "d"),          // tombstone removes the key
+      (4L, "fresh-insert", 1L, 4L, "u"))  // new key appears
+      .toDF("key", "name", "version", "tie", "op")
+    val out = DimMaintenance.upsert(snapshot, updates, "key", "version", "tie", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "b-v10-second", 4L -> "fresh-insert"))
+  }
+
+  test("dim upsert oracled instance: cdc rows replace base rows for touched keys") {
+    val out = DimMaintenance.dimUpsert(spark, sf001)
+    val bySrc = out.groupBy(col("src")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every part key survives unless its LAST cdc event was a delete;
+    // keys 0..99 are all touched by cdc at sf0.01, keys 100+ stay base
+    assert(bySrc("base") >= 1900L)
+    assert(bySrc.getOrElse("cdc", 0L) + bySrc("base") === out.count())
+    // surviving cdc rows really are the latest event for their key
+    assert(out.filter(col("src") === "cdc")
+      .filter(!col("p_name").startsWith("upd-")).count() === 0L)
+  }
+
+  test("product stats full: wide row agrees with independent per-stream computations") {
+    val full = Dws.productStatsFull(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(full.size === 100)
+    // event legs: click_ct for sku 7 == raw filtered count
+    val ev = graft.Tables.events(spark, sf001)
+      .withColumn("sku", regexp_extract(col("props"), """"k":\s*(\d+)""", 1).cast("int"))
+    val clicks7 = ev.filter(col("event_type") === "click" && col("sku") === 7).count()
+    assert(full(7).getLong(2) === clicks7)
+    // order leg: order_ct for sku 13 == distinct orderkeys with partkey%100==13
+    val orders13 = graft.Tables.lineitem(spark, sf001)
+      .filter(col("l_partkey") % 100 === 13)
+      .select(col("l_orderkey")).distinct().count()
+    assert(full(13).getLong(6) === orders13)
+    // payment leg: exact decimal sum of purchase values for sku 0
+    val pay0 = ev.filter(col("event_type") === "purchase" && col("sku") === 0)
+      .agg(graft.operators.Agg.moneySum(col("value"))).collect()(0).getDouble(0)
+    assert(full(0).getDouble(5) === pay0)
+  }
+}
