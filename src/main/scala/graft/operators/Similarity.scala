@@ -22,7 +22,7 @@ object Similarity {
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def corpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -95,39 +95,84 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Centroids with norms paired POSITIONALLY (list index 0..n-1), so
+    * nothing depends on vec_id contiguity or zero-basing. */
+  private[graft] final case class Centroid(id: Int, v: Array[Double], norm: Double)
+
+  private def toCentroids(vecs: Array[Array[Double]]): Array[Centroid] =
+    vecs.zipWithIndex.map { case (v, i) =>
+      Centroid(i, v, math.sqrt(v.map(x => x * x).sum))
+    }
+
+  /** cosine(v, centroid_i) for every centroid as literal-array math;
+    * descending (sim, cent_id) struct sort ranks the lists. */
+  private def topCents(cents: Array[Centroid], v: Column, n: Int): Column = {
+    val sims = cents.toSeq.map { c =>
+      struct(
+        (dot(v, typedLit(c.v.toSeq)) / (norm(v) * c.norm)).as("sim"),
+        lit(c.id).as("cent_id"))
+    }
+    slice(reverse(array_sort(array(sims: _*))), 1, n)
+  }
+
+  /** Distributed Lloyd iterations for the IVF centroids. Seeds are the
+    * first `nLists` corpus vectors; each iteration assigns every
+    * corpus vector to its cosine-nearest centroid with plan-time
+    * literal arithmetic (no corpus shuffle for assignment), then takes
+    * per-list per-dimension means via one posexplode + hash agg. Means
+    * sum in DECIMAL so the reduction is order-independent — centroids
+    * (and therefore the whole IVF plan) stay bit-deterministic across
+    * runs/partitionings. Only nLists × dim aggregated doubles ever
+    * reach the driver (bounded; documented collect). Empty clusters
+    * keep their previous centroid.
+    *
+    * Training runs on a BOUNDED sample (`trainCap` vectors, ~128 per
+    * list), not the full corpus — the standard IVF recipe: at 100 TB
+    * you cannot (and need not) Lloyd every vector; a thousands-sized
+    * sample pins the centroids and only the single assignment pass
+    * touches the whole corpus. */
+  private[graft] def kmeansCentroids(c: DataFrame, nLists: Int, iters: Int,
+    trainCap: Int = 2048): Array[Centroid] = {
+    import org.apache.spark.sql.types.DecimalType
+    val train = c.filter(col("vec_id") < trainCap)
+    var cents = toCentroids(
+      c.filter(col("vec_id") < nLists).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2))
+    for (_ <- 1 to iters) {
+      val means = train
+        .withColumn("list_id", topCents(cents, col("v"), 1)(0)("cent_id"))
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(38, 18))) /
+          count(lit(1))).cast("double").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      cents = toCentroids(cents.map(c => means.getOrElse(c.id, c.v)))
+    }
+    cents
+  }
+
   /** IVF-style ANN: the corpus is partitioned into `nLists` inverted
     * lists by nearest centroid; a query scans only the `nProbe`
-    * closest lists. Centroids are the first `nLists` corpus vectors
-    * (deterministic; a production build would k-means them — the
-    * plumbing is identical) collected once and baked into the plan as
-    * literal arrays, so BOTH centroid assignment and query probing are
+    * closest lists. Centroids come from [[kmeansCentroids]] (a few
+    * distributed Lloyd passes) and are baked into the plan as literal
+    * arrays, so BOTH centroid assignment and query probing are
     * pure column arithmetic: the corpus is never shuffled for
     * assignment, and the probe side is a broadcast join. The only
     * shuffle is the per-query top-k window over matched candidates. */
   def annIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
-    nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    nLists: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val c = corpus(s, d)
-    // tiny, deterministic, bounded collect: the nLists centroid vectors
-    val cents: Array[(Int, Array[Double])] = c.filter(col("vec_id") < nLists)
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val centNorms = cents.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }
+    val cents = kmeansCentroids(c, nLists, kmeansIters)
 
-    // cosine(v, centroid_i) for every centroid as literal-array math
-    def centSims(v: Column): Seq[Column] = cents.map { case (id, cv) =>
-      struct(
-        (dot(v, typedLit(cv.toSeq)) / (norm(v) * centNorms(id))).as("sim"),
-        lit(id).as("cent_id"))
-    }.toSeq
-    // descending struct sort: (sim, cent_id) ranks by similarity
-    def topCents(v: Column, n: Int): Column =
-      slice(reverse(array_sort(array(centSims(v): _*))), 1, n)
-
-    val assigned = c.withColumn("list_id", topCents(col("v"), 1)(0)("cent_id"))
+    val assigned = c.withColumn("list_id", topCents(cents, col("v"), 1)(0)("cent_id"))
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(topCents(col("v"), nProbe)("cent_id")).as("probe_list"))
+        explode(topCents(cents, col("v"), nProbe)("cent_id")).as("probe_list"))
 
     val scored = assigned.join(broadcast(q),
         col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))

@@ -46,6 +46,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall below floor")
   }
 
+  test("k-means improves quantization over first-N seeding and stays deterministic") {
+    // the objective Lloyd optimizes: mean cosine between each corpus
+    // vector and its assigned (nearest) centroid. Top-k recall on an
+    // isotropic corpus is sampling noise at n=40; this is the signal.
+    val corpus = Similarity.corpus(spark, sf0001).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def quantization(iters: Int): Double = {
+      val cents = Similarity.kmeansCentroids(
+        Similarity.corpus(spark, sf0001), nLists = 16, iters = iters)
+      corpus.map(v => cents.map(c => cos(v, c.v)).max).sum / corpus.length
+    }
+    val seeded = quantization(0) // the old behavior: centroids = first 16 vectors
+    val lloyd = quantization(3)
+    assert(lloyd > seeded,
+      s"k-means quantization $lloyd did not improve on first-N seeding $seeded")
+    // recall must not materially regress while quantization improves
+    val k = 5
+    val bf = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(iters: Int): Double = {
+      val got = Similarity.annIvf(spark, sf0001, nQueries = 8, k = k, kmeansIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      bf.intersect(got).size.toDouble / bf.size
+    }
+    assert(recallOf(3) >= recallOf(0) - 0.05)
+    // decimal-summed means ⇒ bit-identical plan across runs
+    val a = Similarity.annIvf(spark, sf0001, nQueries = 8, k = k).collect().toSeq
+    val b = Similarity.annIvf(spark, sf0001, nQueries = 8, k = k).collect().toSeq
+    assert(a === b)
+  }
+
   test("LSH ANN returns valid neighbors with usable recall") {
     val k = 5
     val bf = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()
