@@ -27,7 +27,17 @@ object PlanAudit {
       ("dws_product_stats_w", "window() assignment fused into one HashAggregate pair; COUNT DISTINCT expands to the two-phase plan",
         Dws.productStatsWindowed(spark, d)),
       ("dedup_minhash_lsh", "one signature pass (no distinct), posexplode band fan-out, bucket equi-join with ReuseExchange on the self-join",
-        Dedup.minhashLsh(spark, d)))
+        Dedup.minhashLsh(spark, d)),
+      ("dedup_ngram_jaccard", "in-row array_distinct (no distinct shuffle); self-join output IS the intersection stream (groupBy count, no candidate re-join); hot branch zero rows on df-uniform corpora",
+        Dedup.ngramJaccard(spark, d)),
+      ("dws_product_stats_full", "two pruned scans union into ONE hash agg with map-side partials; distinct order counts expand to the two-phase plan",
+        Dws.productStatsFull(spark, d)),
+      ("dwd_cdc_ops", "op filter + payload pruning BEFORE the broadcast-config join; scan stays pruned to the payload columns",
+        Dwd.cdcOps(spark, d)),
+      ("dim_upsert", "snapshot ∪ updates shuffles ONCE on the dim key into a single window pass (latest-wins MERGE)",
+        DimMaintenance.dimUpsert(spark, d)),
+      ("dwm_user_jump_strict", "one window pass (lead ts + lead type share the partition sort), filter is codegen'd",
+        Dwm.userJumpStrict(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>
