@@ -25,6 +25,7 @@ object SparkEntry {
     "q_set_ops"            -> (Relational.setOps _),
     "q_quantile"           -> (Relational.quantiles _),
     "q_approx_distinct"    -> (Relational.approxDistinct _),
+    "q_hll_presketch"      -> (Sketches.hllPreAgg _),
     "q_grouping_sets"      -> (Relational.groupingSets _),
     "q_asof_join"          -> (AsOfJoin.purchaseAsOfView _),
     "q_range_join"         -> (AsOfJoin.rangeJoin _),
@@ -102,7 +103,8 @@ object SparkEntry {
     "q_range_join"         -> AsOfJoin.rangeJoinSql,
     "text_chunk"           -> Chunking.chunkSql,
     "text_pii_scrub"       -> Chunking.piiScrubSql,
-    // q_approx_distinct: HLL sketch is engine-specific → rows-only + spec
+    // q_approx_distinct / q_hll_presketch: HLL sketches are
+    // engine-specific → rows-only + spec (error bound, merge ≡ direct)
     "dwd_clean"            -> Dwd.cleanSql,
     "dwd_split"            -> Dwd.splitSql,
     "dwd_new_user_flag"    -> Dwd.newUserFlagSql,

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Mergeable HLL pre-aggregation: merged monthly sketches must agree
+  * with (a) the exact distinct counts within the lgK=14 error bound
+  * and (b) a direct year-level sketch — the merge loses nothing. */
+class SketchesSpec extends SparkSpec {
+
+  test("year rollup of monthly sketches tracks exact distinct counts") {
+    val approx = Sketches.hllPreAgg(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Sketches.exactByYear(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (y, e) =>
+      val a = approx(y)
+      assert(math.abs(a - e).toDouble / e < 0.03,
+        s"year $y: sketch estimate $a vs exact $e")
+    }
+  }
+
+  test("merging monthly sketches equals sketching the year directly") {
+    val merged = Sketches.hllPreAgg(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.orders(spark, sf001)
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), lit(14))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === direct.keySet)
+    // same lgK, same hashed values → unioned registers are the
+    // pointwise max of the monthly registers = the direct registers
+    merged.foreach { case (y, m) =>
+      assert(m === direct(y), s"year $y: merged $m != direct ${direct(y)}")
+    }
+  }
+
+  test("sketch estimates are deterministic across repartitionings") {
+    val a = Sketches.hllPreAgg(spark, sf001).collect().toSeq
+    val b = Sketches.hllPreAgg(spark, sf001).collect().toSeq
+    assert(a === b)
+  }
+}
