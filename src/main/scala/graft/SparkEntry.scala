@@ -71,6 +71,8 @@ object SparkEntry {
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
     "mm_chunk_binary"      -> (Multimodal.chunkBinary _),
+    "mm_reassemble"        -> (Multimodal.reassemble _),
+    "mm_frame_sample"      -> (Multimodal.frameSample _),
     // Event analytics (ADS-adjacent serving shapes)
     "ea_sessionize"        -> (EventAnalytics.sessionize _),
     "ea_funnel"            -> (EventAnalytics.funnel _),
@@ -136,6 +138,8 @@ object SparkEntry {
     // ScalaTest specs assert their semantics against ground truth.
     "mm_decode_pipeline"   -> Multimodal.decodePipelineSql,
     "mm_chunk_binary"      -> Multimodal.chunkBinarySql,
+    "mm_reassemble"        -> Multimodal.reassembleSql,
+    "mm_frame_sample"      -> Multimodal.frameSampleSql,
     "ea_sessionize"        -> EventAnalytics.sessionizeSql,
     "ea_funnel"            -> EventAnalytics.funnelSql,
     "ea_retention"         -> EventAnalytics.retentionSql,

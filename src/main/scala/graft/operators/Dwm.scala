@@ -127,7 +127,11 @@ object Dwm {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_totalprice"), col("c_name"), col("c_mktsegment"),
         col("n_name"), col("r_name"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem, so the sort orders by every output column — ties are
+      // then full-row duplicates and the output is totally ordered
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("o_totalprice"), col("c_name"))
   }
 
   val orderWideSql: String =
@@ -139,7 +143,8 @@ object Dwm {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  o_totalprice, c_name""".stripMargin
 
   /** Interval join (PaymentWideApp.java:80-92: payment⋈order_wide keyed
     * by order id within [-15 min, 0]). Same shape here: key equality
@@ -158,7 +163,9 @@ object Dwm {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
         col("l_extendedprice"))
-      .orderBy(col("o_orderkey"), col("l_linenumber"))
+      // same non-unique (orderkey, linenumber) caveat as orderWide
+      .orderBy(col("o_orderkey"), col("l_linenumber"), col("ship_date"),
+        col("l_extendedprice"))
 
   val paymentWideSql: String =
     """SELECT o_orderkey, l_linenumber,
@@ -169,5 +176,5 @@ object Dwm {
       |JOIN orders ON l_orderkey = o_orderkey
       |  AND l_shipdate >= o_orderdate
       |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
-      |ORDER BY o_orderkey, l_linenumber""".stripMargin
+      |ORDER BY o_orderkey, l_linenumber, ship_date, l_extendedprice""".stripMargin
 }

@@ -96,4 +96,87 @@ object Multimodal {
        |    SELECT 1 + max(length(text)) // $BlobChunk FROM documents))) AS i) r
        |WHERE length(text) > 0 AND i*$BlobChunk < length(text)
        |ORDER BY doc_id, chunk_no""".stripMargin
+
+  /** Multipart REASSEMBLY — the inverse of [[chunkBinary]]: collect a
+    * blob's chunks, order them, binary-concat, and witness integrity
+    * by comparing md5 of the reassembled payload against md5 of the
+    * original (the object-store multipart-download path). Per-blob
+    * chunk lists are bounded by the blob size, so the collect_list is
+    * per-key bounded — the one shuffle is the per-blob regroup any
+    * reassembly fundamentally needs. */
+  def reassemble(s: SparkSession, d: String): DataFrame = {
+    val payload = encode(col("text"), "utf-8")
+    val nChunks = ceil(octet_length(payload).cast("double") / BlobChunk).cast("int")
+    val chunks = Tables.documents(s, d)
+      .filter(octet_length(payload) > 0)
+      .select(col("doc_id"), md5(payload).as("payload_md5"),
+        posexplode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => substring(payload, (i * BlobChunk + 1).cast("int"), lit(BlobChunk)))))
+      .select(col("doc_id"), col("payload_md5"), col("pos"), col("col").as("chunk"))
+    chunks
+      .groupBy(col("doc_id"), col("payload_md5"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("chunk")))).as("parts"))
+      .select(col("doc_id"), col("payload_md5"),
+        md5(aggregate(col("parts"), lit(Array.empty[Byte]),
+          (acc, p) => concat(acc, p("chunk")))).as("reassembled_md5"))
+      .withColumn("intact",
+        (col("payload_md5") === col("reassembled_md5")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val reassembleSql: String =
+    s"""WITH chunks AS (
+       |  SELECT doc_id, md5(text) AS payload_md5, i AS pos,
+       |    substring(text, i*$BlobChunk + 1, $BlobChunk) AS chunk
+       |  FROM documents, (SELECT unnest(range(0, (
+       |      SELECT 1 + max(length(text)) // $BlobChunk FROM documents))) AS i) r
+       |  WHERE length(text) > 0 AND i*$BlobChunk < length(text))
+       |SELECT doc_id, payload_md5,
+       |  md5(string_agg(chunk, '' ORDER BY pos)) AS reassembled_md5,
+       |  CAST(payload_md5 = md5(string_agg(chunk, '' ORDER BY pos)) AS INTEGER) AS intact
+       |FROM chunks
+       |GROUP BY doc_id, payload_md5
+       |ORDER BY doc_id""".stripMargin
+
+  private val FrameBytes = 128
+
+  /** Frame sampling over "video" payloads: a typed media-metadata
+    * struct (modality, byte length, frame count, frame stride) rides
+    * with the binary column, and every 2nd frame fans out to a row
+    * with its byte offset and an md5 frame witness — the shape a
+    * keyframe-extraction stage feeds to a batched decoder. All column
+    * arithmetic; the payload is never exploded, only sliced. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .withColumn("media", struct(
+        lit("video").as("modality"),
+        octet_length(col("payload")).as("n_bytes"),
+        expr(s"CAST(octet_length(payload) div $FrameBytes AS INT)").as("frames"),
+        lit(FrameBytes).as("frame_bytes")))
+      .filter(col("media.frames") > 0)
+    base
+      .select(col("doc_id"), col("payload"), col("media"),
+        explode(sequence(lit(0), col("media.frames") - 1, lit(2))).as("frame_no"))
+      .select(
+        col("doc_id"),
+        col("media.frames").as("total_frames"),
+        col("frame_no"),
+        (col("frame_no") * FrameBytes).as("byte_offset"),
+        md5(col("payload").substr(
+          col("frame_no") * FrameBytes + 1, lit(FrameBytes))).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val frameSampleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) // $FrameBytes AS INTEGER) AS total_frames,
+       |  CAST(f AS INTEGER) AS frame_no,
+       |  CAST(f * $FrameBytes AS INTEGER) AS byte_offset,
+       |  md5(substring(text, f*$FrameBytes + 1, $FrameBytes)) AS frame_md5
+       |FROM documents, (SELECT unnest(range(0, (
+       |    SELECT 1 + max(length(text)) // $FrameBytes FROM documents), 2)) AS f) r
+       |WHERE length(text) // $FrameBytes > 0 AND f < length(text) // $FrameBytes
+       |ORDER BY doc_id, frame_no""".stripMargin
 }
