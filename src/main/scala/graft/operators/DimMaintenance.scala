@@ -22,23 +22,37 @@ import org.apache.spark.sql.functions._
   */
 object DimMaintenance {
 
+  /** Latest-wins merge that RETAINS each surviving row's (version,
+    * tie, op) — the state form that can be merged again with later,
+    * possibly out-of-order, update batches: a late old update cannot
+    * displace a newer winner, and delete tombstones stay in the state
+    * so a late pre-delete update cannot resurrect a deleted key. */
+  def mergeVersioned(state: DataFrame, updates: DataFrame, keyCol: String,
+    versionCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col(tieCol).desc)
+    state.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Generic latest-wins merge. `snapshot` rows carry implicit version
     * -∞; `updates` rows carry (`versionCol`, `opCol` with 'u'/'d') and
     * the full replacement payload. Ties on version break by `tieCol`
-    * (a unique record id, CDC offset analog) — highest wins.
-    */
+    * (a unique record id, CDC offset analog) — highest wins. The
+    * output is the user-facing snapshot (tombstones applied, bookkeeping
+    * columns dropped); for repeated merging keep [[mergeVersioned]]'s
+    * state form instead. */
   def upsert(snapshot: DataFrame, updates: DataFrame, keyCol: String,
     versionCol: String, tieCol: String, opCol: String): DataFrame = {
     val base = snapshot
       .withColumn(versionCol, lit(Long.MinValue))
       .withColumn(tieCol, lit(Long.MinValue))
       .withColumn(opCol, lit("u"))
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(versionCol).desc, col(tieCol).desc)
-    base.unionByName(updates)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col(opCol) =!= "d")
-      .drop("rn", versionCol, tieCol, opCol)
+    mergeVersioned(base, updates, keyCol, versionCol, tieCol)
+      .filter(col(opCol) =!= "d")
+      .drop(versionCol, tieCol, opCol)
   }
 
   /** Oracled instance: the `part` dim snapshot replayed against a CDC

@@ -223,6 +223,37 @@ object StreamOps {
           .otherwise("c"))
       .filter(col("op") =!= "d")
 
+  /** Continuous dim maintenance — the DimSinkFunction.java analog as a
+    * stream: each micro-batch of CDC updates MERGEs into the running
+    * snapshot via the same latest-version-wins batch operator
+    * (graft.operators.DimMaintenance.upsert), so batch and streaming
+    * dim semantics cannot drift. The reference upserts row-by-row into
+    * Phoenix; here a whole micro-batch merges in one distributed pass
+    * and `onSnapshot` receives the post-merge table (in production: a
+    * write to the dim store / Delta-style table). */
+  def dimUpsertStream(updates: DataFrame, initial: DataFrame,
+    keyCol: String, versionCol: String, tieCol: String, opCol: String)(
+    onSnapshot: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    // state retains (version, tie, op) across batches: late
+    // out-of-order updates can't displace newer winners, and delete
+    // tombstones can't be resurrected by pre-delete stragglers
+    var state = initial
+      .withColumn(versionCol, lit(Long.MinValue))
+      .withColumn(tieCol, lit(Long.MinValue))
+      .withColumn(opCol, lit("u"))
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = graft.operators.DimMaintenance
+          .mergeVersioned(state, batch, keyCol, versionCol, tieCol)
+          .localCheckpoint() // pin the merged state; else the lineage
+                             // re-reads every past batch on each merge
+        onSnapshot(state.filter(col(opCol) =!= "d")
+          .drop(versionCol, tieCol, opCol))
+      }
+      .start()
+  }
+
   /** BaseDBApp dynamic routing: broadcast config decides each record's
     * sink; `foreachBatch` fans one micro-batch out to multiple sinks
     * (the Kafka/HBase split in the reference). `sinkWriter` receives

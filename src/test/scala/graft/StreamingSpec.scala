@@ -307,4 +307,31 @@ class StreamingSpec extends SparkSpec {
       assert(!captured.values.flatten.exists(id => id == 5L || id == 10L))
     } finally q.stop()
   }
+
+  test("streaming dim upsert merges each micro-batch into the running snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long, String)]
+    val initial = Seq((1L, "a"), (2L, "b")).toDF("key", "name")
+    @volatile var last: Map[Long, String] = Map.empty
+    val q = StreamOps.dimUpsertStream(
+      input.toDF().toDF("key", "name", "version", "tie", "op"),
+      initial, "key", "version", "tie", "op") { snap =>
+      last = snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    try {
+      input.addData(Seq((2L, "b2", 10L, 1L, "u"), (3L, "c-new", 1L, 2L, "u")))
+      q.processAllAvailable()
+      assert(last === Map(1L -> "a", 2L -> "b2", 3L -> "c-new"))
+      // later batch: newer version replaces, tombstone deletes, and an
+      // OLDER late version must NOT displace batch 1's winner
+      input.addData(Seq((1L, "dead", 5L, 3L, "d"), (2L, "b-old", 4L, 4L, "u")))
+      q.processAllAvailable()
+      assert(last === Map(2L -> "b2", 3L -> "c-new"))
+      // a pre-delete straggler must not resurrect the tombstoned key
+      input.addData(Seq((1L, "late-resurrect", 3L, 5L, "u")))
+      q.processAllAvailable()
+      assert(last === Map(2L -> "b2", 3L -> "c-new"))
+    } finally q.stop()
+  }
 }
