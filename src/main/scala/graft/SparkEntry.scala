@@ -75,6 +75,7 @@ object SparkEntry {
     "mm_frame_sample"      -> (Multimodal.frameSample _),
     // Event analytics (ADS-adjacent serving shapes)
     "ea_sessionize"        -> (EventAnalytics.sessionize _),
+    "ea_sessionize_chunked" -> (EventAnalytics.sessionizeChunked _),
     "ea_funnel"            -> (EventAnalytics.funnel _),
     "ea_retention"         -> (EventAnalytics.retention _),
     "ea_pivot_counts"      -> (EventAnalytics.pivotCounts _),
@@ -141,6 +142,8 @@ object SparkEntry {
     "mm_reassemble"        -> Multimodal.reassembleSql,
     "mm_frame_sample"      -> Multimodal.frameSampleSql,
     "ea_sessionize"        -> EventAnalytics.sessionizeSql,
+    // the chunked variant must produce IDENTICAL output — same oracle
+    "ea_sessionize_chunked" -> EventAnalytics.sessionizeSql,
     "ea_funnel"            -> EventAnalytics.funnelSql,
     "ea_retention"         -> EventAnalytics.retentionSql,
     "ea_pivot_counts"      -> EventAnalytics.pivotCountsSql,

@@ -53,6 +53,62 @@ object EventAnalytics {
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Hot-key-safe sessionization — identical output to [[sessionize]]
+    * (same oracle), but the per-key SERIAL work drops from O(events)
+    * to O(time-chunks): SURVEY §4's "single key with billions of
+    * events serializes in one partition" limit, closed.
+    *
+    * Time-range pre-chunking: events window within (user_id, chunk)
+    * partitions — a billion-event key spreads across chunks — and the
+    * cross-chunk stitch runs on ONE ROW PER CHUNK:
+    *   1. each chunk-first event's true predecessor is the previous
+    *      non-empty chunk's max timestamp (lag over per-chunk stats);
+    *   2. global session numbers = running count of session starts in
+    *      earlier chunks (again a window over per-chunk stats) + the
+    *      local within-chunk running count.
+    * Both stitch windows scan #chunks rows, not #events. */
+  def sessionizeChunked(s: SparkSession, d: String): DataFrame =
+    sessionizeChunkedDf(Tables.events(s, d), chunkUs = 86400L * 1000000L)
+
+  def sessionizeChunkedDf(events: DataFrame, chunkUs: Long): DataFrame = {
+    // no constraint between chunk size and gap: a chunk-first event's
+    // predecessor is the previous NON-EMPTY chunk's max, so sessions
+    // stitch correctly even across empty chunks
+    val wLocal = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wChunk = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+    val ev = events
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      .withColumn("local_prev", lag(col("ts_us"), 1).over(wLocal))
+    val chunkStats = ev.groupBy(col("user_id"), col("chunk"))
+      .agg(max(col("ts_us")).as("cmax"))
+      .withColumn("prev_cmax", lag(col("cmax"), 1).over(wChunk))
+    val flagged = ev
+      .join(chunkStats.select(col("user_id"), col("chunk"), col("prev_cmax")),
+        Seq("user_id", "chunk"))
+      .withColumn("prev_us", coalesce(col("local_prev"), col("prev_cmax")))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > Sessions.GapUs, 1).otherwise(0))
+      .withColumn("local_seq", sum(col("new_s")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = flagged.groupBy(col("user_id"), col("chunk"))
+      .agg(sum(col("new_s")).as("n_starts"))
+      .withColumn("offset", coalesce(
+        sum(col("n_starts")).over(
+          wChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("chunk"), col("offset"))
+    flagged.join(offsets, Seq("user_id", "chunk"))
+      .withColumn("session_seq", col("offset") + col("local_seq"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        moneySum(col("value")).as("value_sum"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** Ordered funnel view → click → purchase: a user reaches stage N+1
     * only with an event strictly after their stage-N entry. Per-stage
     * reachable-user counts. Three aggregate+join hops, each keyed on
