@@ -31,6 +31,7 @@ object SparkEntry {
     "q_range_join"         -> (AsOfJoin.rangeJoin _),
     // DWD
     "dwd_clean"            -> (Dwd.clean _),
+    "dwd_dirty"            -> (Dwd.dirty _),
     "dwd_split"            -> (Dwd.split _),
     "dwd_new_user_flag"    -> (Dwd.newUserFlag _),
     "dwd_cdc_route"        -> (Dwd.cdcRoute _),
@@ -109,6 +110,7 @@ object SparkEntry {
     // q_approx_distinct / q_hll_presketch: HLL sketches are
     // engine-specific → rows-only + spec (error bound, merge ≡ direct)
     "dwd_clean"            -> Dwd.cleanSql,
+    "dwd_dirty"            -> Dwd.dirtySql,
     "dwd_split"            -> Dwd.splitSql,
     "dwd_new_user_flag"    -> Dwd.newUserFlagSql,
     "dwd_cdc_route"        -> Dwd.cdcRouteSql,

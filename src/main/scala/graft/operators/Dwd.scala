@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
 object Dwd {
 
   /** Parse the JSON-ish `props` payload, drop dirty rows (no parseable
-    * `k`), emit typed columns. Mirrors BaseLogApp.java:52-68 (dirty
-    * side-output); the "dirty" stream is the complement of this filter.
+    * `k`, or an upstream-flagged `error` record), emit typed columns.
+    * Mirrors BaseLogApp.java:52-68: only well-formed page/start/display
+    * records flow downstream; everything else goes to [[dirty]].
+    * `clean` ∪ `dirty` is an exact partition of the input (DwdSpec).
     */
   def clean(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("k", regexp_extract(col("props"), """"k":\s*(\d+)""", 1))
-      .filter(col("k") =!= "")
+      .filter(col("k") =!= "" && col("event_type") =!= "error")
       .select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("k").cast("int").as("k"),
@@ -37,6 +39,42 @@ object Dwd {
       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
       |FROM events
       |WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
+      |  AND event_type <> 'error'
+      |ORDER BY event_id""".stripMargin
+
+  /** The dirty side output itself (BaseLogApp.java:52-63 writes
+    * unparseable records to a `Dirty` OutputTag topic for quarantine).
+    * Exact complement of [[clean]] over the same scan: rows whose
+    * payload has no parseable `k`, or that the upstream SDK flagged as
+    * `error` records, are emitted raw (original payload kept intact
+    * for replay) plus a `reason` column. Both legs share one parquet
+    * scan when composed (DwdSpec asserts the partition property on a
+    * corpus with planted null/empty/garbage payloads). */
+  def dirty(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      // coalesce first: regexp_extract(NULL) is NULL, and NULL = '' is
+      // NULL — a null payload must land in THIS leg, not vanish
+      .filter(regexp_extract(coalesce(col("props"), lit("")), """"k":\s*(\d+)""", 1) === ""
+        || col("event_type") === "error")
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("props").as("raw_payload"),
+        when(col("props").isNull, "null_payload")
+          .when(length(trim(col("props"))) === 0, "empty_payload")
+          .when(regexp_extract(col("props"), """"k":\s*(\d+)""", 1) === "",
+            "unparseable_key")
+          .otherwise("error_flagged").as("reason"))
+      .orderBy(col("event_id"))
+
+  val dirtySql: String =
+    """SELECT event_id, user_id, event_type, props AS raw_payload,
+      |  CASE WHEN props IS NULL THEN 'null_payload'
+      |       WHEN length(trim(props)) = 0 THEN 'empty_payload'
+      |       WHEN regexp_extract(props, '"k":\s*(\d+)', 1) = '' THEN 'unparseable_key'
+      |       ELSE 'error_flagged' END AS reason
+      |FROM events
+      |WHERE regexp_extract(coalesce(props, ''), '"k":\s*(\d+)', 1) = ''
+      |   OR event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
   /** Stream splitting (BaseLogApp.java:110-145 side outputs): route

@@ -99,6 +99,32 @@ class WarehouseOpsSpec extends SparkSpec {
       .filter(!col("p_name").startsWith("upd-")).count() === 0L)
   }
 
+  test("clean/dirty side outputs are an exact partition, dirty keeps raw payloads") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-dirty").toFile.getAbsolutePath
+    val base = 86400L * 1000000000L
+    Seq(
+      (1L, base, 1L, "view", 1.0, """{"k": 5}"""),        // clean
+      (2L, base, 1L, "click", 1.0, null),                  // null payload
+      (3L, base, 2L, "view", 1.0, "   "),                  // empty payload
+      (4L, base, 2L, "view", 1.0, """{"garbage": true}"""), // unparseable key
+      (5L, base, 3L, "error", 1.0, """{"k": 9}"""),        // SDK-flagged error
+      (6L, base, 3L, "signup", 1.0, """{"k": 7}"""))       // clean
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val clean = Dwd.clean(spark, d).collect()
+    val dirty = Dwd.dirty(spark, d).collect()
+    assert(clean.map(_.getLong(0)).toSet === Set(1L, 6L))
+    assert(dirty.map(_.getLong(0)).toSet === Set(2L, 3L, 4L, 5L))
+    // partition: every input row lands in exactly one leg
+    assert(clean.length + dirty.length === 6)
+    val reasons = dirty.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(reasons === Map(2L -> "null_payload", 3L -> "empty_payload",
+      4L -> "unparseable_key", 5L -> "error_flagged"))
+    // raw payload survives untouched for replay
+    assert(dirty.find(_.getLong(0) == 4L).get.getString(3) === """{"garbage": true}""")
+  }
+
   test("product stats full: wide row agrees with independent per-stream computations") {
     val full = Dws.productStatsFull(spark, sf001).collect()
       .map(r => r.getInt(0) -> r).toMap
