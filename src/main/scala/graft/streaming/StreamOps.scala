@@ -202,6 +202,80 @@ object StreamOps {
         col("l.ts").as("order_ts"), col("r.ts").as("detail_ts"))
   }
 
+  /** The streaming order-detail record (lineitem-as-stream analog) for
+    * [[productStatsFullStream]] specs. Top-level: method-local case
+    * classes have no Encoder. */
+  case class LiEvt(order_key: Long, sku: Int, returnflag: String,
+    qty: Double, price: Double, ts: Timestamp)
+
+  /** ProductStatsApp's full wide row as a STREAM — the reference unions
+    * ~7 DataStreams keyed by sku, tumbles, and reduce-merges a bean
+    * whose orderIdSet gives exact distinct orders
+    * (ProductStatsApp.java, bean/ProductStats.java:40).
+    *
+    * Carrying id-sets through state is the anti-scale move, so the
+    * Spark-native form is a TWO-PHASE chained windowed aggregation
+    * (Spark 4 multiple-stateful-operator support):
+    *   1. both sources normalize to one row shape and union; events get
+    *      a synthetic unique negative `okey` so phase 1 is a no-op for
+    *      them, lineitem rows keep their real order key;
+    *   2. phase 1 groups by (window, sku, okey) — per-ORDER partials,
+    *      emitted once the watermark closes the window;
+    *   3. phase 2 re-groups the finalized partials by (window, sku):
+    *      `count(real okey)` IS the exact distinct-order count, and
+    *      `max(has_refund)` per order rolls up to the distinct refund
+    *      count — no HashSet ever lives in state, and state size is
+    *      O(open windows × skus × open orders), watermark-bounded.
+    * Expected input columns — events: (event_id, sku, event_type,
+    * value, ts); lineitem: (order_key, sku, returnflag, qty, price, ts).
+    */
+  def productStatsFullStream(events: DataFrame, lineitem: DataFrame): DataFrame = {
+    val z = lit(0.0)
+    val ev = events.withWatermark("ts", "10 minutes")
+      .select(
+        col("ts"), col("sku"),
+        (-col("event_id") - 1).cast("long").as("okey"),
+        when(col("event_type") === "view", 1).otherwise(0).as("display_pv"),
+        when(col("event_type") === "click", 1).otherwise(0).as("click_pv"),
+        when(col("event_type") === "signup", 1).otherwise(0).as("favor_pv"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("cart_pv"),
+        when(col("event_type") === "purchase", col("value")).otherwise(z).as("pay_amt"),
+        lit(0).as("is_refund"), z.as("qty"), z.as("ord_amt"))
+    val li = lineitem.withWatermark("ts", "10 minutes")
+      .select(
+        col("ts"), col("sku"), col("order_key").as("okey"),
+        lit(0).as("display_pv"), lit(0).as("click_pv"),
+        lit(0).as("favor_pv"), lit(0).as("cart_pv"), z.as("pay_amt"),
+        when(col("returnflag") === "R", 1).otherwise(0).as("is_refund"),
+        col("qty"), col("price").as("ord_amt"))
+    val perOrder = ev.unionByName(li)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("sku"), col("okey"))
+      .agg(
+        sum(col("display_pv")).as("display_pv"), sum(col("click_pv")).as("click_pv"),
+        sum(col("favor_pv")).as("favor_pv"), sum(col("cart_pv")).as("cart_pv"),
+        sum(col("pay_amt")).as("pay_amt"),
+        max(col("is_refund")).as("has_refund"),
+        sum(col("qty")).as("qty"), sum(col("ord_amt")).as("ord_amt"),
+        sum(when(col("is_refund") === 1, col("ord_amt")).otherwise(z)).as("ref_amt"))
+    perOrder
+      .groupBy(col("w"), col("sku"))
+      .agg(
+        sum(col("display_pv")).as("display_ct"), sum(col("click_pv")).as("click_ct"),
+        sum(col("favor_pv")).as("favor_ct"), sum(col("cart_pv")).as("cart_ct"),
+        sum(col("pay_amt")).as("payment_amount"),
+        sum(when(col("okey") >= 0, 1).otherwise(0)).as("order_ct"),
+        sum(col("has_refund")).as("refund_order_ct"),
+        sum(col("qty")).as("order_sku_num"),
+        sum(col("ord_amt")).as("order_amount"),
+        sum(col("ref_amt")).as("refund_amount"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("sku"), col("display_ct"), col("click_ct"), col("favor_ct"),
+        col("cart_ct"), col("payment_amount"), col("order_ct"),
+        col("refund_order_ct"), col("order_sku_num"), col("order_amount"),
+        col("refund_amount"))
+  }
+
   /** Running GMV (the publisher's getGMV served continuously): global
     * per-day sums maintained across micro-batches, emitted in Update
     * mode — the Spark analog of the ClickHouse table the reference

@@ -188,6 +188,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("productStatsFullStream: two-phase chained agg gives exact distinct orders") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = MemoryStream[Evt]
+    val li = MemoryStream[LiEvt]
+    val events = ev.toDF().withColumn("sku", col("user_id").cast("int"))
+    val q = StreamOps.productStatsFullStream(events, li.toDF())
+      .writeStream.format("memory").queryName("psf").outputMode("append").start()
+    try {
+      ev.addData(Seq(
+        Evt(1, 7, "view", 2.0, ts(5)),
+        Evt(2, 7, "click", 3.0, ts(10)),
+        Evt(3, 7, "purchase", 40.0, ts(20)),
+        Evt(4, 9, "signup", 1.0, ts(30))))
+      li.addData(Seq(
+        LiEvt(100, 7, "N", 1.0, 10.0, ts(5)),
+        LiEvt(100, 7, "R", 2.0, 20.0, ts(6)), // same order, R row → refund
+        LiEvt(101, 7, "N", 3.0, 30.0, ts(7)),
+        LiEvt(100, 9, "N", 1.0, 5.0, ts(8)))) // same order, other sku
+      q.processAllAvailable()
+      // order 100 keeps arriving in a LATER micro-batch, same window:
+      // the per-order partial in state must absorb it, not double-count
+      li.addData(Seq(LiEvt(100, 7, "N", 1.0, 15.0, ts(40))))
+      q.processAllAvailable()
+      // advance both inputs' watermarks past the window end
+      ev.addData(Seq(Evt(99, 1, "view", 0, ts(200))))
+      li.addData(Seq(LiEvt(999, 1, "N", 0, 0, ts(200))))
+      q.processAllAvailable()
+      val rows = spark.table("psf").collect()
+        .filter(_.getString(0) == "1970-01-02 00:00:00")
+        .map(r => r.getInt(1) -> r).toMap
+      assert(rows.keySet === Set(7, 9))
+      val s7 = rows(7)
+      // display, click, favor, cart
+      assert((s7.getLong(2), s7.getLong(3), s7.getLong(4), s7.getLong(5)) === ((1L, 1L, 0L, 1L)))
+      assert(s7.getDouble(6) === 40.0)  // payment from the purchase event
+      assert(s7.getLong(7) === 2L)      // orders 100, 101 — exact distinct
+      assert(s7.getLong(8) === 1L)      // only order 100 has an R row
+      assert(s7.getDouble(9) === 7.0)   // qty 1+2+1+3
+      assert(s7.getDouble(10) === 75.0) // amount 10+20+15+30
+      assert(s7.getDouble(11) === 20.0) // refund amount = R rows only
+      val s9 = rows(9)
+      assert((s9.getLong(4), s9.getLong(7), s9.getLong(8)) === ((1L, 1L, 0L)))
+      assert(s9.getDouble(10) === 5.0)
+    } finally q.stop()
+  }
+
   test("intervalJoin matches details within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
