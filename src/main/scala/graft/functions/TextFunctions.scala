@@ -23,13 +23,22 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     coalesce(regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")), lit(0))
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space). */
+  /** Word n-gram shingles (n consecutive tokens joined by a space).
+    *
+    * Formulated as a zip of n shifted slices, NOT as
+    * `transform(sequence(...), i => slice(toks, i+1, n))`: a lambda
+    * body that references an outer expression SUBTREE re-evaluates the
+    * whole subtree per element, so the sequence form re-tokenizes the
+    * document once per shingle position — measured 5× slower at sf0.1
+    * (2.0 s vs 0.4 s for the shingle projection alone). The zip form
+    * evaluates the token array n+1 times per ROW and the lambda only
+    * touches the zipped struct fields. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    val z = arrays_zip((0 until n).map(i => slice(toks, lit(i + 1), len).as(s"g$i")): _*)
     when(size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      transform(z, s => concat_ws(" ", (0 until n).map(i => s(s"g$i")): _*)))
       .otherwise(array().cast("array<string>"))
   }
 

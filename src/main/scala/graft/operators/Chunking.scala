@@ -15,10 +15,15 @@ object Chunking {
   private val Stride = 32 // 50% overlap — the usual LLM-pretraining split
 
   /** Split each document into overlapping token windows. One chunk row
-    * per (doc, window); short tails kept (truncated, never padded). */
+    * per (doc, window); short tails kept (truncated, never padded).
+    * Tokens are materialized as a column FIRST: a transform lambda
+    * slicing an expression subtree would re-tokenize the document per
+    * window (see TextFunctions.shingles); slicing a bound attribute is
+    * a row-field read. */
   def chunk(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks")
     Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
       .filter(size(toks) > 0)
       .select(
         col("doc_id"),
@@ -74,8 +79,13 @@ object Chunking {
   def ngramFreq(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("ngram"))
+      // explicit two-level distinct instead of countDistinct: the
+      // Expand-based distinct-agg plan doubles the exploded stream
+      // before its shuffle; aggregating (ngram, doc) pairs first gets
+      // map-side combine AND ships each pair once
+      .groupBy(col("ngram"), col("doc_id")).agg(count(lit(1)).as("ct"))
       .groupBy(col("ngram"))
-      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_ct"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("ct")).as("total_ct"))
       .orderBy(col("doc_freq").desc, col("total_ct").desc, col("ngram"))
       .limit(100)
 
