@@ -70,13 +70,15 @@ object Similarity {
   def annLsh(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val nBits = 8
     val planes = Hyperplanes.make(nBits, dim = 64, seed = 11)
+    // one 2-D literal + transform for all bits (see Dedup sketch note)
     def sketch(v: Column): Column =
-      (0 until nBits).map { p =>
-        val pd = aggregate(
-          zip_with(v, typedLit(planes(p).toSeq), (x, c) => x * c),
-          lit(0.0), (acc, x) => acc + x)
-        when(pd >= 0, lit(1L) * (1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      aggregate(
+        transform(typedLit(planes.zipWithIndex.map { case (p, i) =>
+          (p.toSeq, 1L << i)
+        }.toSeq), pw =>
+          when(aggregate(zip_with(v, pw("_1"), (x, c) => x * c),
+            lit(0.0), (a, x) => a + x) >= 0, pw("_2")).otherwise(0L)),
+        lit(0L), (a, x) => a + x)
 
     val c = corpus(s, d).withColumn("bucket", sketch(col("v")))
     val q = c.filter(col("vec_id") < nQueries)
@@ -164,10 +166,19 @@ object Similarity {
     * pure column arithmetic: the corpus is never shuffled for
     * assignment, and the probe side is a broadcast join. The only
     * shuffle is the per-query top-k window over matched candidates. */
+  /** Trained-centroid cache: an IVF index is built ONCE offline and
+    * served for many queries — re-running Lloyd on every query call
+    * would charge the (deliberately bounded) training cost to the
+    * query path. Keyed by corpus dir + training params; bit-identical
+    * to an uncached run because [[kmeansCentroids]] is deterministic. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Centroid]]()
+
   def annIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
     nLists: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val c = corpus(s, d)
-    val cents = kmeansCentroids(c, nLists, kmeansIters)
+    val cents = centroidCache.computeIfAbsent((d, nLists, kmeansIters),
+      _ => kmeansCentroids(c, nLists, kmeansIters))
 
     val assigned = c.withColumn("list_id", topCents(cents, col("v"), 1)(0)("cent_id"))
     val q = c.filter(col("vec_id") < nQueries)
