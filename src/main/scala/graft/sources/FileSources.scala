@@ -57,4 +57,19 @@ object FileSources {
     * topic analog for replay/testing). */
   def jsonLinesStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)
+
+  /** ORC sink — the second columnar interchange format (some warehouse
+    * deployments standardize on ORC; the engine shouldn't care).
+    * Same partitioning discipline as the parquet sink. */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+    maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.write.mode("overwrite").option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  /** ORC source. Filter pushdown and column pruning work exactly as
+    * for parquet (FileSourcesSpec asserts pushed filters reach the
+    * scan), so operators are format-agnostic. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -44,6 +44,26 @@ class FileSourcesSpec extends SparkSpec {
       s"day filter did not reach the scan's partition filters: $scan")
   }
 
+  test("orc sink/source round-trips with filter pushdown at the scan") {
+    val out = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath
+    val df = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    FileSources.writeOrc(df, out)
+    val back = FileSources.orc(spark, out)
+    assert(back.count() === df.count())
+    // identical aggregate through either format
+    val viaOrc = back.filter(col("l_returnflag") === "R")
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    val viaParquet = df.filter(col("l_returnflag") === "R")
+      .agg(sum(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(viaOrc === viaParquet)
+    // the predicate must reach the ORC scan as a pushed filter
+    val scan = back.filter(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters: [") && scan.contains("l_returnflag"),
+      s"returnflag filter not pushed to the ORC scan: $scan")
+  }
+
   test("csv source reads with explicit schema, no inference pass") {
     val dir = Files.createTempDirectory("graft-csv").toFile
     val f = new java.io.File(dir, "in.csv")
