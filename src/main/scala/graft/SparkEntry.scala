@@ -28,6 +28,7 @@ object SparkEntry {
     "q_hll_presketch"      -> (Sketches.hllPreAgg _),
     "q_grouping_sets"      -> (Relational.groupingSets _),
     "q_asof_join"          -> (AsOfJoin.purchaseAsOfView _),
+    "q_asof_join_chunked"  -> (AsOfJoin.purchaseAsOfViewChunked _),
     "q_range_join"         -> (AsOfJoin.rangeJoin _),
     // DWD
     "dwd_clean"            -> (Dwd.clean _),
@@ -104,6 +105,8 @@ object SparkEntry {
     "pipeline_decontam"    -> Chunking.decontaminateSql,
     "ann_bruteforce"       -> Similarity.annBruteforceSql,
     "q_asof_join"          -> AsOfJoin.purchaseAsOfViewSql,
+    // chunked variant must produce IDENTICAL output — same oracle
+    "q_asof_join_chunked"  -> AsOfJoin.purchaseAsOfViewSql,
     "q_range_join"         -> AsOfJoin.rangeJoinSql,
     "text_chunk"           -> Chunking.chunkSql,
     "text_pii_scrub"       -> Chunking.piiScrubSql,

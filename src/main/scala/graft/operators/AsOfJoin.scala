@@ -53,6 +53,72 @@ object AsOfJoin {
     }.drop("_tag", "_p")
   }
 
+  /** Hot-key-safe as-of join — identical output to [[asOf]] (shares
+    * its oracle), with per-key SERIAL work dropped from O(rows) to
+    * O(time-chunks): the same mitigation recipe as
+    * EventAnalytics.sessionizeChunked, applied to the MERGE form.
+    *
+    *   1. the tagged union windows within (key, chunk) partitions, so
+    *      a billion-row key spreads across chunks;
+    *   2. each chunk's final carried payload is reduced to ONE row per
+    *      chunk (`max_by` over the chunk), and the payload entering a
+    *      chunk is the last non-empty final among EARLIER chunks —
+    *      a window over chunk rows, not event rows;
+    *   3. a row's as-of payload = its within-chunk carry, else the
+    *      chunk's incoming carry.
+    * Empty chunks and runs of right-free chunks stitch correctly
+    * because the incoming-carry window skips nulls. */
+  def asOfChunked(left: DataFrame, rightRaw: DataFrame, key: String, ts: String,
+    payloadCols: Seq[String], chunkSize: Long): DataFrame = {
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty,
+      s"asOf payload columns collide with left columns: ${overlap.mkString(", ")}")
+    val right = rightRaw.select((Seq(key, ts) ++ payloadCols).map(col): _*)
+    val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val l2 = left.withColumn("_tag", lit(1))
+      .withColumn("_p", lit(null).cast(right.select(payloadStruct).schema.head.dataType))
+    val r2 = extraLeft.foldLeft(
+      right.withColumn("_tag", lit(0)).withColumn("_p", payloadStruct)
+        .drop(payloadCols: _*)) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val u = l2.unionByName(r2)
+      .withColumn("_chunk", (col(ts) / chunkSize).cast("long"))
+    val wLocal = Window.partitionBy(col(key), col("_chunk"))
+      .orderBy(col(ts), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("_pc", last(col("_p"), ignoreNulls = true).over(wLocal))
+    // one row per (key, chunk): the carry leaving that chunk
+    val chunkLast = local.groupBy(col(key), col("_chunk"))
+      .agg(max_by(col("_pc"), struct(col(ts), col("_tag"))).as("_clast"))
+    val wChunk = Window.partitionBy(col(key)).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val incoming = chunkLast
+      .withColumn("_pin", last(col("_clast"), ignoreNulls = true).over(wChunk))
+      .select(col(key), col("_chunk"), col("_pin"))
+    val stitched = local.join(incoming, Seq(key, "_chunk"))
+      .withColumn("_p", coalesce(col("_pc"), col("_pin")))
+    payloadCols.foldLeft(stitched.filter(col("_tag") === 1)) { (df, c) =>
+      df.withColumn(c, col("_p").getField(c))
+    }.drop("_tag", "_p", "_pc", "_pin", "_chunk")
+  }
+
+  /** [[purchaseAsOfView]] through the chunked path — must produce the
+    * identical result (same oracle; day-sized chunks). */
+  def purchaseAsOfViewChunked(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"))
+    asOfChunked(purchases, views, key = "user_id", ts = "ts_us",
+      payloadCols = Seq("view_id"), chunkSize = 86400L * 1000000L)
+      .select(col("purchase_id"), col("user_id"), col("view_id"), col("purchase_value"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Inventory entry: each purchase event picks up the user's most
     * recent prior (or simultaneous) view event — "what was the user
     * looking at when they bought". */

@@ -175,7 +175,24 @@ object Dws {
         dec(col("l_extendedprice")).as("ord_amt"),
         when(col("l_returnflag") === "R", dec(col("l_extendedprice")))
           .otherwise(decZero).as("ref_amt"))
+    // two-level distinct, same shape as the streaming mirror: level 1
+    // groups by (sku, order_key) — event rows all carry a NULL key, so
+    // they collapse into one partial row per sku — and level 2 counts
+    // the finalized non-null partials as the exact distinct orders.
+    // The double-countDistinct Expand plan would triple the unioned
+    // stream before its shuffle.
     ev.unionByName(li)
+      .groupBy(col("sku"), col("order_key"))
+      .agg(
+        sum(col("display_pv")).as("display_pv"),
+        sum(col("click_pv")).as("click_pv"),
+        sum(col("favor_pv")).as("favor_pv"),
+        sum(col("cart_pv")).as("cart_pv"),
+        sum(col("pay_amt")).as("pay_amt"),
+        max(when(col("refund_key").isNotNull, 1).otherwise(0)).as("has_refund"),
+        sum(col("qty")).as("qty"),
+        sum(col("ord_amt")).as("ord_amt"),
+        sum(col("ref_amt")).as("ref_amt"))
       .groupBy(col("sku"))
       .agg(
         sum(col("display_pv")).as("display_ct"),
@@ -183,8 +200,8 @@ object Dws {
         sum(col("favor_pv")).as("favor_ct"),
         sum(col("cart_pv")).as("cart_ct"),
         sum(col("pay_amt")).cast("double").as("payment_amount"),
-        countDistinct(col("order_key")).as("order_ct"),
-        countDistinct(col("refund_key")).as("refund_order_ct"),
+        count(col("order_key")).as("order_ct"),
+        sum(when(col("order_key").isNotNull, col("has_refund")).otherwise(0)).as("refund_order_ct"),
         sum(col("qty")).cast("double").as("order_sku_num"),
         sum(col("ord_amt")).cast("double").as("order_amount"),
         sum(col("ref_amt")).cast("double").as("refund_amount"))

@@ -240,6 +240,11 @@ object Relational {
     * sketch); the spec bounds its error against the exact count. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      // HLL state is set-like (duplicate-insensitive), so sketching the
+      // pre-deduped (group, key) pairs gives the IDENTICAL estimate —
+      // and the exact count becomes a count of finalized partials. One
+      // map-side-combined shuffle, no countDistinct Expand doubling.
+      .groupBy(col("l_returnflag"), col("l_orderkey")).agg(lit(1).as("one"))
       .groupBy(col("l_returnflag"))
       .agg(
         // rsd 0.02 (p=12, ~4 KB registers): rsd 0.01 would octuple the
@@ -247,7 +252,7 @@ object Relational {
         // seconds of JIT per executor — measured 8.7 s cold vs 0.6 s
         // here at sf0.1, for precision the 5% spec bound never needs
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        count(lit(1)).as("exact_orders"))
       .orderBy(col("l_returnflag"))
 
   /** GROUPING SETS beyond rollup: independent (region) and (segment)

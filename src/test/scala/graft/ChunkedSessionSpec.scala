@@ -21,6 +21,47 @@ class ChunkedSessionSpec extends SparkSpec {
     }
   }
 
+  test("chunked as-of join == plain as-of at several chunk sizes (incl. corpus)") {
+    import graft.operators.AsOfJoin
+    val plain = AsOfJoin.purchaseAsOfView(spark, sf0001).collect().toSeq
+    Seq(3600L * 1000000L, 660L * 1000000L).foreach { chunkUs =>
+      val ev = Tables.events(spark, sf0001)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"))
+      val chunked = AsOfJoin.asOfChunked(purchases, views, "user_id", "ts_us",
+        Seq("view_id"), chunkUs)
+        .select(col("purchase_id"), col("user_id"), col("view_id"), col("purchase_value"))
+        .orderBy(col("purchase_id")).collect().toSeq
+      assert(chunked === plain, s"mismatch at chunkUs=$chunkUs")
+    }
+  }
+
+  test("chunked as-of carries payloads across empty and right-free chunks") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // chunk size 100: right at t=50 (chunk 0); lefts at t=150 (chunk 1,
+    // right-free), t=460 (chunk 4, after empty chunks 2-3); a same-ts
+    // pair at t=500 (ties match); a left BEFORE any right at t=10
+    val left = Seq((1L, 10L, 100L), (1L, 150L, 101L), (1L, 460L, 102L),
+      (1L, 500L, 103L), (2L, 300L, 200L))
+      .toDF("k", "t", "left_id")
+    val right = Seq((1L, 50L, 900L), (1L, 500L, 901L), (2L, 299L, 902L))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asOfChunked(left, right, "k", "t", Seq("rv"), 100L)
+      .select("left_id", "rv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(100L -> -1L, 101L -> 900L, 102L -> 900L,
+      103L -> 901L, 200L -> 902L))
+    // and equals the plain path on the same input
+    val plain = AsOfJoin.asOf(left, right, "k", "t", Seq("rv"))
+      .select("left_id", "rv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === plain)
+  }
+
   test("sessions stitch across boundaries and over empty chunks") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-chunks").toFile.getAbsolutePath
