@@ -30,8 +30,12 @@ object PlanAudit {
         Dedup.minhashLsh(spark, d)),
       ("dedup_ngram_jaccard", "in-row array_distinct (no distinct shuffle); self-join output IS the intersection stream (groupBy count, no candidate re-join); hot branch zero rows on df-uniform corpora",
         Dedup.ngramJaccard(spark, d)),
-      ("dws_product_stats_full", "two pruned scans union into ONE hash agg with map-side partials; distinct order counts expand to the two-phase plan",
+      ("dws_product_stats_full", "two pruned scans union into a (sku, order) partial agg then a per-sku rollup — explicit two-level distinct, no Expand doubling; event rows collapse into one NULL-key partial per sku",
         Dws.productStatsFull(spark, d)),
+      ("q_quantile", "exact percentiles with bounded state: (group, value) counts pre-agg with map-side combine, cumulative-distribution window, conditional-agg neighbor pick — no per-group value buffers",
+        Relational.quantiles(spark, d)),
+      ("q_asof_join_chunked", "hot-key-safe as-of: (key, chunk) local windows, per-chunk carry row, chunk-granular incoming-carry window — serial work O(chunks) per key",
+        AsOfJoin.purchaseAsOfViewChunked(spark, d)),
       ("dwd_cdc_ops", "op filter + payload pruning BEFORE the broadcast-config join; scan stays pruned to the payload columns",
         Dwd.cdcOps(spark, d)),
       ("dim_upsert", "snapshot ∪ updates shuffles ONCE on the dim key into a single window pass (latest-wins MERGE)",
