@@ -301,10 +301,16 @@ object Dws {
     * so both the window assignment and the aggregate are verified. */
   def productStatsWindowed(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .groupBy(window(col("l_shipdate"), "30 days").as("w"), col("l_partkey"))
+      // two-level distinct (the streaming mirror's shape): per-order
+      // partials with map-side combine, then count of partials — no
+      // countDistinct Expand doubling the scan output
+      .groupBy(window(col("l_shipdate"), "30 days").as("w"), col("l_partkey"),
+        col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("amt"))
+      .groupBy(col("w"), col("l_partkey"))
       .agg(
-        countDistinct(col("l_orderkey")).as("order_ct"),
-        moneySum(col("l_extendedprice")).as("order_amount"))
+        count(lit(1)).as("order_ct"),
+        sum(col("amt")).cast("double").as("order_amount"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
