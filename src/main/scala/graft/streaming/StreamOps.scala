@@ -139,6 +139,62 @@ object StreamOps {
       }
   }
 
+  /** Pending session-entry candidate for [[jumpDetectStrict]]. */
+  case class StrictPending(eventId: Long, tsMs: Long)
+
+  /** The reference's EXACT CEP bounce pattern as a stream
+    * (UserJumpDetailApp.java:84-95: session-entry `.times(2)
+    * .consecutive().within(10 s)` plus the timeout side output):
+    * an entry event is a bounce iff the user's next event is ANOTHER
+    * entry within 10 s (matched pair → first fires), or no event at
+    * all arrives within 10 s (timeout → the pending candidate fires).
+    * A non-entry event within 10 s kills the candidate — that's the
+    * `consecutive()` strictness. Semantics are identical to the batch
+    * `Dwm.userJumpStrict` (the spec drives the same planted scenarios
+    * through both). State is one candidate per key; the event-time
+    * timeout plays Flink CEP's PatternTimeoutFunction. */
+  def jumpDetectStrict(ds: Dataset[Evt]): Dataset[Jump] = {
+    import ds.sparkSession.implicits._
+    val WinMs = 10000L
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StrictPending, Jump](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, events, state: GroupState[StrictPending]) =>
+          if (!events.hasNext && state.hasTimedOut) {
+            // nothing followed the candidate inside the window: bounce
+            val out = state.getOption.map(p => Jump(p.eventId, uid, p.tsMs))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var pending = state.getOption
+            val out = Seq.newBuilder[Jump]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val isEntry = e.event_type == "signup"
+              pending match {
+                case Some(StrictPending(pid, pts)) =>
+                  if (t - pts > WinMs) out += Jump(pid, uid, pts) // timeout in-stream
+                  else if (isEntry) out += Jump(pid, uid, pts)    // consecutive pair
+                  // else: followed within 10 s by a non-entry → real visit
+                case None => ()
+              }
+              pending = if (isEntry) Some(StrictPending(e.event_id, t)) else None
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(p.tsMs + WinMs + 1)
+              case None =>
+                // a stale candidate's timeout must never fire
+                if (state.exists) state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` repeats
     * within the watermark horizon (at-least-once upstream → effectively-
     * once downstream, the Kafka-redelivery guard). State is bounded by

@@ -188,6 +188,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jumpDetectStrict: exact CEP pairs, strict-consecutive kills, timeout fires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.jumpDetectStrict(input.toDS()).writeStream.format("memory")
+      .queryName("strict").outputMode("append").start()
+    try {
+      // the WarehouseOpsSpec planted scenarios, split across batches so
+      // candidates must survive in state (ts() is minutes; in-stream
+      // gaps beyond 10s resolve on the next event)
+      input.addData(Seq(
+        Evt(1, 1, "signup", 0, ts(0)),   // entry, view follows at +5min → in-stream timeout
+        Evt(3, 2, "signup", 0, ts(0)),   // entry
+        Evt(5, 3, "signup", 0, ts(0)),   // entry, view follows 5s later → killed
+        Evt(6, 3, "view", 0, new java.sql.Timestamp(ts(0).getTime + 5000)),
+        Evt(7, 4, "view", 0, ts(0)),     // never an entry → never a candidate
+        Evt(8, 5, "signup", 0, ts(0)))) // entry, nothing ever follows → timeout
+      q.processAllAvailable()
+      input.addData(Seq(
+        Evt(4, 2, "signup", 0, new java.sql.Timestamp(ts(0).getTime + 5000)), // pair with 3 (cross-batch)
+        Evt(2, 1, "view", 0, ts(5)))) // 5 min after entry 1 → in-stream timeout for 1
+      q.processAllAvailable()
+      // advance the watermark far past every pending timeout
+      input.addData(Seq(Evt(99, 9, "view", 0, ts(700))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(100, 9, "view", 0, ts(710))))
+      q.processAllAvailable()
+      val jumps = spark.table("strict").collect().map(_.getLong(0)).toSet
+      // same verdicts as the batch strict op on these scenarios:
+      // 1 (timeout), 3 (consecutive pair), 4 (timeout), 8 (timeout);
+      // NOT 5 (killed by the 5s view), NOT 7 (not an entry)
+      assert(jumps === Set(1L, 3L, 4L, 8L))
+    } finally q.stop()
+  }
+
   test("productStatsFullStream: two-phase chained agg gives exact distinct orders") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
