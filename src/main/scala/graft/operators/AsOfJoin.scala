@@ -26,8 +26,14 @@ object AsOfJoin {
     * then tests "was there a right row", not "was the payload value
     * non-null" — a right row whose payload IS null still wins over an
     * older non-null one, matching true ASOF semantics. */
-  def asOf(left: DataFrame, rightRaw: DataFrame, key: String, ts: String,
-    payloadCols: Seq[String]): DataFrame = {
+  /** Shared MERGE-form setup for [[asOf]] / [[asOfChunked]]: project
+    * the right side to its contract columns, ride the payloads in ONE
+    * struct column (`_p` non-null ⇔ "this is a right row", so a right
+    * row whose payload VALUE is null still wins over an older non-null
+    * one), tag left=1 / right=0 (rights sort first at equal ts → ties
+    * match), and union by name with null-typed fillers. */
+  private def taggedUnion(left: DataFrame, rightRaw: DataFrame, key: String,
+    ts: String, payloadCols: Seq[String]): DataFrame = {
     val overlap = payloadCols.toSet.intersect(left.columns.toSet)
     require(overlap.isEmpty,
       s"asOf payload columns collide with left columns: ${overlap.mkString(", ")}")
@@ -36,7 +42,6 @@ object AsOfJoin {
     val right = rightRaw.select((Seq(key, ts) ++ payloadCols).map(col): _*)
     val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == ts)
     val payloadStruct = struct(payloadCols.map(col): _*)
-    // tag=0 sorts right rows first at equal ts so same-ts rights match
     val l2 = left.withColumn("_tag", lit(1))
       .withColumn("_p", lit(null).cast(right.select(payloadStruct).schema.head.dataType))
     val r2 = extraLeft.foldLeft(
@@ -44,13 +49,22 @@ object AsOfJoin {
         .drop(payloadCols: _*)) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
+    l2.unionByName(r2)
+  }
+
+  /** Extract the carried payload fields back out and keep left rows. */
+  private def extractPayload(df: DataFrame, payloadCols: Seq[String]): DataFrame =
+    payloadCols.foldLeft(df.filter(col("_tag") === 1)) { (acc, c) =>
+      acc.withColumn(c, col("_p").getField(c))
+    }
+
+  def asOf(left: DataFrame, rightRaw: DataFrame, key: String, ts: String,
+    payloadCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l2.unionByName(r2)
+    val carried = taggedUnion(left, rightRaw, key, ts, payloadCols)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
-    payloadCols.foldLeft(carried.filter(col("_tag") === 1)) { (df, c) =>
-      df.withColumn(c, col("_p").getField(c))
-    }.drop("_tag", "_p")
+    extractPayload(carried, payloadCols).drop("_tag", "_p")
   }
 
   /** Hot-key-safe as-of join — identical output to [[asOf]] (shares
@@ -70,20 +84,7 @@ object AsOfJoin {
     * because the incoming-carry window skips nulls. */
   def asOfChunked(left: DataFrame, rightRaw: DataFrame, key: String, ts: String,
     payloadCols: Seq[String], chunkSize: Long): DataFrame = {
-    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
-    require(overlap.isEmpty,
-      s"asOf payload columns collide with left columns: ${overlap.mkString(", ")}")
-    val right = rightRaw.select((Seq(key, ts) ++ payloadCols).map(col): _*)
-    val extraLeft = left.columns.toSeq.filterNot(c => c == key || c == ts)
-    val payloadStruct = struct(payloadCols.map(col): _*)
-    val l2 = left.withColumn("_tag", lit(1))
-      .withColumn("_p", lit(null).cast(right.select(payloadStruct).schema.head.dataType))
-    val r2 = extraLeft.foldLeft(
-      right.withColumn("_tag", lit(0)).withColumn("_p", payloadStruct)
-        .drop(payloadCols: _*)) { (df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
-    val u = l2.unionByName(r2)
+    val u = taggedUnion(left, rightRaw, key, ts, payloadCols)
       .withColumn("_chunk", (col(ts) / chunkSize).cast("long"))
     val wLocal = Window.partitionBy(col(key), col("_chunk"))
       .orderBy(col(ts), col("_tag"))
@@ -99,9 +100,8 @@ object AsOfJoin {
       .select(col(key), col("_chunk"), col("_pin"))
     val stitched = local.join(incoming, Seq(key, "_chunk"))
       .withColumn("_p", coalesce(col("_pc"), col("_pin")))
-    payloadCols.foldLeft(stitched.filter(col("_tag") === 1)) { (df, c) =>
-      df.withColumn(c, col("_p").getField(c))
-    }.drop("_tag", "_p", "_pc", "_pin", "_chunk")
+    extractPayload(stitched, payloadCols)
+      .drop("_tag", "_p", "_pc", "_pin", "_chunk")
   }
 
   /** [[purchaseAsOfView]] through the chunked path — must produce the

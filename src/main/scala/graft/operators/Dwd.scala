@@ -26,7 +26,10 @@ object Dwd {
   def clean(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("k", regexp_extract(col("props"), """"k":\s*(\d+)""", 1))
-      .filter(col("k") =!= "" && col("event_type") =!= "error")
+      // null-safe: a NULL event_type must land in dirty, not vanish
+      // from both legs (x =!= 'error' alone is NULL for NULL x)
+      .filter(col("k") =!= "" && col("event_type").isNotNull
+        && col("event_type") =!= "error")
       .select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("k").cast("int").as("k"),
@@ -39,7 +42,7 @@ object Dwd {
       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
       |FROM events
       |WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''
-      |  AND event_type <> 'error'
+      |  AND event_type IS NOT NULL AND event_type <> 'error'
       |ORDER BY event_id""".stripMargin
 
   /** The dirty side output itself (BaseLogApp.java:52-63 writes
@@ -55,7 +58,7 @@ object Dwd {
       // coalesce first: regexp_extract(NULL) is NULL, and NULL = '' is
       // NULL — a null payload must land in THIS leg, not vanish
       .filter(regexp_extract(coalesce(col("props"), lit("")), """"k":\s*(\d+)""", 1) === ""
-        || col("event_type") === "error")
+        || col("event_type").isNull || col("event_type") === "error")
       .select(
         col("event_id"), col("user_id"), col("event_type"),
         col("props").as("raw_payload"),
@@ -63,6 +66,7 @@ object Dwd {
           .when(length(trim(col("props"))) === 0, "empty_payload")
           .when(regexp_extract(col("props"), """"k":\s*(\d+)""", 1) === "",
             "unparseable_key")
+          .when(col("event_type").isNull, "null_event_type")
           .otherwise("error_flagged").as("reason"))
       .orderBy(col("event_id"))
 
@@ -71,10 +75,11 @@ object Dwd {
       |  CASE WHEN props IS NULL THEN 'null_payload'
       |       WHEN length(trim(props)) = 0 THEN 'empty_payload'
       |       WHEN regexp_extract(props, '"k":\s*(\d+)', 1) = '' THEN 'unparseable_key'
+      |       WHEN event_type IS NULL THEN 'null_event_type'
       |       ELSE 'error_flagged' END AS reason
       |FROM events
       |WHERE regexp_extract(coalesce(props, ''), '"k":\s*(\d+)', 1) = ''
-      |   OR event_type = 'error'
+      |   OR event_type IS NULL OR event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
   /** Stream splitting (BaseLogApp.java:110-145 side outputs): route

@@ -158,6 +158,21 @@ object Similarity {
     cents
   }
 
+  /** Trained-centroid cache: an IVF index is built ONCE offline and
+    * served for many queries — re-running Lloyd on every query call
+    * would charge the (deliberately bounded) training cost to the
+    * query path. Keyed by corpus dir + training params, which assumes
+    * corpus paths are immutable/versioned (the warehouse convention —
+    * a rewritten-in-place corpus must call [[clearCentroidCache]]).
+    * Bit-identical to an uncached run: [[kmeansCentroids]] is
+    * deterministic. Training runs OUTSIDE any map lock (worst case two
+    * racing callers both train and one result wins). */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Centroid]]()
+
+  /** Drop every cached IVF index (after overwriting a corpus path). */
+  def clearCentroidCache(): Unit = centroidCache.clear()
+
   /** IVF-style ANN: the corpus is partitioned into `nLists` inverted
     * lists by nearest centroid; a query scans only the `nProbe`
     * closest lists. Centroids come from [[kmeansCentroids]] (a few
@@ -166,19 +181,15 @@ object Similarity {
     * pure column arithmetic: the corpus is never shuffled for
     * assignment, and the probe side is a broadcast join. The only
     * shuffle is the per-query top-k window over matched candidates. */
-  /** Trained-centroid cache: an IVF index is built ONCE offline and
-    * served for many queries — re-running Lloyd on every query call
-    * would charge the (deliberately bounded) training cost to the
-    * query path. Keyed by corpus dir + training params; bit-identical
-    * to an uncached run because [[kmeansCentroids]] is deterministic. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Centroid]]()
-
   def annIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
     nLists: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val c = corpus(s, d)
-    val cents = centroidCache.computeIfAbsent((d, nLists, kmeansIters),
-      _ => kmeansCentroids(c, nLists, kmeansIters))
+    val key = (d, nLists, kmeansIters)
+    val cents = Option(centroidCache.get(key)).getOrElse {
+      val trained = kmeansCentroids(c, nLists, kmeansIters)
+      centroidCache.putIfAbsent(key, trained)
+      centroidCache.get(key)
+    }
 
     val assigned = c.withColumn("list_id", topCents(cents, col("v"), 1)(0)("cent_id"))
     val q = c.filter(col("vec_id") < nQueries)

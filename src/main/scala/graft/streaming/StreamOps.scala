@@ -139,8 +139,11 @@ object StreamOps {
       }
   }
 
-  /** Pending session-entry candidate for [[jumpDetectStrict]]. */
-  case class StrictPending(eventId: Long, tsMs: Long)
+  /** Buffered event / pending candidate / per-key state for
+    * [[jumpDetectStrict]] — top-level for Encoder derivation. */
+  case class CepEvt(eventId: Long, tsUs: Long, isEntry: Boolean)
+  case class CepPending(eventId: Long, tsUs: Long)
+  case class CepState(pending: Option[CepPending], buf: Seq[CepEvt])
 
   /** The reference's EXACT CEP bounce pattern as a stream
     * (UserJumpDetailApp.java:84-95: session-entry `.times(2)
@@ -148,50 +151,63 @@ object StreamOps {
     * an entry event is a bounce iff the user's next event is ANOTHER
     * entry within 10 s (matched pair → first fires), or no event at
     * all arrives within 10 s (timeout → the pending candidate fires).
-    * A non-entry event within 10 s kills the candidate — that's the
-    * `consecutive()` strictness. Semantics are identical to the batch
-    * `Dwm.userJumpStrict` (the spec drives the same planted scenarios
-    * through both). State is one candidate per key; the event-time
-    * timeout plays Flink CEP's PatternTimeoutFunction. */
+    * A non-entry event within 10 s kills the candidate — the
+    * `consecutive()` strictness.
+    *
+    * Like Flink CEP, events BUFFER in state until the watermark passes
+    * them, and the pattern machine only ever consumes watermark-final
+    * events in event-time order — so out-of-order arrival across
+    * micro-batches cannot fire a false pair or falsely kill a
+    * candidate, and results match the batch `Dwm.userJumpStrict`
+    * verdict-for-verdict (comparisons run at microsecond granularity,
+    * same as the batch op's ts_us). A candidate whose 10 s window the
+    * watermark has closed with no successor emits immediately; the
+    * event-time timeout (Flink's PatternTimeoutFunction analog) covers
+    * keys the stream went quiet on. State per key = one candidate +
+    * the ≤watermark-horizon buffer. */
   def jumpDetectStrict(ds: Dataset[Evt]): Dataset[Jump] = {
     import ds.sparkSession.implicits._
-    val WinMs = 10000L
+    val WinUs = 10L * 1000000L
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     ds.withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[StrictPending, Jump](
+      .flatMapGroupsWithState[CepState, Jump](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, events, state: GroupState[StrictPending]) =>
-          if (!events.hasNext && state.hasTimedOut) {
-            // nothing followed the candidate inside the window: bounce
-            val out = state.getOption.map(p => Jump(p.eventId, uid, p.tsMs))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var pending = state.getOption
-            val out = Seq.newBuilder[Jump]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              val isEntry = e.event_type == "signup"
-              pending match {
-                case Some(StrictPending(pid, pts)) =>
-                  if (t - pts > WinMs) out += Jump(pid, uid, pts) // timeout in-stream
-                  else if (isEntry) out += Jump(pid, uid, pts)    // consecutive pair
-                  // else: followed within 10 s by a non-entry → real visit
-                case None => ()
-              }
-              pending = if (isEntry) Some(StrictPending(e.event_id, t)) else None
+        case (uid, events, state: GroupState[CepState]) =>
+          // one unified body: a timeout call is just "no new events" —
+          // everything re-derives from the buffer and the watermark
+          val prev = state.getOption.getOrElse(CepState(None, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = events
+            .map(e => CepEvt(e.event_id, usOf(e.ts), e.event_type == "signup")).toSeq
+          val all = (prev.buf ++ incoming).sortBy(b => (b.tsUs, b.eventId))
+          val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+          var pending = prev.pending
+          val out = Seq.newBuilder[Jump]
+          ripe.foreach { e =>
+            pending.foreach { p =>
+              if (e.tsUs - p.tsUs > WinUs) out += Jump(p.eventId, uid, p.tsUs / 1000)
+              else if (e.isEntry) out += Jump(p.eventId, uid, p.tsUs / 1000)
+              // else: non-entry within 10 s → real visit, candidate dies
             }
-            pending match {
-              case Some(p) =>
-                state.update(p)
-                state.setTimeoutTimestamp(p.tsMs + WinMs + 1)
-              case None =>
-                // a stale candidate's timeout must never fire
-                if (state.exists) state.remove()
-            }
-            out.result().iterator
+            pending = if (e.isEntry) Some(CepPending(e.eventId, e.tsUs)) else None
           }
+          // window closed by the watermark with no successor: bounce now
+          // (any in-window event would have ts ≤ wm and be ripe already)
+          pending.filter(p => wmUs > p.tsUs + WinUs).foreach { p =>
+            out += Jump(p.eventId, uid, p.tsUs / 1000)
+            pending = None
+          }
+          if (pending.isEmpty && unripe.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(CepState(pending, unripe))
+            // wake at the earliest next decision point; always > wm
+            val nextUs = (pending.map(_.tsUs + WinUs) ++ unripe.headOption.map(_.tsUs)).min
+            state.setTimeoutTimestamp(nextUs / 1000 + 1)
+          }
+          out.result().iterator
       }
   }
 

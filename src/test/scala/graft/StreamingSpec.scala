@@ -223,6 +223,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jumpDetectStrict: out-of-order arrival cannot kill or pair a candidate falsely") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.jumpDetectStrict(input.toDS()).writeStream.format("memory")
+      .queryName("strict_ooo").outputMode("append").start()
+    try {
+      // batch 1: the entry candidate
+      input.addData(Seq(Evt(10, 1, "signup", 0, ts(10))))
+      q.processAllAvailable()
+      // batch 2: an EARLIER view arrives late (above watermark). In true
+      // event-time order it PRECEDES the entry, so it must not kill it —
+      // the entry is still followed by nothing and stays a bounce.
+      input.addData(Seq(Evt(9, 1, "view", 0,
+        new java.sql.Timestamp(ts(10).getTime - 5000))))
+      q.processAllAvailable()
+      // advance the watermark to finalize everything
+      input.addData(Seq(Evt(99, 9, "view", 0, ts(700))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(100, 9, "view", 0, ts(710))))
+      q.processAllAvailable()
+      val jumps = spark.table("strict_ooo").collect().map(_.getLong(0)).toSet
+      assert(jumps === Set(10L))
+    } finally q.stop()
+  }
+
   test("productStatsFullStream: two-phase chained agg gives exact distinct orders") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

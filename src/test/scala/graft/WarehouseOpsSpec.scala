@@ -109,18 +109,19 @@ class WarehouseOpsSpec extends SparkSpec {
       (3L, base, 2L, "view", 1.0, "   "),                  // empty payload
       (4L, base, 2L, "view", 1.0, """{"garbage": true}"""), // unparseable key
       (5L, base, 3L, "error", 1.0, """{"k": 9}"""),        // SDK-flagged error
-      (6L, base, 3L, "signup", 1.0, """{"k": 7}"""))       // clean
+      (6L, base, 3L, "signup", 1.0, """{"k": 7}"""),       // clean
+      (7L, base, 4L, null, 1.0, """{"k": 8}"""))           // NULL event_type
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
     val clean = Dwd.clean(spark, d).collect()
     val dirty = Dwd.dirty(spark, d).collect()
     assert(clean.map(_.getLong(0)).toSet === Set(1L, 6L))
-    assert(dirty.map(_.getLong(0)).toSet === Set(2L, 3L, 4L, 5L))
+    assert(dirty.map(_.getLong(0)).toSet === Set(2L, 3L, 4L, 5L, 7L))
     // partition: every input row lands in exactly one leg
-    assert(clean.length + dirty.length === 6)
+    assert(clean.length + dirty.length === 7)
     val reasons = dirty.map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(reasons === Map(2L -> "null_payload", 3L -> "empty_payload",
-      4L -> "unparseable_key", 5L -> "error_flagged"))
+      4L -> "unparseable_key", 5L -> "error_flagged", 7L -> "null_event_type"))
     // raw payload survives untouched for replay
     assert(dirty.find(_.getLong(0) == 4L).get.getString(3) === """{"garbage": true}""")
   }
