@@ -91,6 +91,13 @@ class ChunkedSessionSpec extends SparkSpec {
     assert(chunked === plain)
   }
 
+  test("as-of local windows partition by (key, chunk), not by key alone") {
+    val plan = graft.operators.AsOfJoin.purchaseAsOfViewChunked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id") && plan.contains("_chunk"),
+      "expected (user_id, _chunk) window partitioning in the chunked as-of plan")
+  }
+
   test("event windows partition by (user, chunk), not by user alone") {
     val plan = EventAnalytics.sessionizeChunked(spark, sf0001)
       .queryExecution.executedPlan.toString
