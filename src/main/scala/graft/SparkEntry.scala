@@ -88,6 +88,8 @@ object SparkEntry {
     "text_pii_scrub"       -> (Chunking.piiScrub _),
     "text_ngram_freq"      -> (Chunking.ngramFreq _),
     "pipeline_decontam"    -> (Chunking.decontaminate _),
+    "text_pack"            -> (Sampling.pack _),
+    "text_sample_stratified" -> (Sampling.sampleStratified _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -152,6 +154,8 @@ object SparkEntry {
     "ea_funnel"            -> EventAnalytics.funnelSql,
     "ea_retention"         -> EventAnalytics.retentionSql,
     "ea_pivot_counts"      -> EventAnalytics.pivotCountsSql,
+    "text_pack"            -> Sampling.packSql,
+    "text_sample_stratified" -> Sampling.sampleStratifiedSql,
     // text_rolling_fp: native hash, not SQL-expressible → rows-only + spec
   )
 }

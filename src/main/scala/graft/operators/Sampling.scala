@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: sequence packing and
+  * deterministic stratified sampling — the two passes every
+  * pretraining corpus goes through between preprocessing and the
+  * dataloader. Both are formulated so the DuckDB oracle reproduces
+  * them bit-for-bit (no engine-private RNG or hash). */
+object Sampling {
+
+  private val TokenBudget = 96 // tokens per packed sequence bin
+  private val NumShards = 8
+
+  /** Sequence packing: assign each chunk (from [[Chunking.chunk]]) to
+    * a fixed-token-budget bin. Chunks shard by `doc_id % NumShards`
+    * (shards pack independently — the parallel unit at 100 TB), and
+    * within a shard the greedy contiguous fill is a running token sum:
+    * a chunk's bin is `floor(exclusive_cumsum / budget)`, so bins fill
+    * to the budget and overflow by at most one chunk — the standard
+    * "pack sequential, never split a chunk" recipe, expressed as ONE
+    * window pass (no per-bin state, no driver loop). */
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Chunking.chunk(s, d)
+      .withColumn("shard", col("doc_id") % NumShards)
+      .withColumn("cum", sum(col("chunk_tokens")).over(w))
+      .select(
+        col("shard"), col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        floor((col("cum") - col("chunk_tokens")) / TokenBudget).as("bin"))
+      .orderBy(col("shard"), col("doc_id"), col("chunk_idx"))
+  }
+
+  // the oracle reuses the chunker CTE and replays the same window sum
+  val packSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), t -> len(t) > 0) AS l
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    CAST(len(string_split(array_to_string(l[(i*32+1):(i*32+64)], ' '), ' '))
+       |      AS INTEGER) AS chunk_tokens
+       |  FROM toks, (SELECT unnest(range(0, (
+       |      SELECT 1 + max(len(list_filter(string_split(text,' '), t -> len(t) > 0))) // 32
+       |      FROM documents))) AS i) r
+       |  WHERE len(l) > 0 AND i*32 < len(l))
+       |SELECT shard, doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_tokens,
+       |  CAST(floor((cum - chunk_tokens) / $TokenBudget.0) AS BIGINT) AS bin
+       |FROM (
+       |  SELECT doc_id % $NumShards AS shard, doc_id, chunk_idx, chunk_tokens,
+       |    CAST(sum(chunk_tokens) OVER (PARTITION BY doc_id % $NumShards
+       |      ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM chunks) t
+       |ORDER BY shard, doc_id, chunk_idx""".stripMargin
+
+  /** Deterministic stratified sampling — the data-mixing pass: keep
+    * each document with a per-source rate (benchmark-ish sources
+    * upsampled, the rest downsampled). The keep decision is a pure
+    * arithmetic minstd LCG step on doc_id (`(id·48271) mod (2³¹−1)
+    * mod 100 < rate`) — reproducible across engines, partitionings and
+    * runs, unlike `rand(seed)`/`sampleBy`, whose draw depends on row
+    * order within partitions. At 100 TB this is a stateless
+    * scan-speed filter with no shuffle. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1"), 80).otherwise(25)
+    val draw = pmod(col("doc_id") * 48271L, lit(2147483647L)) % 100
+    Tables.documents(s, d)
+      .filter(draw < rate)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, source, n_chars
+      |FROM documents
+      |WHERE (doc_id * 48271) % 2147483647 % 100
+      |      < CASE WHEN source IN ('src0','src1') THEN 80 ELSE 25 END
+      |ORDER BY doc_id""".stripMargin
+}
