@@ -56,6 +56,11 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Iters).flatMap { _ =>
+        // operators that .cache() an intermediate (the dedup family)
+        // must not serve iterations 2-3 from a warm cache — the median
+        // would report warm-cache time for exactly those queries — and
+        // caches must not accumulate across the ~60 benched queries
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { forceEval(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch {

@@ -60,7 +60,11 @@ object AsOfJoin {
 
   def asOf(left: DataFrame, rightRaw: DataFrame, key: String, ts: String,
     payloadCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_tag"))
+    // `_p` as the final order key: two right rows on the SAME (ts)
+    // would otherwise resolve by partition order (nondeterministic,
+    // and divergent from whatever the oracle picks) — with `_p` in the
+    // sort, the largest payload deterministically wins the tie
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_tag"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedUnion(left, rightRaw, key, ts, payloadCols)
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
@@ -86,13 +90,15 @@ object AsOfJoin {
     payloadCols: Seq[String], chunkSize: Long): DataFrame = {
     val u = taggedUnion(left, rightRaw, key, ts, payloadCols)
       .withColumn("_chunk", (col(ts) / chunkSize).cast("long"))
+    // same deterministic tie-break as [[asOf]]: `_p` last in the sort
     val wLocal = Window.partitionBy(col(key), col("_chunk"))
-      .orderBy(col(ts), col("_tag"))
+      .orderBy(col(ts), col("_tag"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = u.withColumn("_pc", last(col("_p"), ignoreNulls = true).over(wLocal))
-    // one row per (key, chunk): the carry leaving that chunk
+    // one row per (key, chunk): the carry leaving that chunk (`_pc` in
+    // the max_by order mirrors the window tie-break)
     val chunkLast = local.groupBy(col(key), col("_chunk"))
-      .agg(max_by(col("_pc"), struct(col(ts), col("_tag"))).as("_clast"))
+      .agg(max_by(col("_pc"), struct(col(ts), col("_tag"), col("_pc"))).as("_clast"))
     val wChunk = Window.partitionBy(col(key)).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val incoming = chunkLast

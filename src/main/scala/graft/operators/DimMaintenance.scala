@@ -65,7 +65,7 @@ object DimMaintenance {
     val updates = Tables.events(s, d)
       .filter(col("event_type").isin("purchase", "error"))
       .withColumn("k",
-        regexp_extract(col("props"), """"k":\s*(\d+)""", 1).cast("long"))
+        Dwd.propsK(col("props")).cast("long"))
       .select(
         col("k").as("p_partkey"),
         concat(lit("upd-"), col("event_id")).as("p_name"),

@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Dwd {
 
+  /** The tracking payload's `k` field — the ONE definition every
+    * operator extracting it shares (clean/dirty/cdcOps here, product
+    * stats, dim maintenance). */
+  private[graft] def propsK(props: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(props, """"k":\s*(\d+)""", 1)
+
+  /** Deterministic CDC op envelope (the Debezium/Maxwell `type` field
+    * analog, derived from the record id) — single-sourced so the batch
+    * [[cdcOps]] and streaming `StreamOps.cdcEnvelope` can never
+    * disagree on what is a delete. */
+  private[graft] def opOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id % 5 === 0, "d").when(id % 5 === 1, "u").otherwise("c")
+
   /** Parse the JSON-ish `props` payload, drop dirty rows (no parseable
     * `k`, or an upstream-flagged `error` record), emit typed columns.
     * Mirrors BaseLogApp.java:52-68: only well-formed page/start/display
@@ -25,7 +38,7 @@ object Dwd {
     */
   def clean(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("k", regexp_extract(col("props"), """"k":\s*(\d+)""", 1))
+      .withColumn("k", propsK(col("props")))
       // null-safe: a NULL event_type must land in dirty, not vanish
       // from both legs (x =!= 'error' alone is NULL for NULL x)
       .filter(col("k") =!= "" && col("event_type").isNotNull
@@ -57,14 +70,14 @@ object Dwd {
     Tables.events(s, d)
       // coalesce first: regexp_extract(NULL) is NULL, and NULL = '' is
       // NULL — a null payload must land in THIS leg, not vanish
-      .filter(regexp_extract(coalesce(col("props"), lit("")), """"k":\s*(\d+)""", 1) === ""
+      .filter(propsK(coalesce(col("props"), lit(""))) === ""
         || col("event_type").isNull || col("event_type") === "error")
       .select(
         col("event_id"), col("user_id"), col("event_type"),
         col("props").as("raw_payload"),
         when(col("props").isNull, "null_payload")
           .when(length(trim(col("props"))) === 0, "empty_payload")
-          .when(regexp_extract(col("props"), """"k":\s*(\d+)""", 1) === "",
+          .when(propsK(col("props")) === "",
             "unparseable_key")
           .when(col("event_type").isNull, "null_event_type")
           .otherwise("error_flagged").as("reason"))
@@ -191,15 +204,14 @@ object Dwd {
       struct(lit("user_id").as("n"), col("user_id").cast("string").as("v")),
       struct(lit("value_c").as("n"),
         col("value").cast(DecimalType(18, 2)).cast("string").as("v")))
-    // functions.split, not the Dwd.split operator this object shadows it with
+    // functions.split, not the Dwd.split operator this object shadows it with;
+    // the unmatched-type fallback payload must match the oracle's ELSE
+    // branch (full default columns, not event_id alone)
     val kept = org.apache.spark.sql.functions.split(
-      coalesce(col("sink_columns"), lit("event_id")), ",")
+      coalesce(col("sink_columns"), lit("event_id,user_id,value_c")), ",")
     Tables.events(s, d)
-      .withColumn("k", regexp_extract(col("props"), """"k":\s*(\d+)""", 1))
-      .withColumn("op",
-        when(col("event_id") % 5 === 0, "d")
-          .when(col("event_id") % 5 === 1, "u")
-          .otherwise("c"))
+      .withColumn("k", propsK(col("props")))
+      .withColumn("op", opOf(col("event_id")))
       .filter(col("op") =!= "d")
       .join(broadcast(config), col("event_type") === col("src_type"), "left")
       .select(

@@ -151,7 +151,7 @@ object Dws {
     val decZero = lit(BigDecimal(0)).cast(DecimalType(18, 2))
     val ev = Tables.events(s, d)
       .withColumn("sku",
-        regexp_extract(col("props"), """"k":\s*(\d+)""", 1).cast("int"))
+        Dwd.propsK(col("props")).cast("int"))
       .select(
         col("sku"),
         when(col("event_type") === "view", 1).otherwise(0).as("display_pv"),

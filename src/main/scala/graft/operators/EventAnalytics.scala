@@ -80,25 +80,35 @@ object EventAnalytics {
     val ev = events
       .withColumn("chunk", expr(s"ts_us div $chunkUs"))
       .withColumn("local_prev", lag(col("ts_us"), 1).over(wLocal))
+    // ALL chunk-level facts come out of ONE aggregation over the
+    // windowed events: internal session starts count directly, and the
+    // chunk-FIRST event's start flag is decidable chunk-level (its
+    // predecessor is prev_cmax, its ts is cmin) — so the offsets
+    // branch never re-runs the event-level windows + join, which a
+    // flagged-side re-aggregation would recompute wholesale
     val chunkStats = ev.groupBy(col("user_id"), col("chunk"))
-      .agg(max(col("ts_us")).as("cmax"))
+      .agg(
+        max(col("ts_us")).as("cmax"),
+        min(col("ts_us")).as("cmin"),
+        sum(when(col("local_prev").isNotNull &&
+          col("ts_us") - col("local_prev") > Sessions.GapUs, 1).otherwise(0))
+          .as("internal_starts"))
       .withColumn("prev_cmax", lag(col("cmax"), 1).over(wChunk))
-    val flagged = ev
-      .join(chunkStats.select(col("user_id"), col("chunk"), col("prev_cmax")),
-        Seq("user_id", "chunk"))
+      .withColumn("n_starts", col("internal_starts") +
+        when(col("prev_cmax").isNull ||
+          col("cmin") - col("prev_cmax") > Sessions.GapUs, 1).otherwise(0))
+    val offsets = chunkStats
+      .withColumn("offset", coalesce(
+        sum(col("n_starts")).over(
+          wChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("chunk"), col("prev_cmax"), col("offset"))
+    ev.join(offsets, Seq("user_id", "chunk"))
       .withColumn("prev_us", coalesce(col("local_prev"), col("prev_cmax")))
       .withColumn("new_s",
         when(col("prev_us").isNull ||
           col("ts_us") - col("prev_us") > Sessions.GapUs, 1).otherwise(0))
       .withColumn("local_seq", sum(col("new_s")).over(
         wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = flagged.groupBy(col("user_id"), col("chunk"))
-      .agg(sum(col("new_s")).as("n_starts"))
-      .withColumn("offset", coalesce(
-        sum(col("n_starts")).over(
-          wChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("user_id"), col("chunk"), col("offset"))
-    flagged.join(offsets, Seq("user_id", "chunk"))
       .withColumn("session_seq", col("offset") + col("local_seq"))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(

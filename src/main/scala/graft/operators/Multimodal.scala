@@ -139,22 +139,29 @@ object Multimodal {
        |GROUP BY doc_id, payload_md5
        |ORDER BY doc_id""".stripMargin
 
-  private val FrameBytes = 128
+  private val FrameUnits = 128
 
   /** Frame sampling over "video" payloads: a typed media-metadata
-    * struct (modality, byte length, frame count, frame stride) rides
-    * with the binary column, and every 2nd frame fans out to a row
-    * with its byte offset and an md5 frame witness — the shape a
-    * keyframe-extraction stage feeds to a batched decoder. All column
-    * arithmetic; the payload is never exploded, only sliced. */
+    * struct (modality, byte length, frame count, frame width) rides
+    * with the payload, and every 2nd frame fans out to a row with its
+    * offset and an md5 frame witness — the shape a keyframe-extraction
+    * stage feeds to a batched decoder. All column arithmetic; the
+    * payload is never exploded, only sliced.
+    *
+    * Frames are fixed-width slices of the DECODED stream (character
+    * units for this text stand-in corpus) so the oracle agrees on any
+    * input — DuckDB cannot substring BLOBs, and byte-true slicing with
+    * md5 witnesses is already exercised by [[chunkBinary]] /
+    * [[reassemble]]. `n_bytes` in the metadata struct stays the true
+    * byte length. */
   def frameSample(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("doc_id"), col("text").as("payload"))
       .withColumn("media", struct(
         lit("video").as("modality"),
-        octet_length(col("payload")).as("n_bytes"),
-        expr(s"CAST(octet_length(payload) div $FrameBytes AS INT)").as("frames"),
-        lit(FrameBytes).as("frame_bytes")))
+        octet_length(encode(col("payload"), "utf-8")).as("n_bytes"),
+        expr(s"CAST(length(payload) div $FrameUnits AS INT)").as("frames"),
+        lit(FrameUnits).as("frame_units")))
       .filter(col("media.frames") > 0)
     base
       .select(col("doc_id"), col("payload"), col("media"),
@@ -163,20 +170,20 @@ object Multimodal {
         col("doc_id"),
         col("media.frames").as("total_frames"),
         col("frame_no"),
-        (col("frame_no") * FrameBytes).as("byte_offset"),
+        (col("frame_no") * FrameUnits).as("frame_offset"),
         md5(col("payload").substr(
-          col("frame_no") * FrameBytes + 1, lit(FrameBytes))).as("frame_md5"))
+          col("frame_no") * FrameUnits + 1, lit(FrameUnits))).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
   val frameSampleSql: String =
     s"""SELECT doc_id,
-       |  CAST(length(text) // $FrameBytes AS INTEGER) AS total_frames,
+       |  CAST(length(text) // $FrameUnits AS INTEGER) AS total_frames,
        |  CAST(f AS INTEGER) AS frame_no,
-       |  CAST(f * $FrameBytes AS INTEGER) AS byte_offset,
-       |  md5(substring(text, f*$FrameBytes + 1, $FrameBytes)) AS frame_md5
+       |  CAST(f * $FrameUnits AS INTEGER) AS frame_offset,
+       |  md5(substring(text, f*$FrameUnits + 1, $FrameUnits)) AS frame_md5
        |FROM documents, (SELECT unnest(range(0, (
-       |    SELECT 1 + max(length(text)) // $FrameBytes FROM documents), 2)) AS f) r
-       |WHERE length(text) // $FrameBytes > 0 AND f < length(text) // $FrameBytes
+       |    SELECT 1 + max(length(text)) // $FrameUnits FROM documents), 2)) AS f) r
+       |WHERE length(text) // $FrameUnits > 0 AND f < length(text) // $FrameUnits
        |ORDER BY doc_id, frame_no""".stripMargin
 }

@@ -363,10 +363,7 @@ object StreamOps {
     * way as the batch Dwd.cdcOps) and drop deletes BEFORE routing, so
     * tombstones never reach a sink. Compose in front of [[cdcRoute]]. */
   def cdcEnvelope(df: DataFrame): DataFrame =
-    df.withColumn("op",
-        when(col("event_id") % 5 === 0, "d")
-          .when(col("event_id") % 5 === 1, "u")
-          .otherwise("c"))
+    df.withColumn("op", graft.operators.Dwd.opOf(col("event_id")))
       .filter(col("op") =!= "d")
 
   /** Continuous dim maintenance — the DimSinkFunction.java analog as a

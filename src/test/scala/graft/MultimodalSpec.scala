@@ -38,14 +38,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out.nonEmpty)
     val md = java.security.MessageDigest.getInstance("MD5")
     out.foreach { r =>
-      val bytes = docs(r.getAs[Long]("doc_id")).getBytes("UTF-8")
-      val frames = bytes.length / 128
+      // frames are fixed-width slices of the decoded (character) stream
+      val chars = docs(r.getAs[Long]("doc_id"))
+      val frames = chars.length / 128
       assert(r.getAs[Int]("total_frames") === frames)
       val f = r.getAs[Int]("frame_no")
       assert(f % 2 === 0 && f < frames)
-      assert(r.getAs[Int]("byte_offset") === f * 128)
-      val slice = bytes.slice(f * 128, math.min(f * 128 + 128, bytes.length))
-      val hex = md.digest(slice).map("%02x".format(_)).mkString
+      assert(r.getAs[Int]("frame_offset") === f * 128)
+      val slice = chars.substring(f * 128, math.min(f * 128 + 128, chars.length))
+      val hex = md.digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
       assert(r.getAs[String]("frame_md5") === hex)
     }
   }
