@@ -39,6 +39,7 @@ object SparkEntry {
     "dwd_cdc_ops"          -> (Dwd.cdcOps _),
     "dwd_props_explode"    -> (Dwd.propsExplode _),
     "dim_upsert"           -> (DimMaintenance.dimUpsert _),
+    "dim_scd2"             -> (DimMaintenance.dimScd2 _),
     // DWM
     "dwm_unique_visit"     -> (Dwm.uniqueVisit _),
     "dwm_user_jump"        -> (Dwm.userJump _),
@@ -49,6 +50,7 @@ object SparkEntry {
     "dws_visitor_stats"    -> (Dws.visitorStats _),
     "dws_product_stats"    -> (Dws.productStats _),
     "dws_product_stats_full" -> (Dws.productStatsFull _),
+    "dws_product_stats_incr" -> (Dws.productStatsIncr _),
     "dws_product_stats_w"  -> (Dws.productStatsWindowed _),
     "dws_province_stats"   -> (Dws.provinceStats _),
     "dws_keyword_stats"    -> (Dws.keywordStats _),
@@ -122,6 +124,7 @@ object SparkEntry {
     "dwd_cdc_ops"          -> Dwd.cdcOpsSql,
     "dwd_props_explode"    -> Dwd.propsExplodeSql,
     "dim_upsert"           -> DimMaintenance.dimUpsertSql,
+    "dim_scd2"             -> DimMaintenance.dimScd2Sql,
     "dwm_unique_visit"     -> Dwm.uniqueVisitSql,
     "dwm_user_jump"        -> Dwm.userJumpSql,
     "dwm_user_jump_strict" -> Dwm.userJumpStrictSql,
@@ -130,6 +133,8 @@ object SparkEntry {
     "dws_visitor_stats"    -> Dws.visitorStatsSql,
     "dws_product_stats"    -> Dws.productStatsSql,
     "dws_product_stats_full" -> Dws.productStatsFullSql,
+    // incremental refresh must equal the full recompute — same oracle
+    "dws_product_stats_incr" -> Dws.productStatsSql,
     "dws_product_stats_w"  -> Dws.productStatsWindowedSql,
     "dws_province_stats"   -> Dws.provinceStatsSql,
     "dws_keyword_stats"    -> Dws.keywordStatsSql,

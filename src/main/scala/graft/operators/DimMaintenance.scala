@@ -81,6 +81,65 @@ object DimMaintenance {
       .orderBy(col("p_partkey"))
   }
 
+  /** SCD Type-2 dimension history — the other half of dim maintenance:
+    * instead of latest-wins overwrite ([[upsert]]), keep every version
+    * with its validity range. One window pass per key: `valid_to` of a
+    * version is the NEXT version's start (`lead`), open-ended for the
+    * current one; a delete tombstone closes the prior row's validity
+    * and contributes no row itself. The base snapshot enters at
+    * version 0 (before every CDC micro-timestamp). */
+  def scd2(history: DataFrame, keyCol: String, versionCol: String,
+    tieCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol), col(tieCol))
+    history
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current",
+        (col("valid_to").isNull && col(opCol) =!= "d").cast("int"))
+      .filter(col(opCol) =!= "d")
+      .drop(versionCol, tieCol, opCol)
+  }
+
+  /** Oracled instance over the same CDC replay as [[dimUpsert]]:
+    * the full change history of every part touched by the stream. */
+  def dimScd2(s: SparkSession, d: String): DataFrame = {
+    val updates = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(
+        Dwd.propsK(col("props")).cast("long").as("p_partkey"),
+        concat(lit("upd-"), col("event_id")).as("p_name"),
+        col("ts_us").as("version"),
+        col("event_id").as("tie"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"))
+    val base = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        lit(0L).as("version"), lit(Long.MinValue).as("tie"), lit("u").as("op"))
+    scd2(base.unionByName(updates), "p_partkey", "version", "tie", "op")
+      .orderBy(col("p_partkey"), col("valid_from"), col("p_name"))
+  }
+
+  val dimScd2Sql: String =
+    """WITH history AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_partkey,
+      |    'upd-' || event_id AS p_name,
+      |    epoch_us(ts) AS version, event_id AS tie,
+      |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'error')
+      |  UNION ALL
+      |  SELECT p_partkey, p_name, 0 AS version,
+      |    CAST(-9223372036854775808 AS BIGINT) AS tie, 'u' AS op
+      |  FROM part)
+      |SELECT p_partkey, p_name, valid_from, valid_to, is_current FROM (
+      |  SELECT p_partkey, p_name, op,
+      |    version AS valid_from,
+      |    lead(version) OVER (PARTITION BY p_partkey ORDER BY version, tie) AS valid_to,
+      |    CAST((lead(version) OVER (PARTITION BY p_partkey ORDER BY version, tie) IS NULL
+      |          AND op <> 'd') AS INTEGER) AS is_current
+      |  FROM history) t
+      |WHERE op <> 'd'
+      |ORDER BY p_partkey, valid_from, p_name""".stripMargin
+
   val dimUpsertSql: String =
     """WITH updates AS (
       |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_partkey,

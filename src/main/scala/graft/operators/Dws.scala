@@ -118,6 +118,60 @@ object Dws {
       .orderBy(col("l_partkey"))
   }
 
+  /** Per-(sku, order) maintained partials — the STATE of incremental
+    * product-stats refresh. max/sum partials are re-mergeable, so a
+    * delta batch folds in without touching history. */
+  private def psPartials(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val decZero = lit(BigDecimal(0)).cast(DecimalType(18, 2))
+    li.groupBy(col("l_partkey"), col("l_orderkey"))
+      .agg(
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"),
+        sum(dec(col("l_quantity"))).as("qty"),
+        sum(dec(col("l_extendedprice"))).as("amt"),
+        sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice")))
+          .otherwise(decZero)).as("ramt"))
+  }
+
+  /** Merge two partial states (max re-maxes, sums re-sum) — an order
+    * whose rows span both inputs combines exactly. */
+  def psMergePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("l_partkey"), col("l_orderkey"))
+      .agg(
+        max(col("has_r")).as("has_r"), sum(col("qty")).as("qty"),
+        sum(col("amt")).as("amt"), sum(col("ramt")).as("ramt"))
+
+  private def psRollup(partials: DataFrame, s: SparkSession, d: String): DataFrame =
+    partials
+      .groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("order_ct"),
+        sum(col("qty")).cast("double").as("sku_num"),
+        sum(col("amt")).cast("double").as("order_amount"),
+        sum(col("has_r")).as("refund_order_ct"),
+        sum(col("ramt")).cast("double").as("refund_amount"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("p_name"), col("p_brand"),
+        col("order_ct"), col("sku_num"), col("order_amount"),
+        col("refund_order_ct"), col("refund_amount"))
+      .orderBy(col("l_partkey"))
+
+  /** INCREMENTAL DWS refresh — the 100 TB serving pattern: the fact
+    * history is never rescanned; the maintained state is the bounded
+    * per-(sku, order) partial table, and a delta batch merges into it
+    * before a rollup of partials only. This instance splits lineitem
+    * into a "history" (line numbers 0-3 mod 5) and a "delta" (4 mod 5)
+    * — orders deliberately SPAN the split — and must produce the
+    * byte-identical wide row to the full recompute, so it shares
+    * [[productStatsSql]] as its oracle. */
+  def productStatsIncr(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val history = psPartials(li.filter(col("l_linenumber") % 5 =!= 4))
+    val delta = psPartials(li.filter(col("l_linenumber") % 5 === 4))
+    psRollup(psMergePartials(history, delta), s, d)
+  }
+
   val productStatsSql: String =
     s"""SELECT l_partkey, p_name, p_brand,
        |  count(DISTINCT l_orderkey) AS order_ct,

@@ -126,6 +126,38 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(dirty.find(_.getLong(0) == 4L).get.getString(3) === """{"garbage": true}""")
   }
 
+  test("incremental product stats: delta merge equals full recompute, orders span the split") {
+    import spark.implicits._
+    // the split key (l_linenumber % 5) must actually divide some orders
+    val li = graft.Tables.lineitem(spark, sf001)
+    val spanning = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_linenumber") % 5 === 4).as("sides"))
+      .filter(col("sides") === 2).count()
+    assert(spanning > 0L, "split does not exercise cross-split orders")
+    val full = Dws.productStats(spark, sf001).collect().map(_.toSeq).toSeq
+    val incr = Dws.productStatsIncr(spark, sf001).collect().map(_.toSeq).toSeq
+    assert(incr === full)
+  }
+
+  test("scd2: versions chain validity ranges, deletes close but never appear") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "v0", 0L, Long.MinValue, "u"),   // base
+      (1L, "v1", 100L, 1L, "u"),
+      (1L, "v2", 200L, 2L, "u"),
+      (2L, "b0", 0L, Long.MinValue, "u"),
+      (2L, "dead", 150L, 3L, "d"),          // tombstone closes b0
+      (3L, "only", 0L, Long.MinValue, "u"))
+      .toDF("key", "name", "version", "tie", "op")
+    val out = DimMaintenance.scd2(hist, "key", "version", "tie", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+    assert(out === Set(
+      (1L, "v0", 0L, 100L, 0), (1L, "v1", 100L, 200L, 0), (1L, "v2", 200L, -1L, 1),
+      (2L, "b0", 0L, 150L, 0),  // closed by the delete, delete row absent
+      (3L, "only", 0L, -1L, 1)))
+  }
+
   test("product stats full: wide row agrees with independent per-stream computations") {
     val full = Dws.productStatsFull(spark, sf001).collect()
       .map(r => r.getInt(0) -> r).toMap
