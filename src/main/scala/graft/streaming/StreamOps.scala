@@ -219,6 +219,25 @@ object StreamOps {
     df.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap-based sessionization as a STREAM — the continuous mirror of
+    * the batch `EventAnalytics.sessionize`, via Spark's native
+    * `session_window`: per-user windows that extend while events keep
+    * arriving within the gap and close once the watermark passes the
+    * last event + gap. Emits one finalized row per session (append
+    * mode) with the same stats as the batch op. Late events inside the
+    * watermark horizon merge sessions exactly like the batch window
+    * pass would. */
+  def sessionizeStream(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("n_events"), col("stt"), col("edt"),
+        col("value_sum"))
+
   /** VisitorStatsApp: watermark + tumbling-window multi-metric
     * aggregation (hour windows, `user_id % 10` channel dim). */
   def visitorStats(df: DataFrame): DataFrame =

@@ -223,6 +223,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: session windows extend within the gap and merge late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.sessionizeStream(input.toDF()).writeStream.format("memory")
+      .queryName("sess").outputMode("append").start()
+    try {
+      // session 1: events at 0 and 5 min (gap 5 < 10 → same session)
+      input.addData(Seq(Evt(1, 1, "view", 1.0, ts(0)), Evt(2, 1, "click", 2.0, ts(5))))
+      q.processAllAvailable()
+      // an event at 12 min EXTENDS the session across micro-batches
+      // (last event 5 + gap 10 ≥ 12); one at 40 min opens session 2
+      input.addData(Seq(Evt(3, 1, "view", 4.0, ts(12)), Evt(4, 1, "view", 8.0, ts(40))))
+      q.processAllAvailable()
+      // close everything
+      input.addData(Seq(Evt(99, 9, "view", 0, ts(200))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(100, 9, "view", 0, ts(210))))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect().filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(4))).toSet
+      assert(rows === Set(
+        (3L, "1970-01-02 00:00:00", 7.0),   // events 1,2,3 in one session
+        (1L, "1970-01-02 00:40:00", 8.0)))  // event 4 alone
+    } finally q.stop()
+  }
+
   test("jumpDetectStrict: out-of-order arrival cannot kill or pair a candidate falsely") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
