@@ -58,16 +58,33 @@ object AsOfJoin {
       acc.withColumn(c, col("_p").getField(c))
     }
 
+  /** Whether `_p` can join the window sort (maps are unorderable —
+    * for those, same-ts right rows fall back to partition order rather
+    * than failing analysis). */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType      => false
+      case s: StructType   => s.fields.forall(f => orderable(f.dataType))
+      case a: ArrayType    => orderable(a.elementType)
+      case _               => true
+    }
+  }
+
+  private def tieCols(u: DataFrame): Seq[Column] =
+    if (orderable(u.schema("_p").dataType)) Seq(col("_p")) else Nil
+
   def asOf(left: DataFrame, rightRaw: DataFrame, key: String, ts: String,
     payloadCols: Seq[String]): DataFrame = {
-    // `_p` as the final order key: two right rows on the SAME (ts)
-    // would otherwise resolve by partition order (nondeterministic,
-    // and divergent from whatever the oracle picks) — with `_p` in the
-    // sort, the largest payload deterministically wins the tie
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_tag"), col("_p"))
+    val u = taggedUnion(left, rightRaw, key, ts, payloadCols)
+    // `_p` as the final order key (when orderable): two right rows on
+    // the SAME (ts) would otherwise resolve by partition order
+    // (nondeterministic, and divergent from whatever the oracle picks)
+    // — with `_p` in the sort, the largest payload wins the tie
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts) +: col("_tag") +: tieCols(u): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedUnion(left, rightRaw, key, ts, payloadCols)
-      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    val carried = u.withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
     extractPayload(carried, payloadCols).drop("_tag", "_p")
   }
 
@@ -92,13 +109,15 @@ object AsOfJoin {
       .withColumn("_chunk", (col(ts) / chunkSize).cast("long"))
     // same deterministic tie-break as [[asOf]]: `_p` last in the sort
     val wLocal = Window.partitionBy(col(key), col("_chunk"))
-      .orderBy(col(ts), col("_tag"), col("_p"))
+      .orderBy(col(ts) +: col("_tag") +: tieCols(u): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = u.withColumn("_pc", last(col("_p"), ignoreNulls = true).over(wLocal))
     // one row per (key, chunk): the carry leaving that chunk (`_pc` in
     // the max_by order mirrors the window tie-break)
+    val chunkTie = tieCols(u).map(_ => col("_pc"))
     val chunkLast = local.groupBy(col(key), col("_chunk"))
-      .agg(max_by(col("_pc"), struct(col(ts), col("_tag"), col("_pc"))).as("_clast"))
+      .agg(max_by(col("_pc"),
+        struct(col(ts) +: col("_tag") +: chunkTie: _*)).as("_clast"))
     val wChunk = Window.partitionBy(col(key)).orderBy(col("_chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val incoming = chunkLast

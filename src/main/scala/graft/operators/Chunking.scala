@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * so they run at scan speed over a 100 TB corpus. */
 object Chunking {
 
-  private val ChunkSize = 64
-  private val Stride = 32 // 50% overlap — the usual LLM-pretraining split
+  private[graft] val ChunkSize = 64
+  private[graft] val Stride = 32 // 50% overlap — the usual LLM-pretraining split
 
   /** Split each document into overlapping token windows. One chunk row
     * per (doc, window); short tails kept (truncated, never padded).

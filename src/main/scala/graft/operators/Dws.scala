@@ -88,35 +88,15 @@ object Dws {
     * HashSets through its reduce; the scalable form is a two-phase
     * distinct aggregate), amount sums, refund split by return flag,
     * then broadcast dim enrichment with `part`. */
-  def productStats(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val decZero = lit(BigDecimal(0)).cast(DecimalType(18, 2))
+  def productStats(s: SparkSession, d: String): DataFrame =
     // explicit two-level distinct: one (partkey, orderkey) partial pass
     // with map-side combine, then count of finalized partials — vs the
     // double-countDistinct Expand plan that triples the scan output
     // before its shuffle (measured 2.8 s → 1.9 s at sf0.1); decimal
-    // partial sums keep the money totals bit-exact
-    Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"), col("l_orderkey"))
-      .agg(
-        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"),
-        sum(dec(col("l_quantity"))).as("qty"),
-        sum(dec(col("l_extendedprice"))).as("amt"),
-        sum(when(col("l_returnflag") === "R", dec(col("l_extendedprice")))
-          .otherwise(decZero)).as("ramt"))
-      .groupBy(col("l_partkey"))
-      .agg(
-        count(lit(1)).as("order_ct"),
-        sum(col("qty")).cast("double").as("sku_num"),
-        sum(col("amt")).cast("double").as("order_amount"),
-        sum(col("has_r")).as("refund_order_ct"),
-        sum(col("ramt")).cast("double").as("refund_amount"))
-      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("p_name"), col("p_brand"),
-        col("order_ct"), col("sku_num"), col("order_amount"),
-        col("refund_order_ct"), col("refund_amount"))
-      .orderBy(col("l_partkey"))
-  }
+    // partial sums keep the money totals bit-exact. Built from the SAME
+    // psPartials/psRollup pieces as [[productStatsIncr]], so the
+    // incremental path can never silently diverge from this one.
+    psRollup(psPartials(Tables.lineitem(s, d)), s, d)
 
   /** Per-(sku, order) maintained partials — the STATE of incremental
     * product-stats refresh. max/sum partials are re-mergeable, so a

@@ -35,19 +35,23 @@ object Sampling {
       .orderBy(col("shard"), col("doc_id"), col("chunk_idx"))
   }
 
-  // the oracle reuses the chunker CTE and replays the same window sum
+  // the oracle replays the chunker CTE (geometry interpolated from
+  // Chunking's OWN constants, so a stride/size tune can't desync the
+  // two sides) and the same window sum
   val packSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split(text,' '), t -> len(t) > 0) AS l
        |  FROM documents),
        |chunks AS (
        |  SELECT doc_id, i AS chunk_idx,
-       |    CAST(len(string_split(array_to_string(l[(i*32+1):(i*32+64)], ' '), ' '))
+       |    CAST(len(string_split(array_to_string(
+       |      l[(i*${Chunking.Stride}+1):(i*${Chunking.Stride}+${Chunking.ChunkSize})], ' '), ' '))
        |      AS INTEGER) AS chunk_tokens
        |  FROM toks, (SELECT unnest(range(0, (
-       |      SELECT 1 + max(len(list_filter(string_split(text,' '), t -> len(t) > 0))) // 32
+       |      SELECT 1 + max(len(list_filter(string_split(text,' '), t -> len(t) > 0)))
+       |        // ${Chunking.Stride}
        |      FROM documents))) AS i) r
-       |  WHERE len(l) > 0 AND i*32 < len(l))
+       |  WHERE len(l) > 0 AND i*${Chunking.Stride} < len(l))
        |SELECT shard, doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_tokens,
        |  CAST(floor((cum - chunk_tokens) / $TokenBudget.0) AS BIGINT) AS bin
        |FROM (

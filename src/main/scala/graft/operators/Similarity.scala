@@ -187,8 +187,10 @@ object Similarity {
     val key = (d, nLists, kmeansIters)
     val cents = Option(centroidCache.get(key)).getOrElse {
       val trained = kmeansCentroids(c, nLists, kmeansIters)
-      centroidCache.putIfAbsent(key, trained)
-      centroidCache.get(key)
+      // use putIfAbsent's return, never a second map read: a concurrent
+      // clearCentroidCache() between put and re-read would yield null
+      val prior = centroidCache.putIfAbsent(key, trained)
+      if (prior != null) prior else trained
     }
 
     val assigned = c.withColumn("list_id", topCents(cents, col("v"), 1)(0)("cent_id"))

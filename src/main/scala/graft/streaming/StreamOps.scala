@@ -229,12 +229,19 @@ object StreamOps {
     * pass would. */
   def sessionizeStream(df: DataFrame): DataFrame =
     df.withWatermark("ts", "10 minutes")
-      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      // gap + 1µs: session_window merges on next.start < cur.end
+      // (end-EXCLUSIVE), while the batch op's new-session test is
+      // strict (gap > 600s keeps the boundary event in-session) — the
+      // one-microsecond pad makes the two conventions agree exactly
+      .groupBy(session_window(col("ts"), "600000001 microseconds").as("w"),
+        col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("stt"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("edt"),
-        sum(col("value")).as("value_sum"))
+        // the batch op's exact decimal money accumulation, not raw
+        // double sums whose low bits drift with micro-batch order
+        graft.operators.Agg.moneySum(col("value")).as("value_sum"))
       .select(col("user_id"), col("n_events"), col("stt"), col("edt"),
         col("value_sum"))
 

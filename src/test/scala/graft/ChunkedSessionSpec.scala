@@ -94,14 +94,16 @@ class ChunkedSessionSpec extends SparkSpec {
   test("as-of local windows partition by (key, chunk), not by key alone") {
     val plan = graft.operators.AsOfJoin.purchaseAsOfViewChunked(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(user_id") && plan.contains("_chunk"),
+    // both columns must sit inside the SAME hashpartitioning clause:
+    // separate contains() would also pass via the groupBy's exchange
+    assert("hashpartitioning\\(user_id[^)]*_chunk".r.findFirstIn(plan).isDefined,
       "expected (user_id, _chunk) window partitioning in the chunked as-of plan")
   }
 
   test("event windows partition by (user, chunk), not by user alone") {
     val plan = EventAnalytics.sessionizeChunked(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(user_id") &&
-      plan.contains(", chunk"), "expected (user_id, chunk) window partitioning")
+    assert("hashpartitioning\\(user_id[^)]*[, ]chunk".r.findFirstIn(plan).isDefined,
+      "expected (user_id, chunk) window partitioning")
   }
 }
