@@ -41,7 +41,11 @@ object PlanAudit {
       ("dim_upsert", "snapshot ∪ updates shuffles ONCE on the dim key into a single window pass (latest-wins MERGE)",
         DimMaintenance.dimUpsert(spark, d)),
       ("dwm_user_jump_strict", "one window pass (lead ts + lead type share the partition sort), filter is codegen'd",
-        Dwm.userJumpStrict(spark, d)))
+        Dwm.userJumpStrict(spark, d)),
+      ("dws_product_stats_incr", "incremental refresh: history and delta partials merge and only partials roll up — the scan split is visible as two filtered reads of lineitem, never a rescan of aggregated history",
+        Dws.productStatsIncr(spark, d)),
+      ("dim_scd2", "one window pass per key builds every validity range; tombstones close the prior row inside the same sort",
+        DimMaintenance.dimScd2(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>
