@@ -43,6 +43,7 @@ object SparkEntry {
     // DWM
     "dwm_unique_visit"     -> (Dwm.uniqueVisit _),
     "dwm_user_jump"        -> (Dwm.userJump _),
+    "dwm_user_jump_chunked" -> (Dwm.userJumpChunked _),
     "dwm_user_jump_strict" -> (Dwm.userJumpStrict _),
     "dwm_order_wide"       -> (Dwm.orderWide _),
     "dwm_payment_wide"     -> (Dwm.paymentWide _),
@@ -127,6 +128,8 @@ object SparkEntry {
     "dim_scd2"             -> DimMaintenance.dimScd2Sql,
     "dwm_unique_visit"     -> Dwm.uniqueVisitSql,
     "dwm_user_jump"        -> Dwm.userJumpSql,
+    // chunked variant must produce IDENTICAL output — same oracle
+    "dwm_user_jump_chunked" -> Dwm.userJumpSql,
     "dwm_user_jump_strict" -> Dwm.userJumpStrictSql,
     "dwm_order_wide"       -> Dwm.orderWideSql,
     "dwm_payment_wide"     -> Dwm.paymentWideSql,

@@ -57,6 +57,42 @@ object Dwm {
       .orderBy(col("event_id"))
   }
 
+  /** Hot-key-safe jump detection — identical output to [[userJump]]
+    * (same oracle), per-key serial work O(chunks): the sessionize/as-of
+    * chunking recipe applied BIDIRECTIONALLY, since the bounce
+    * predicate needs both neighbors. Within (user, chunk) windows give
+    * local prev/next; a chunk-first event's predecessor is the
+    * previous non-empty chunk's max and a chunk-last event's successor
+    * is the next non-empty chunk's min — both from one window over
+    * chunk rows, not event rows. */
+  def userJumpChunked(s: SparkSession, d: String): DataFrame =
+    userJumpChunkedDf(Tables.events(s, d), chunkUs = 86400L * 1000000L)
+
+  def userJumpChunkedDf(events: DataFrame, chunkUs: Long): DataFrame = {
+    val wLocal = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wChunk = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+    val ev = events
+      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+      .withColumn("local_prev", lag(col("ts_us"), 1).over(wLocal))
+      .withColumn("local_next", lead(col("ts_us"), 1).over(wLocal))
+    val stats = ev.groupBy(col("user_id"), col("chunk"))
+      .agg(max(col("ts_us")).as("cmax"), min(col("ts_us")).as("cmin"))
+      .withColumn("prev_cmax", lag(col("cmax"), 1).over(wChunk))
+      .withColumn("next_cmin", lead(col("cmin"), 1).over(wChunk))
+      .select(col("user_id"), col("chunk"), col("prev_cmax"), col("next_cmin"))
+    ev.join(stats, Seq("user_id", "chunk"))
+      .withColumn("prev_us", coalesce(col("local_prev"), col("prev_cmax")))
+      .withColumn("next_us", coalesce(col("local_next"), col("next_cmin")))
+      .filter(
+        (col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs) &&
+        (col("next_us").isNull || col("next_us") - col("ts_us") > Sessions.GapUs))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      .orderBy(col("event_id"))
+  }
+
   val userJumpSql: String =
     """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM (
       |  SELECT event_id, user_id, ts,

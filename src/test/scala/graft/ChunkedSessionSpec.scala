@@ -39,6 +39,18 @@ class ChunkedSessionSpec extends SparkSpec {
     }
   }
 
+  test("chunked jump == plain jump at several chunk sizes, incl. boundary straddles") {
+    import graft.operators.Dwm
+    val plain = Dwm.userJump(spark, sf0001).collect().toSeq
+    // 11-minute chunks put many within-gap neighbor pairs in different
+    // chunks — the bidirectional stitch must still see them
+    Seq(3600L * 1000000L, 660L * 1000000L).foreach { chunkUs =>
+      val chunked = Dwm.userJumpChunkedDf(Tables.events(spark, sf0001), chunkUs)
+        .collect().toSeq
+      assert(chunked === plain, s"mismatch at chunkUs=$chunkUs")
+    }
+  }
+
   test("chunked as-of carries payloads across empty and right-free chunks") {
     import spark.implicits._
     import graft.operators.AsOfJoin
