@@ -73,13 +73,12 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardDocs(Tables.documents(s, d))
 
-  /** `cacheTagged` defaults OFF: the four consumers of the tagged
-    * shingle table share its shuffle via ReuseExchange (shuffle files
-    * persist for the job), and measured cold at sf0.1 the recompute
-    * plan beats cache materialization (3.9 s vs 4.2-8.6 s) while
-    * pinning nothing in executor memory for the session. */
-  def ngramJaccardDocs(docs: DataFrame, hotDf: Long = HotDf,
-    cacheTagged: Boolean = false): DataFrame = {
+  /** NO cache on the tagged shingle table: its four consumers share
+    * the shuffle via ReuseExchange (shuffle files persist for the
+    * job), and measured cold at sf0.1 the recompute plan beats cache
+    * materialization (3.9 s vs 4.2-8.6 s) while pinning nothing in
+    * executor memory for the session. */
+  def ngramJaccardDocs(docs: DataFrame, hotDf: Long = HotDf): DataFrame = {
     val t = 0.5
     // per-doc shingle SETS built in-row: sizes need no groupBy, and the
     // exploded (doc_id, shingle) stream is duplicate-free without a
@@ -89,8 +88,7 @@ object Dedup {
     val sizes = withSets.select(col("doc_id"), size(col("set")).as("sz"))
     val sh = withSets.select(col("doc_id"), explode(col("set")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val taggedPlain = sh.join(dfreq, "shingle")
-    val tagged = if (cacheTagged) taggedPlain.cache() else taggedPlain
+    val tagged = sh.join(dfreq, "shingle")
 
     // rare path: the capped inverted-index self-join output IS the
     // intersection stream — one row per shared rare shingle — so the

@@ -45,16 +45,9 @@ object Dwm {
     * ordering and gap resolution the DuckDB oracle observes. */
   def userJump(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    Tables.events(s, d)
+    jumpTail(Tables.events(s, d)
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
-      .filter(
-        (col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs) &&
-        (col("next_us").isNull || col("next_us") - col("ts_us") > Sessions.GapUs))
-      .select(
-        col("event_id"), col("user_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
-      .orderBy(col("event_id"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w)))
   }
 
   /** Hot-key-safe jump detection — identical output to [[userJump]]
@@ -72,18 +65,27 @@ object Dwm {
     val wLocal = Window.partitionBy(col("user_id"), col("chunk"))
       .orderBy(col("ts_us"), col("event_id"))
     val wChunk = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
-    val ev = events
-      .withColumn("chunk", expr(s"ts_us div $chunkUs"))
+    val chunked = events.withColumn("chunk", expr(s"ts_us div $chunkUs"))
+    val ev = chunked
       .withColumn("local_prev", lag(col("ts_us"), 1).over(wLocal))
       .withColumn("local_next", lead(col("ts_us"), 1).over(wLocal))
-    val stats = ev.groupBy(col("user_id"), col("chunk"))
+    // stats branch aggregates the PRE-window projection — it needs no
+    // neighbor columns, so that branch never pays the local windows
+    val stats = chunked.groupBy(col("user_id"), col("chunk"))
       .agg(max(col("ts_us")).as("cmax"), min(col("ts_us")).as("cmin"))
       .withColumn("prev_cmax", lag(col("cmax"), 1).over(wChunk))
       .withColumn("next_cmin", lead(col("cmin"), 1).over(wChunk))
       .select(col("user_id"), col("chunk"), col("prev_cmax"), col("next_cmin"))
-    ev.join(stats, Seq("user_id", "chunk"))
+    jumpTail(ev.join(stats, Seq("user_id", "chunk"))
       .withColumn("prev_us", coalesce(col("local_prev"), col("prev_cmax")))
-      .withColumn("next_us", coalesce(col("local_next"), col("next_cmin")))
+      .withColumn("next_us", coalesce(col("local_next"), col("next_cmin"))))
+  }
+
+  /** The isolation predicate + output shape shared verbatim by
+    * [[userJump]] and [[userJumpChunked]] — one definition, so the
+    * chunked variant cannot drift from the oracle it shares. */
+  private def jumpTail(withNeighbors: DataFrame): DataFrame =
+    withNeighbors
       .filter(
         (col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs) &&
         (col("next_us").isNull || col("next_us") - col("ts_us") > Sessions.GapUs))
@@ -91,7 +93,6 @@ object Dwm {
         col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
       .orderBy(col("event_id"))
-  }
 
   val userJumpSql: String =
     """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s FROM (

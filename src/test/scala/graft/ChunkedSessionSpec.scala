@@ -51,6 +51,13 @@ class ChunkedSessionSpec extends SparkSpec {
     }
   }
 
+  test("chunked jump windows partition by (user, chunk), not by user alone") {
+    val plan = graft.operators.Dwm.userJumpChunked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id[^)]*[, ]chunk".r.findFirstIn(plan).isDefined,
+      "expected (user_id, chunk) window partitioning in the chunked jump plan")
+  }
+
   test("chunked as-of carries payloads across empty and right-free chunks") {
     import spark.implicits._
     import graft.operators.AsOfJoin
