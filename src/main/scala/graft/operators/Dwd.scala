@@ -115,16 +115,23 @@ object Dwd {
       |ORDER BY event_id""".stripMargin
 
   /** New-user flag repair (BaseLogApp.java:73-105: keyed ValueState
-    * holding first-visit date). Batch-native state = a window function:
-    * the first event a user ever produced is `is_new = 1`. */
+    * holding first-visit date): the first event a user ever produced
+    * is `is_new = 1`.
+    *
+    * NOT a per-user ordered window: "first" is a lexicographic MIN of
+    * (ts_us, event_id), so a hash aggregation with map-side partials
+    * finds it and a key-join stamps the flag — no per-key serial sort
+    * anywhere, so a billion-event user costs the same as any other.
+    * The agg and the join share the user_id partitioning. */
   def newUserFlag(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
+    val ev = Tables.events(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(struct(col("ts_us"), col("event_id")))
+        .getField("event_id").as("first_id"))
+    ev.join(first, "user_id")
       .select(
         col("event_id"), col("user_id"),
-        when(col("rn") === 1, 1).otherwise(0).as("is_new"))
+        when(col("event_id") === col("first_id"), 1).otherwise(0).as("is_new"))
       .orderBy(col("event_id"))
   }
 
