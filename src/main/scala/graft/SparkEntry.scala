@@ -85,6 +85,7 @@ object SparkEntry {
     "ea_retention"         -> (EventAnalytics.retention _),
     "ea_pivot_counts"      -> (EventAnalytics.pivotCounts _),
     "ea_transitions"       -> (EventAnalytics.transitions _),
+    "ea_transitions_chunked" -> (EventAnalytics.transitionsChunked _),
     // Native Catalyst expression surface
     "text_rolling_fp"      -> (TextOps.rollingFingerprint _),
     "text_chunk"           -> (Chunking.chunk _),
@@ -106,6 +107,8 @@ object SparkEntry {
     "q_quantile"           -> Relational.quantilesSql,
     "q_grouping_sets"      -> Relational.groupingSetsSql,
     "ea_transitions"       -> EventAnalytics.transitionsSql,
+    // chunked variant must produce IDENTICAL output — same oracle
+    "ea_transitions_chunked" -> EventAnalytics.transitionsSql,
     "text_ngram_freq"      -> Chunking.ngramFreqSql,
     "pipeline_decontam"    -> Chunking.decontaminateSql,
     "ann_bruteforce"       -> Similarity.annBruteforceSql,

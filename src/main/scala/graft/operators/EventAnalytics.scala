@@ -223,6 +223,35 @@ object EventAnalytics {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** Hot-key-safe transitions — identical output to [[transitions]]
+    * (same oracle): lag-1 pairing within (user, time-chunk) windows,
+    * with each chunk-first event's predecessor type supplied by the
+    * previous non-empty chunk's LAST event type (one `max_by` per
+    * chunk + a lag over chunk rows). */
+  def transitionsChunked(s: SparkSession, d: String): DataFrame =
+    transitionsChunkedDf(Tables.events(s, d), chunkUs = 86400L * 1000000L)
+
+  def transitionsChunkedDf(events: DataFrame, chunkUs: Long): DataFrame = {
+    val wLocal = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wChunk = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+    val chunked = events.withColumn("chunk", expr(s"ts_us div $chunkUs"))
+    val ev = chunked
+      .withColumn("local_prev_type", lag(col("event_type"), 1).over(wLocal))
+    val stats = chunked.groupBy(col("user_id"), col("chunk"))
+      .agg(max_by(col("event_type"),
+        struct(col("ts_us"), col("event_id"))).as("clast_type"))
+      .withColumn("prev_clast_type", lag(col("clast_type"), 1).over(wChunk))
+      .select(col("user_id"), col("chunk"), col("prev_clast_type"))
+    ev.join(stats, Seq("user_id", "chunk"))
+      .withColumn("prev_type",
+        coalesce(col("local_prev_type"), col("prev_clast_type")))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   val transitionsSql: String =
     """SELECT prev_type, next_type, count(*) AS ct FROM (
       |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,

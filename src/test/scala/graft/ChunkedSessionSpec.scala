@@ -51,6 +51,20 @@ class ChunkedSessionSpec extends SparkSpec {
     }
   }
 
+  test("chunked transitions == plain at several chunk sizes, and partition by (user, chunk)") {
+    import graft.operators.EventAnalytics
+    val plain = EventAnalytics.transitions(spark, sf0001).collect().toSeq
+    Seq(3600L * 1000000L, 660L * 1000000L).foreach { chunkUs =>
+      val chunked = EventAnalytics.transitionsChunkedDf(
+        Tables.events(spark, sf0001), chunkUs).collect().toSeq
+      assert(chunked === plain, s"mismatch at chunkUs=$chunkUs")
+    }
+    val plan = EventAnalytics.transitionsChunked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id[^)]*[, ]chunk".r.findFirstIn(plan).isDefined,
+      "expected (user_id, chunk) window partitioning in the chunked transitions plan")
+  }
+
   test("chunked jump windows partition by (user, chunk), not by user alone") {
     val plan = graft.operators.Dwm.userJumpChunked(spark, sf0001)
       .queryExecution.executedPlan.toString
