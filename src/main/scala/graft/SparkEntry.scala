@@ -45,6 +45,7 @@ object SparkEntry {
     "dwm_user_jump"        -> (Dwm.userJump _),
     "dwm_user_jump_chunked" -> (Dwm.userJumpChunked _),
     "dwm_user_jump_strict" -> (Dwm.userJumpStrict _),
+    "dwm_user_jump_strict_chunked" -> (Dwm.userJumpStrictChunked _),
     "dwm_order_wide"       -> (Dwm.orderWide _),
     "dwm_payment_wide"     -> (Dwm.paymentWide _),
     // DWS
@@ -134,6 +135,7 @@ object SparkEntry {
     // chunked variant must produce IDENTICAL output — same oracle
     "dwm_user_jump_chunked" -> Dwm.userJumpSql,
     "dwm_user_jump_strict" -> Dwm.userJumpStrictSql,
+    "dwm_user_jump_strict_chunked" -> Dwm.userJumpStrictSql,
     "dwm_order_wide"       -> Dwm.orderWideSql,
     "dwm_payment_wide"     -> Dwm.paymentWideSql,
     "dws_visitor_stats"    -> Dws.visitorStatsSql,

@@ -118,10 +118,53 @@ object Dwm {
     * One window pass, no per-key driver state — scales like userJump. */
   def userJumpStrict(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val winUs = 10L * 1000000L
-    Tables.events(s, d)
+    strictTail(Tables.events(s, d)
       .withColumn("next_us", lead(col("ts_us"), 1).over(w))
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w)))
+  }
+
+  /** Hot-key-safe strict CEP jump — identical output to
+    * [[userJumpStrict]] (same oracle). The strict predicate only looks
+    * FORWARD (successor ts + type), so the stitch is the unidirectional
+    * half of [[userJumpChunkedDf]]: lead-1 within (user, chunk) gives
+    * the local successor; a chunk-LAST event's successor is the next
+    * non-empty chunk's first event — its (ts, event_id)-min struct,
+    * carried by one lead over chunk rows, not event rows. Per-key
+    * serial work drops from O(events-per-user) to O(chunks). */
+  def userJumpStrictChunked(s: SparkSession, d: String): DataFrame =
+    userJumpStrictChunkedDf(Tables.events(s, d), chunkUs = 86400L * 1000000L)
+
+  def userJumpStrictChunkedDf(events: DataFrame, chunkUs: Long): DataFrame = {
+    val wLocal = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wChunk = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+    val chunked = events.withColumn("chunk", expr(s"ts_us div $chunkUs"))
+    val ev = chunked.withColumn("local_next",
+      lead(struct(col("ts_us"), col("event_type")), 1).over(wLocal))
+    // chunk-first = min over (ts_us, event_id, type): the unique
+    // (ts_us, event_id) prefix decides the comparison, so the struct
+    // min IS the (ts, id)-ordered first event, type riding along
+    val stats = chunked.groupBy(col("user_id"), col("chunk"))
+      .agg(min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("cfirst"))
+      .withColumn("next_cfirst", lead(col("cfirst"), 1).over(wChunk))
+      .select(col("user_id"), col("chunk"), col("next_cfirst"))
+    // coalesce whole structs, never field-by-field: a NULL event_type
+    // inside a present local successor must NOT fall through to the
+    // next chunk's type
+    strictTail(ev.join(stats, Seq("user_id", "chunk"))
+      .withColumn("nxt", coalesce(col("local_next"),
+        struct(col("next_cfirst")("ts_us").as("ts_us"),
+          col("next_cfirst")("event_type").as("event_type"))))
+      .withColumn("next_us", col("nxt")("ts_us"))
+      .withColumn("next_type", col("nxt")("event_type")))
+  }
+
+  /** Strict-CEP predicate + output shape shared verbatim by
+    * [[userJumpStrict]] and [[userJumpStrictChunked]] — one definition,
+    * so the chunked variant cannot drift from the oracle it shares. */
+  private def strictTail(withNext: DataFrame): DataFrame = {
+    val winUs = 10L * 1000000L
+    withNext
       .filter(col("event_type") === "signup" &&
         ((col("next_us").isNull || col("next_us") - col("ts_us") > winUs) ||
          (col("next_type") === "signup" && col("next_us") - col("ts_us") <= winUs)))

@@ -65,6 +65,62 @@ class ChunkedSessionSpec extends SparkSpec {
       "expected (user_id, chunk) window partitioning in the chunked transitions plan")
   }
 
+  test("chunked strict jump == plain strict jump at several chunk sizes") {
+    import graft.operators.Dwm
+    val plain = Dwm.userJumpStrict(spark, sf0001).collect().toSeq
+    // 11-minute and 7-second chunks: the 7 s chunks put most 10 s CEP
+    // windows ACROSS a boundary — the forward stitch carries them all
+    Seq(660L * 1000000L, 7L * 1000000L).foreach { chunkUs =>
+      val chunked = Dwm.userJumpStrictChunkedDf(Tables.events(spark, sf0001), chunkUs)
+        .collect().toSeq
+      assert(chunked === plain, s"mismatch at chunkUs=$chunkUs")
+    }
+  }
+
+  test("chunked strict jump stitches every boundary-straddle case") {
+    import spark.implicits._
+    import graft.operators.Dwm
+    val d = Files.createTempDirectory("graft-strict-chunks").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L // ns origin, off epoch-0
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    Seq(
+      // user 1: signup at 95s (chunk 0), view at 102s (chunk 1, 7s gap)
+      // — a followed visit across the boundary: NOT a jump
+      (1L, ns(95), 1L, "signup", 1.0, """{"k": 1}"""),
+      (2L, ns(102), 1L, "view", 1.0, """{"k": 2}"""),
+      // user 2: signup at 195s (chunk 1), signup at 203s (chunk 2,
+      // 8s gap) — consecutive entries across the boundary: the FIRST
+      // is a jump; the second times out (nothing after): also a jump
+      (3L, ns(195), 2L, "signup", 1.0, """{"k": 3}"""),
+      (4L, ns(203), 2L, "signup", 1.0, """{"k": 4}"""),
+      // user 3: signup at 295s (chunk 2), next event at 420s (chunk 4,
+      // chunk 3 EMPTY, gap 125s > 10s) — timeout jump over an empty chunk
+      (5L, ns(295), 3L, "signup", 1.0, """{"k": 5}"""),
+      (6L, ns(420), 3L, "view", 1.0, """{"k": 6}"""),
+      // user 4: signup exactly AT a boundary (ts=400s = chunk 4 start)
+      // followed within-chunk at 405s by a view: NOT a jump
+      (7L, ns(400), 4L, "signup", 1.0, """{"k": 7}"""),
+      (8L, ns(405), 4L, "view", 1.0, """{"k": 8}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val chunkUs = 100L * 1000000L
+    val got = Dwm.userJumpStrictChunkedDf(Tables.events(spark, d), chunkUs)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(3L, 4L, 5L))
+    // and identical to the plain formulation on the planted data
+    val plain = Dwm.userJumpStrict(spark, d).collect().toSeq
+    val chunked = Dwm.userJumpStrictChunkedDf(Tables.events(spark, d), chunkUs)
+      .collect().toSeq
+    assert(chunked === plain)
+  }
+
+  test("chunked strict jump windows partition by (user, chunk), not by user alone") {
+    val plan = graft.operators.Dwm.userJumpStrictChunked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id[^)]*[, ]chunk".r.findFirstIn(plan).isDefined,
+      "expected (user_id, chunk) window partitioning in the chunked strict jump plan")
+  }
+
   test("chunked jump windows partition by (user, chunk), not by user alone") {
     val plan = graft.operators.Dwm.userJumpChunked(spark, sf0001)
       .queryExecution.executedPlan.toString
