@@ -186,45 +186,76 @@ object Dwm {
       |ORDER BY event_id""".stripMargin
 
   /** Order-wide table (OrderWideApp.java:78-190): fact⋈fact join
-    * orders⋈lineitem, then the reference's six async dim lookups become
-    * hash-join dim enrichment (customer slice → nation → region).
-    * Bounded dims (nation, region) carry explicit broadcast hints; the
-    * customer join is left to Catalyst/AQE, which broadcasts when the
-    * build side fits and falls back to shuffle join at 100 TB where
-    * customer scales with the data. */
+    * orders⋈lineitem, then the reference's SIX chained async dim
+    * lookups (user w/ derived age+gender, province, sku, spu,
+    * trademark, category3 — each a DimAsyncFunction) become hash-join
+    * dim enrichment with the same breadth: customer (user) → nation
+    * (province) → region, part (sku, carrying p_brand=trademark and
+    * p_type=category3 analogs), supplier (spu) → supplier-nation.
+    * The reference's birthday→age derived field maps to two derived
+    * columns computed during enrichment: `cust_band` (a dim-attribute
+    * banding, c_acctbal deciles) and `ship_delay_d` (order-date
+    * arithmetic, shipdate − orderdate). Bounded dims (nation, region)
+    * carry explicit broadcast hints; customer/part/supplier joins are
+    * left to Catalyst/AQE, which broadcasts when the build side fits
+    * and falls back to shuffle join at 100 TB where those dims scale
+    * with the data. */
   def orderWide(s: SparkSession, d: String): DataFrame = {
-    val dims = Tables.customer(s, d)
+    val custDims = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        col("n_name"), col("r_name"))
+        col("c_acctbal"), col("n_name"), col("r_name"))
+    val suppDims = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_nationkey"),
+            col("n_name").as("s_nation"))),
+        col("s_nationkey") === col("sn_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nation"))
+    val partDim = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(dims, col("o_custkey") === col("c_custkey"))
+      .join(custDims, col("o_custkey") === col("c_custkey"))
+      .join(partDim, col("l_partkey") === col("p_partkey"))
+      .join(suppDims, col("l_suppkey") === col("s_suppkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("o_totalprice"), col("c_name"), col("c_mktsegment"),
-        col("n_name"), col("r_name"))
+        col("n_name"), col("r_name"),
+        col("p_brand"), col("p_type"), col("s_name"), col("s_nation"),
+        // derived-at-enrichment fields (the birthday→age analogs)
+        floor(col("c_acctbal") / 1000).cast("int").as("cust_band"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("ship_delay_d"))
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic
       // lineitem, so the sort orders by every output column — ties are
       // then full-row duplicates and the output is totally ordered
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("l_extendedprice"), col("o_totalprice"), col("c_name"))
+        col("l_extendedprice"), col("o_totalprice"), col("c_name"),
+        col("p_brand"), col("p_type"), col("s_name"), col("s_nation"),
+        col("ship_delay_d"))
   }
 
   val orderWideSql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-      |  o_totalprice, c_name, c_mktsegment, n_name, r_name
+      |  o_totalprice, c_name, c_mktsegment, nation.n_name AS n_name, r_name,
+      |  p_brand, p_type, s_name, sn.n_name AS s_nation,
+      |  CAST(floor(c_acctbal / 1000) AS INTEGER) AS cust_band,
+      |  CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS ship_delay_d
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-      |  o_totalprice, c_name""".stripMargin
+      |  o_totalprice, c_name, p_brand, p_type, s_name, s_nation,
+      |  ship_delay_d""".stripMargin
 
   /** Interval join (PaymentWideApp.java:80-92: payment⋈order_wide keyed
     * by order id within [-15 min, 0]). Same shape here: key equality

@@ -177,4 +177,29 @@ class WarehouseOpsSpec extends SparkSpec {
       .agg(graft.operators.Agg.moneySum(col("value"))).collect()(0).getDouble(0)
     assert(full(0).getDouble(5) === pay0)
   }
+
+  test("order wide: six-dim breadth, derived fields, hints only on bounded dims") {
+    val ow = Dwm.orderWide(spark, sf001)
+    // the reference's six enrichment legs all surface in the row
+    assert(ow.columns.toSet === Set(
+      "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "order_date", "o_totalprice", "c_name", "c_mktsegment",
+      "n_name", "r_name",                       // customer → nation → region
+      "p_brand", "p_type",                      // part (sku/trademark/category3)
+      "s_name", "s_nation",                     // supplier → supplier-nation
+      "cust_band", "ship_delay_d"))             // derived-at-enrichment
+    // inner dim joins must not drop or fan out fact rows
+    assert(ow.count() === graft.Tables.lineitem(spark, sf001).count())
+    // derived fields recompute from the base tables on a sampled row
+    val row = ow.filter(col("l_orderkey") === 1).orderBy(col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice")).collect()(0)
+    val acct = graft.Tables.orders(spark, sf001).filter(col("o_orderkey") === 1)
+      .join(graft.Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      .select(col("c_acctbal")).collect()(0).getDouble(0)
+    assert(row.getAs[Int]("cust_band") === math.floor(acct / 1000).toInt)
+    // explicit broadcast hints: only the bounded dims (nation ×2, region)
+    val hints = "strategy=broadcast".r
+      .findAllIn(ow.queryExecution.analyzed.toString).size
+    assert(hints === 3, s"expected 3 bounded-dim broadcast hints, got $hints")
+  }
 }
