@@ -1,19 +1,23 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, decoded in partition-local batches.
   *
-  * The container ships no image/audio codecs, so `decodeStub` is a
-  * deterministic fake standing in for a real decoder (marked STUB).
-  * Everything around it — binary column, metadata struct, typed
-  * Dataset, `mapPartitions` batching, post-decode projection — is the
-  * real plumbing a decode stage needs: per-partition batches keep
-  * decoder init amortized, and the binary payload never round-trips
-  * through the driver.
+  * The container ships no codec libraries, so the media corpus is
+  * SYNTHESIZED — each document's bytes become the PCM samples of a
+  * genuine RIFF/WAVE file, built entirely in column space — but the
+  * decode stage is REAL: a generic RIFF chunk walker that parses the
+  * fmt/data chunks and computes sample statistics from the PCM
+  * payload (8-bit unsigned and 16-bit signed, any channel count).
+  * Everything around it — binary column, typed Dataset,
+  * `mapPartitions` batching, post-decode projection — is the real
+  * plumbing a decode stage needs: per-partition batches keep decoder
+  * init amortized, and the binary payload never round-trips through
+  * the driver.
   */
 object Multimodal {
 
@@ -21,46 +25,128 @@ object Multimodal {
     * would carry for an image/audio blob). */
   case class MediaRecord(doc_id: Long, payload: Array[Byte], lang: String, source: String)
 
-  /** Decoded features. width/height/frames come from the STUB decoder. */
-  case class DecodedRecord(doc_id: Long, n_bytes: Long, width: Int, height: Int, frames: Int)
+  /** Decoded audio features, all parsed/computed from the WAV bytes. */
+  case class DecodedRecord(doc_id: Long, n_bytes: Long, sample_rate: Int,
+    channels: Int, bits: Int, n_samples: Long, duration_ms: Long,
+    mean_amp: Double, peak_amp: Int)
 
-  /** STUB decoder: a real implementation would decode the codec here
-    * (JPEG dims, audio duration, video frame sample). Deterministic
-    * fake derived from payload length so the oracle can verify the
-    * plumbing end-to-end. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val n = payload.length
-    (n % 256, (n / 256) % 256, 1 + n % 4)
+  private val WavRate = 8000
+
+  /** Little-endian uint32 of a non-negative int column, as 4 binary
+    * bytes — the RIFF length-field encoding, built with unhex so the
+    * whole WAV container assembles in codegen'd column space. */
+  private def le32(c: Column): Column =
+    unhex(format_string("%02x%02x%02x%02x",
+      c % 256, shiftright(c, 8) % 256, shiftright(c, 16) % 256,
+      shiftright(c, 24) % 256))
+
+  private def leBytes(v: Int, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  /** The constant middle of a 44-byte PCM WAV header: WAVE magic +
+    * the complete fmt chunk (PCM, mono, 8 kHz, 8-bit) + the data
+    * chunk id. Only the two length fields vary per record. */
+  private val WavHeaderMid: Array[Byte] =
+    "WAVE".getBytes("US-ASCII") ++
+    "fmt ".getBytes("US-ASCII") ++ leBytes(16, 4) ++
+    leBytes(1, 2) ++ leBytes(1, 2) ++            // PCM, mono
+    leBytes(WavRate, 4) ++ leBytes(WavRate, 4) ++ // sample rate, byte rate
+    leBytes(1, 2) ++ leBytes(8, 2) ++             // block align, 8-bit
+    "data".getBytes("US-ASCII")
+
+  /** A real WAV container around `samples` (8-bit unsigned PCM),
+    * assembled from column functions — the synthetic-media ingest. */
+  private[graft] def wavColumn(samples: Column): Column = {
+    val n = octet_length(samples)
+    concat(lit("RIFF".getBytes("US-ASCII")), le32(n + 36),
+      lit(WavHeaderMid), le32(n), samples)
   }
 
-  /** Binary ingestion + batched decode. The `documents.text` bytes play
-    * the media payload. */
+  private def leInt(b: Array[Byte], off: Int, n: Int): Int =
+    (0 until n).foldLeft(0)((acc, i) => acc | ((b(off + i) & 0xff) << (8 * i)))
+
+  /** REAL decoder: walks the RIFF chunk list generically (honoring the
+    * spec's even-byte chunk padding and unknown chunks), parses the
+    * fmt chunk for format/channels/rate/bits, then computes sample
+    * stats from the data chunk's PCM payload — 8-bit unsigned or
+    * 16-bit signed little-endian, any channel count. Returns None for
+    * anything that is not a PCM RIFF/WAVE. */
+  private[graft] def decodeWav(b: Array[Byte]): Option[DecodedRecord] = {
+    if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    var off = 12
+    var fmt = -1; var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = leInt(b, off + 4, 4)
+      if (off + 8 + len > b.length) return None // truncated chunk
+      id match {
+        case "fmt " if len >= 16 =>
+          fmt = leInt(b, off + 8, 2); channels = leInt(b, off + 10, 2)
+          rate = leInt(b, off + 12, 4); bits = leInt(b, off + 22, 2)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => // unknown chunk: skip (LIST, INFO, ...)
+      }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    if (fmt != 1 || dataOff < 0 || channels <= 0 || rate <= 0 ||
+        (bits != 8 && bits != 16)) return None
+    val bytesPer = bits / 8
+    val nValues = dataLen / bytesPer
+    val nFrames = nValues / channels
+    var sum = 0L; var peak = Int.MinValue; var i = 0
+    while (i < nValues) {
+      val v = if (bits == 8) b(dataOff + i) & 0xff
+        else (leInt(b, dataOff + i * 2, 2) << 16) >> 16 // sign-extend
+      sum += v; if (v > peak) peak = v; i += 1
+    }
+    val mean = if (nValues == 0) 0.0 else sum.toDouble / nValues
+    Some(DecodedRecord(-1L, b.length.toLong, rate, channels, bits,
+      nFrames, nFrames * 1000L / rate, mean, if (nValues == 0) 0 else peak))
+  }
+
+  /** Binary ingestion + batched decode: documents become genuine WAV
+    * blobs (text bytes as 8-bit PCM), and the decode stage parses them
+    * back with the generic RIFF walker — header fields and PCM stats
+    * in the output are all computed FROM the binary. */
   def decodePipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
       .select(
         col("doc_id"),
-        encode(col("text"), "utf-8").as("payload"),
+        wavColumn(encode(col("text"), "utf-8")).as("payload"),
         col("lang"), col("source"))
       .as[MediaRecord]
     media.mapPartitions { it =>
-      // partition-local "decoder" lifecycle: init once per partition,
+      // partition-local decoder lifecycle: init once per partition,
       // stream record batches through it
-      it.map { r =>
-        val (w, h, f) = decodeStub(r.payload)
-        DecodedRecord(r.doc_id, r.payload.length.toLong, w, h, f)
+      it.flatMap { r =>
+        decodeWav(r.payload).map(_.copy(doc_id = r.doc_id))
       }
     }.toDF()
       .orderBy(col("doc_id"))
   }
 
+  /** The oracle recomputes every decoded field from the document text
+    * the PCM samples came from: ASCII bytes ARE the 8-bit samples, so
+    * the sample stats are char-code aggregates; the container adds
+    * the fixed 44-byte PCM header. */
   val decodePipelineSql: String =
-    """SELECT doc_id,
-      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      |  CAST(octet_length(CAST(text AS BLOB)) % 256 AS INTEGER) AS width,
-      |  CAST((octet_length(CAST(text AS BLOB)) // 256) % 256 AS INTEGER) AS height,
-      |  CAST(1 + octet_length(CAST(text AS BLOB)) % 4 AS INTEGER) AS frames
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(length(text) + 44 AS BIGINT) AS n_bytes,
+       |  CAST($WavRate AS INTEGER) AS sample_rate,
+       |  CAST(1 AS INTEGER) AS channels,
+       |  CAST(8 AS INTEGER) AS bits,
+       |  CAST(length(text) AS BIGINT) AS n_samples,
+       |  CAST(length(text) * 1000 // $WavRate AS BIGINT) AS duration_ms,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |    CAST(list_sum([ord(c) for c in string_split(text, '')]) AS DOUBLE)
+       |      / length(text) END AS mean_amp,
+       |  CASE WHEN length(text) = 0 THEN 0 ELSE
+       |    CAST(list_max([ord(c) for c in string_split(text, '')]) AS INTEGER)
+       |    END AS peak_amp
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   private val BlobChunk = 256
 
