@@ -136,9 +136,15 @@ object Similarity {
   private[graft] def kmeansCentroids(c: DataFrame, nLists: Int, iters: Int,
     trainCap: Int = 2048): Array[Centroid] = {
     import org.apache.spark.sql.types.DecimalType
-    val train = c.filter(col("vec_id") < trainCap)
+    // Sample by xxhash64(vec_id) order, NOT by id value: ids may be
+    // sparse, non-zero-based, or clustered by ingest order (hash order
+    // is ingest-independent). orderBy+limit plans as TakeOrdered — one
+    // corpus pass keeping trainCap rows per partition, no full sort.
+    // vec_id tie-break keeps the draw total-ordered (hash collisions).
+    val byHash = c.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val train = byHash.limit(trainCap)
     var cents = toCentroids(
-      c.filter(col("vec_id") < nLists).collect()
+      byHash.limit(nLists).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).map(_._2))
     for (_ <- 1 to iters) {

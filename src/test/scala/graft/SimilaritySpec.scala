@@ -81,6 +81,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("centroid training works on sparse, non-zero-based vec_ids") {
+    import org.apache.spark.sql.functions._
+    // shift+stride the ids: nothing below nLists or trainCap survives,
+    // so any id-value-based sampling would return an empty seed set
+    val sparse = Similarity.corpus(spark, sf0001)
+      .withColumn("vec_id", col("vec_id") * 1000L + 5000000L)
+    val cents = Similarity.kmeansCentroids(sparse, nLists = 8, iters = 2)
+    assert(cents.length === 8)
+    assert(cents.forall(c => c.norm > 0 && c.v.exists(_ != 0.0)))
+    // the hash-ordered draw is deterministic: same corpus ⇒ same centroids
+    val again = Similarity.kmeansCentroids(sparse, nLists = 8, iters = 2)
+    assert(cents.map(_.v.toSeq).toSeq === again.map(_.v.toSeq).toSeq)
+  }
+
   test("LSH ANN returns valid neighbors with usable recall") {
     val k = 5
     val bf = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()
