@@ -53,6 +53,24 @@ object FileSources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Date-partitioned materialization — the 100 TB events-table
+    * layout. A `dt=yyyy-MM-dd` directory per day means any
+    * date-bounded query prunes at the FILE LISTING, before a single
+    * data byte is read: a one-day query over a 3-year table touches
+    * ~0.1 % of the files. The derived `dt` rides next to the exact
+    * event timestamp, so intra-day semantics are unchanged. */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String = "ts",
+    maxRecordsPerFile: Long = 5000000L): Unit =
+    writePartitioned(
+      df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd")),
+      path, Seq("dt"), maxRecordsPerFile)
+
+  /** One day-slice of a date-partitioned table. The `dt` equality is a
+    * partition filter (FileSourcesSpec asserts it lands in the scan's
+    * PartitionFilters with only that day's files read). */
+  def readDateSlice(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("dt") === day)
+
   /** Streaming file source over a directory of JSON lines (the Kafka
     * topic analog for replay/testing). */
   def jsonLinesStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
