@@ -79,7 +79,21 @@ object Bench {
     val failures = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","iters":$Iters,"stat":"median","sink":"bit_xor(xxhash64(*))"}""")
+    // the BASELINE.md 2x gate: a median beyond twice its frozen budget
+    // is a plan regression and must turn the run red mechanically.
+    // Budgets are pinned at sf0.1/local[32]; any other configuration
+    // gets timings but no gate
+    val gated = sfDir.endsWith("sf0.1") && cpus == "32"
+    val violations = results.collect {
+      case (k, v, true) if gated && BenchBudgets.budgets.get(k).exists(v > 2 * _) =>
+        System.err.println(f"[bench] BUDGET VIOLATION: $k%s ${v}%.2fs > 2x " +
+          f"budget ${BenchBudgets.budgets(k)}%.2fs (BASELINE.md)")
+        "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val unbudgeted = results.collect {
+      case (k, _, true) if !BenchBudgets.budgets.contains(k) => "\"" + k + "\""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"budget_violations":$violations,"unbudgeted":$unbudgeted,"sf":"$sfDir","iters":$Iters,"stat":"median","sink":"bit_xor(xxhash64(*))"}""")
     spark.stop()
   }
 }
