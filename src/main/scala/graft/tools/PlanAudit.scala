@@ -22,7 +22,7 @@ object PlanAudit {
         Relational.q1PricingSummary(spark, d)),
       ("q3_shipping_priority", "all three scans carry pushed filters; both dims broadcast; top-N is TakeOrderedAndProject (no global sort)",
         Relational.q3ShippingPriority(spark, d)),
-      ("dwm_order_wide", "fact-fact SMJ on the order key; bounded dims broadcast; growing dims left to AQE",
+      ("dwm_order_wide", "fact-fact SMJ on the order key; six dim legs (customer/nation/region/part/supplier/supplier-nation): bounded dims broadcast, growing dims left to AQE; derived fields computed in the final project",
         Dwm.orderWide(spark, d)),
       ("dws_product_stats_w", "window() assignment fused into one HashAggregate pair; COUNT DISTINCT expands to the two-phase plan",
         Dws.productStatsWindowed(spark, d)),
@@ -42,6 +42,8 @@ object PlanAudit {
         DimMaintenance.dimUpsert(spark, d)),
       ("dwm_user_jump_strict", "one window pass (lead ts + lead type share the partition sort), filter is codegen'd",
         Dwm.userJumpStrict(spark, d)),
+      ("dwm_user_jump_strict_chunked", "hot-key-safe strict jump: (user, chunk) local windows + one chunk-granular lead for the next-chunk-first stitch — serial work O(chunks) per key",
+        Dwm.userJumpStrictChunked(spark, d)),
       ("dws_product_stats_incr", "incremental refresh: history and delta partials merge and only partials roll up — the scan split is visible as two filtered reads of lineitem, never a rescan of aggregated history",
         Dws.productStatsIncr(spark, d)),
       ("dim_scd2", "one window pass per key builds every validity range; tombstones close the prior row inside the same sort",
