@@ -56,6 +56,7 @@ object SparkEntry {
     "dws_product_stats_w"  -> (Dws.productStatsWindowed _),
     "dws_province_stats"   -> (Dws.provinceStats _),
     "dws_keyword_stats"    -> (Dws.keywordStats _),
+    "dws_keyword_stats_dict" -> (Dws.keywordStatsDict _),
     // ADS
     "ads_gmv"              -> (Ads.gmv _),
     "ads_trademark_topn"   -> (Ads.trademarkTopN _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "dws_product_stats_w"  -> Dws.productStatsWindowedSql,
     "dws_province_stats"   -> Dws.provinceStatsSql,
     "dws_keyword_stats"    -> Dws.keywordStatsSql,
+    "dws_keyword_stats_dict" -> Dws.keywordStatsDictSql,
     "ads_gmv"              -> Ads.gmvSql,
     "ads_trademark_topn"   -> Ads.trademarkTopNSql,
     "text_token_count"     -> TextOps.tokenCountSql,

@@ -328,6 +328,38 @@ object Dws {
       |GROUP BY keyword
       |ORDER BY keyword""".stripMargin
 
+  /** Keyword stats over the DICTIONARY segmenter — the IK-analyzer
+    * path (KeywordStatsApp.java uses IKSegmenter via KeywordUDTF;
+    * [[keywordStats]] is the whitespace analog). The trie is built
+    * once per partition (`functions/DictTokenizer` — dictionary load
+    * is task-init work, the IK deployment shape) and rows stream
+    * through it; everything after tokenization is the same explode →
+    * hash-agg plan as the whitespace variant. On the all-ASCII test
+    * corpus the segmenter's Latin rule makes the output exactly
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')`, which is what
+    * the oracle checks; the CJK dictionary path (longest match,
+    * single-char fallback) is spec-verified on planted text
+    * (DictTokenizerSpec). */
+  def keywordStatsDict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d).select(col("text")).as[String]
+      .mapPartitions { it =>
+        val tok = graft.functions.DictTokenizer.default
+        it.flatMap(tok.segment)
+      }
+    toks.toDF("keyword")
+      .groupBy(col("keyword")).agg(count(lit(1)).as("ct"))
+      .withColumn("source", lit("SEARCH"))
+      .orderBy(col("keyword"))
+  }
+
+  val keywordStatsDictSql: String =
+    """SELECT keyword, count(*) AS ct, 'SEARCH' AS source FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS keyword
+      |  FROM documents) t
+      |GROUP BY keyword
+      |ORDER BY keyword""".stripMargin
+
   /** Windowed product stats — the reference shape exactly: tumbling
     * event-time window × sku key → sums + COUNT DISTINCT orders
     * (ProductStatsApp.java:215-263: keyBy(sku).window(10s).reduce).
