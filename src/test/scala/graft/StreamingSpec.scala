@@ -83,6 +83,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState uniqueVisit matches the classic API scenario-for-scenario") {
+    withRocksDb {
+      // first-visit emission across batches (the classic test's data)
+      val day0 = ts(10)
+      val day1 = ts(24 * 60 + 10)
+      val rows = runBatches("uv2")(in => graft.streaming.ModernState.uniqueVisit(in.toDS()))(Seq(
+        Seq(Evt(1, 7, "view", 0, day0), Evt(2, 7, "view", 0, ts(20))),
+        Seq(Evt(3, 7, "view", 0, ts(30)), Evt(4, 7, "view", 0, day1))))
+      val visits = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(visits.toSet === Set((7L, "1970-01-02", 1L), (7L, "1970-01-03", 4L)))
+      // in-horizon late cross-day dedup (the classic TTL test's data)
+      val rows2 = runBatches("uvttl3")(in => graft.streaming.ModernState.uniqueVisit(in.toDS()))(Seq(
+        Seq(Evt(1, 7, "view", 0, day0)),
+        Seq(Evt(2, 7, "view", 0, day1)),
+        Seq(Evt(3, 7, "view", 0, ts(120)))))
+      assert(rows2.map(r => (r.getString(1), r.getLong(2))).toSet ===
+        Set(("1970-01-02", 1L), ("1970-01-03", 2L)))
+    }
+  }
+
+  test("transformWithState jumpDetect matches the classic API (real event-time timers)") {
+    withRocksDb {
+      val batches = Seq(
+        Seq(Evt(1, 7, "view", 0, ts(0)), Evt(10, 8, "view", 0, ts(1))),
+        Seq(Evt(2, 7, "view", 0, ts(20)), Evt(3, 7, "view", 0, ts(21))),
+        Seq(Evt(99, 999, "view", 0, ts(10000))),
+        Seq(Evt(100, 999, "view", 0, ts(10001))))
+      val rows = runBatches("jump2")(in => graft.streaming.ModernState.jumpDetect(in.toDS()))(batches)
+      val ids = rows.map(_.getLong(0)).toSet
+      assert(ids.contains(1L), "isolated first event must be a jump")
+      assert(ids.contains(10L), "lone event must be confirmed via the expired timer")
+      assert(!ids.contains(2L) && !ids.contains(3L), "clustered events are not jumps")
+      // and the verdict set equals the classic implementation's on the same input
+      val classic = runBatches("jump2c")(in => StreamOps.jumpDetect(in.toDS()))(batches)
+        .map(_.getLong(0)).toSet
+      assert(ids === classic)
+    }
+  }
+
+  private def withRocksDb(f: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("uniqueVisit TTL: late cross-day events inside the horizon stay deduped") {
     val day0a = ts(10)
     val day1 = ts(24 * 60 + 10)
