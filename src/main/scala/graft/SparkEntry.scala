@@ -27,6 +27,8 @@ object SparkEntry {
     "q_approx_distinct"    -> (Relational.approxDistinct _),
     "q_hll_presketch"      -> (Sketches.hllPreAgg _),
     "q_grouping_sets"      -> (Relational.groupingSets _),
+    "q_rolling_window"     -> (Relational.rollingGmv _),
+    "q_unpivot"            -> (Relational.unpivotCharges _),
     "q_asof_join"          -> (AsOfJoin.purchaseAsOfView _),
     "q_asof_join_chunked"  -> (AsOfJoin.purchaseAsOfViewChunked _),
     "q_range_join"         -> (AsOfJoin.rangeJoin _),
@@ -65,6 +67,7 @@ object SparkEntry {
     "text_quality"         -> (TextOps.quality _),
     "text_lang_id"         -> (TextOps.langId _),
     "text_fingerprint"     -> (TextOps.fingerprintOp _),
+    "text_tfidf"           -> ((sp, dir) => TextOps.tfidf(sp, dir)),
     // Dedup
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
@@ -108,6 +111,8 @@ object SparkEntry {
     "q_set_ops"            -> Relational.setOpsSql,
     "q_quantile"           -> Relational.quantilesSql,
     "q_grouping_sets"      -> Relational.groupingSetsSql,
+    "q_rolling_window"     -> Relational.rollingGmvSql,
+    "q_unpivot"            -> Relational.unpivotChargesSql,
     "ea_transitions"       -> EventAnalytics.transitionsSql,
     // chunked variant must produce IDENTICAL output — same oracle
     "ea_transitions_chunked" -> EventAnalytics.transitionsSql,
@@ -154,6 +159,7 @@ object SparkEntry {
     "text_quality"         -> TextOps.qualitySql,
     "text_lang_id"         -> TextOps.langIdSql,
     "text_fingerprint"     -> TextOps.fingerprintSql,
+    "text_tfidf"           -> TextOps.tfidfSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding / ann_* are

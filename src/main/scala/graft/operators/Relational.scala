@@ -279,4 +279,69 @@ object Relational {
        |JOIN region ON n_regionkey = r_regionkey
        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
        |ORDER BY r_name, c_mktsegment""".stripMargin
+
+  /** RANGE-frame moving aggregate: 7-day rolling GMV. The frame is a
+    * VALUE range over day numbers (`rangeBetween(-6, 0)`), not a row
+    * count — missing days narrow the frame, which rows-frames get
+    * wrong. Scale discipline: the window runs over the PRE-AGGREGATED
+    * daily table (one row per day, ~thousands of rows at any corpus
+    * size), never over raw orders — aggregate to the frame's
+    * granularity first, then the unavoidable single-partition ordered
+    * window is bounded by the calendar, not the data. Sums stay
+    * DECIMAL through both levels (order-independent), cast once at
+    * the end. */
+  def rollingGmv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("gmv_dec"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("day_num", datediff(col("day"), to_date(lit("1970-01-01"))))
+      .withColumn("gmv_7d_dec", sum(col("gmv_dec")).over(w))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("gmv_dec").cast("double").as("gmv"),
+        col("gmv_7d_dec").cast("double").as("gmv_7d"))
+      .orderBy(col("day"))
+  }
+
+  val rollingGmvSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS gmv_dec
+      |  FROM orders GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(gmv_dec AS DOUBLE) AS gmv,
+      |  CAST(sum(gmv_dec) OVER (ORDER BY day
+      |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS gmv_7d
+      |FROM daily ORDER BY day""".stripMargin
+
+  /** UNPIVOT (wide → long): the lineitem charge columns melt into
+    * (charge, amount) rows — the normalization step feeding generic
+    * per-metric pipelines. Spark's native `unpivot` is a narrow
+    * in-place transform (an Expand of the projection, no shuffle, no
+    * join); output is 3× the rows but each carries two fewer columns. */
+  def unpivotCharges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "charge", "amount")
+      // (orderkey, linenumber) is non-unique in the synthetic lineitem:
+      // include amount so ties are full-row duplicates (total order)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("charge"), col("amount"))
+
+  val unpivotChargesSql: String =
+    """SELECT l_orderkey, l_linenumber, charge, amount FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    'l_extendedprice' AS charge, l_extendedprice AS amount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+      |ORDER BY l_orderkey, l_linenumber, charge, amount""".stripMargin
 }
