@@ -24,6 +24,7 @@ object SparkEntry {
     "q_correlated_avg"     -> (Relational.correlatedAvg _),
     "q_set_ops"            -> (Relational.setOps _),
     "q_quantile"           -> (Relational.quantiles _),
+    "q_quantile_approx"    -> ((sp, dir) => Relational.quantilesApprox(sp, dir)),
     "q_approx_distinct"    -> (Relational.approxDistinct _),
     "q_hll_presketch"      -> (Sketches.hllPreAgg _),
     "q_grouping_sets"      -> (Relational.groupingSets _),

@@ -280,6 +280,21 @@ object Relational {
        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
        |ORDER BY r_name, c_mktsegment""".stripMargin
 
+  /** Approximate percentiles — the 100 TB companion to [[quantiles]]:
+    * `approx_percentile` (KLL-style mergeable summary) holds FIXED
+    * memory per group regardless of value cardinality, where even the
+    * bounded-state exact CDF walk carries one row per distinct value.
+    * Not SQL-oracle-able (the summary is engine-specific); the spec
+    * bounds each estimate between exact neighboring quantiles. */
+  def quantilesApprox(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.25), lit(accuracy)).as("q25"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("median"),
+        percentile_approx(col("l_extendedprice"), lit(0.75), lit(accuracy)).as("q75"))
+      .orderBy(col("l_returnflag"))
+
   /** RANGE-frame moving aggregate: 7-day rolling GMV. The frame is a
     * VALUE range over day numbers (`rangeBetween(-6, 0)`), not a row
     * count — missing days narrow the frame, which rows-frames get

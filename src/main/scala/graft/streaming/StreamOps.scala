@@ -300,6 +300,19 @@ object StreamOps {
         col("l.ts").as("order_ts"), col("r.ts").as("detail_ts"))
   }
 
+  /** DimAsyncFunction analog (app/func/DimAsyncFunction.java: every
+    * stream record asynchronously looks up its dimension row in HBase
+    * and merges the attributes in). Spark-native form: a stream-STATIC
+    * broadcast hash join — no per-record RPC, no async client, no
+    * cache-invalidation layer; the micro-batch joins against the dim
+    * snapshot, and a file-backed dim is re-resolved every batch, so a
+    * dim refresh between batches is picked up automatically (the
+    * reference needed a Redis cache + TTL for the same freshness).
+    * LEFT join: a missing dim row must not drop the fact record —
+    * DimAsyncFunction's timeout branch keeps the record too. */
+  def dimEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** The streaming order-detail record (lineitem-as-stream analog) for
     * [[productStatsFullStream]] specs. Top-level: method-local case
     * classes have no Encoder. */

@@ -12,4 +12,27 @@ class ApproxSpec extends SparkSpec {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("approx percentiles bracket the exact interpolated quantiles") {
+    import org.apache.spark.sql.functions._
+    val exact = Relational.quantiles(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val groups = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(collect_set(col("l_extendedprice")).as("vals")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSet).toMap
+    val approx = Relational.quantilesApprox(spark, sf001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val flag = r.getString(0)
+      val (e25, e50, e75) = exact(flag)
+      Seq(r.getDouble(1) -> e25, r.getDouble(2) -> e50, r.getDouble(3) -> e75)
+        .foreach { case (a, e) =>
+          // the sketch returns a REAL element of the group...
+          assert(groups(flag).contains(a), s"$a is not a data element of $flag")
+          // ...within 2% rank-error distance of the exact quantile value
+          assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact $e for $flag")
+        }
+    }
+  }
 }

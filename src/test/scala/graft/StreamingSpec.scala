@@ -179,6 +179,28 @@ class StreamingSpec extends SparkSpec {
     assert(!ids.contains(2L) && !ids.contains(3L), "clustered events are not jumps")
   }
 
+  test("dimEnrich joins each micro-batch against the static dim, keeping dim-less rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Evt]
+    val q = StreamOps.dimEnrich(input.toDF(), dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("dimenrich")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(Evt(1, 7, "view", 0, ts(1)), Evt(2, 9, "view", 0, ts(2))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(3, 8, "view", 0, ts(3))))
+      q.processAllAvailable()
+      val got = spark.table("dimenrich").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) "-" else r.getString(2))).toMap
+      // user 9 has no dim row: the left join keeps the fact record
+      // (DimAsyncFunction's timeout branch keeps it too)
+      assert(got === Map(1L -> "gold", 2L -> "-", 3L -> "silver"))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops redelivered events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
