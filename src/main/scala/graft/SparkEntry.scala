@@ -21,6 +21,7 @@ object SparkEntry {
     "q_semi_anti"          -> (Relational.semiAnti _),
     "q_window_rank"        -> (Relational.windowRank _),
     "q_rollup"             -> (Relational.rollupAgg _),
+    "q_cube"               -> (Relational.cubeAgg _),
     "q_correlated_avg"     -> (Relational.correlatedAvg _),
     "q_set_ops"            -> (Relational.setOps _),
     "q_quantile"           -> (Relational.quantiles _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "dws_product_stats_incr" -> (Dws.productStatsIncr _),
     "dws_product_stats_w"  -> (Dws.productStatsWindowed _),
     "dws_province_stats"   -> (Dws.provinceStats _),
+    "dws_visitor_stats_hop" -> (Dws.visitorStatsHop _),
     "dws_keyword_stats"    -> (Dws.keywordStats _),
     "dws_keyword_stats_dict" -> (Dws.keywordStatsDict _),
     // ADS
@@ -69,16 +71,20 @@ object SparkEntry {
     "text_lang_id"         -> (TextOps.langId _),
     "text_fingerprint"     -> (TextOps.fingerprintOp _),
     "text_tfidf"           -> ((sp, dir) => TextOps.tfidf(sp, dir)),
+    "text_repetition"      -> (TextOps.repetition _),
     // Dedup
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
     "dedup_simhash"        -> (Dedup.simhash _),
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_clusters"       -> (Clusters.dedupClusters _),
+    "dedup_survivors"      -> (Clusters.dedupSurvivors _),
     // Similarity search
     "ann_bruteforce"       -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"              -> ((s, d) => Similarity.annIvf(s, d)),
+    "ann_ivf_pq"           -> ((s, d) => Similarity.annIvfPq(s, d)),
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
     "mm_chunk_binary"      -> (Multimodal.chunkBinary _),
@@ -108,6 +114,7 @@ object SparkEntry {
     "q_semi_anti"          -> Relational.semiAntiSql,
     "q_window_rank"        -> Relational.windowRankSql,
     "q_rollup"             -> Relational.rollupAggSql,
+    "q_cube"               -> Relational.cubeAggSql,
     "q_correlated_avg"     -> Relational.correlatedAvgSql,
     "q_set_ops"            -> Relational.setOpsSql,
     "q_quantile"           -> Relational.quantilesSql,
@@ -152,6 +159,7 @@ object SparkEntry {
     "dws_product_stats_incr" -> Dws.productStatsSql,
     "dws_product_stats_w"  -> Dws.productStatsWindowedSql,
     "dws_province_stats"   -> Dws.provinceStatsSql,
+    "dws_visitor_stats_hop" -> Dws.visitorStatsHopSql,
     "dws_keyword_stats"    -> Dws.keywordStatsSql,
     "dws_keyword_stats_dict" -> Dws.keywordStatsDictSql,
     "ads_gmv"              -> Ads.gmvSql,
@@ -161,8 +169,11 @@ object SparkEntry {
     "text_lang_id"         -> TextOps.langIdSql,
     "text_fingerprint"     -> TextOps.fingerprintSql,
     "text_tfidf"           -> TextOps.tfidfSql,
+    "text_repetition"      -> TextOps.repetitionSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
+    "dedup_clusters"       -> Clusters.dedupClustersSql,
+    "dedup_survivors"      -> Clusters.dedupSurvivorsSql,
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding / ann_* are
     // hash-sketch based (not SQL-expressible) → driver rows-only check;
     // ScalaTest specs assert their semantics against ground truth.

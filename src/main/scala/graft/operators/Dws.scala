@@ -395,4 +395,50 @@ object Dws {
        |FROM lineitem
        |GROUP BY 1, 2, 3
        |ORDER BY stt, l_partkey""".stripMargin
+
+  /** Hopping-window visitor stats — the Flink HOP window the reference
+    * mixes with its tumbles (VisitorStatsApp uses tumbling; HOP is the
+    * sliding sibling in the same Flink window API): size 2 h, slide
+    * 1 h, so every event lands in exactly size/slide = 2 windows.
+    * Spark's sliding `window()` does that fan-out inside the generated
+    * code (no self-union of shifted tumbles), and the aggregate is the
+    * same two-level-distinct + decimal-sum shape as the tumbling ops:
+    * (window, type, user) partials with map-side combine, then the
+    * rollup counts partials for the exact uv without a countDistinct
+    * Expand. */
+  def visitorStatsHop(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("pv_p"), sum(dec(col("value"))).as("val_p"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(sum(col("pv_p")).as("pv_ct"), count(lit(1)).as("uv_ct"),
+        sum(col("val_p")).cast("double").as("val_sum"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"), col("uv_ct"), col("val_sum"))
+      .orderBy(col("stt"), col("event_type"))
+
+  // Window starts are slide-aligned epoch multiples in BOTH engines:
+  // Spark aligns sliding windows to the epoch by slideDuration; the
+  // oracle derives each event's two covering starts by floor-division
+  // arithmetic on the same micros (make_timestamp, per the TZ
+  // invariant). count(*) returns BIGINT in DuckDB but sum() needs the
+  // HUGEINT cast.
+  val visitorStatsHopSql: String =
+    s"""WITH hopped AS (
+       |  SELECT user_id, event_type, value,
+       |    unnest([make_timestamp(((epoch_us(ts) // 3600000000) - k) * 3600000000)
+       |            for k in [0, 1]]) AS ws
+       |  FROM events)
+       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+       |  strftime(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+       |  event_type,
+       |  count(*) AS pv_ct,
+       |  count(DISTINCT user_id) AS uv_ct,
+       |  ${sqlMoneySum("value")} AS val_sum
+       |FROM hopped
+       |GROUP BY ws, event_type
+       |ORDER BY stt, event_type""".stripMargin
 }

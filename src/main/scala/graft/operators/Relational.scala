@@ -132,6 +132,27 @@ object Relational {
        |GROUP BY ROLLUP(r_name, n_name)
        |ORDER BY r_name, n_name""".stripMargin
 
+  /** CUBE aggregate: order totals by status × priority with every
+    * subtotal combination — the 2-D completion of [[rollupAgg]] (one
+    * Expand + one hash-agg; grouping-set rows share the scan). */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("total"), count(lit(1)).as("order_ct"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("total"), col("order_ct"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val cubeAggSql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       |  ${sqlMoneySum("o_totalprice")} AS total, count(*) AS order_ct
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   /** Correlated scalar subquery shape: customers whose balance beats
     * their nation's average. Declared as an agg+join (what a decorrelator
     * produces); the per-nation average is a tiny broadcast side. */

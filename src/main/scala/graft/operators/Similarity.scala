@@ -214,4 +214,139 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  // ---- Product quantization (IVF-PQ) --------------------------------
+
+  /** The m-th subvector (dsub dims) of a vector column. */
+  private def subv(v: Column, m: Int, dsub: Int): Column =
+    slice(v, m * dsub + 1, dsub)
+
+  /** Index (into `cents`, positional) of the L2-nearest centroid:
+    * ascending struct sort on (‖x−c‖² expanded as ‖x‖²−2⟨x,c⟩+‖c‖²,
+    * id); ‖x‖² is common to all candidates so it is dropped. */
+  private def l2NearestId(cents: Array[Centroid], x: Column): Column =
+    array_sort(array(cents.toSeq.map { c =>
+      struct((lit(c.norm * c.norm) - lit(2.0) * dot(x, typedLit(c.v.toSeq))).as("d"),
+        lit(c.id).as("cent_id"))
+    }: _*))(0)("cent_id")
+
+  /** Per-subspace PQ codebooks: an independent L2 Lloyd run on each of
+    * the `m` dsub-dimensional slices of a bounded training sample.
+    * Same determinism contract as [[kmeansCentroids]]: hash-ordered
+    * sample, decimal-exact means, only m × ksub × dsub doubles reach
+    * the driver. */
+  private[graft] def pqCodebooks(c: DataFrame, m: Int, dsub: Int, ksub: Int,
+    iters: Int, trainCap: Int = 2048): Array[Array[Centroid]] = {
+    import org.apache.spark.sql.types.DecimalType
+    val byHash = c.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val train = byHash.limit(trainCap)
+    val seeds = byHash.limit(ksub).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    (0 until m).toArray.map { sub =>
+      var cents = toCentroids(seeds.map(_.slice(sub * dsub, (sub + 1) * dsub)))
+      for (_ <- 1 to iters) {
+        val means = train
+          .select(subv(col("v"), sub, dsub).as("x"))
+          .withColumn("code", l2NearestId(cents, col("x")))
+          .select(col("code"), posexplode(col("x")).as(Seq("pos", "xi")))
+          .groupBy(col("code"), col("pos"))
+          .agg((sum(col("xi").cast(DecimalType(38, 18))) /
+            count(lit(1))).cast("double").as("mu"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (id, rows) =>
+            id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          }
+        cents = toCentroids(cents.map(c => means.getOrElse(c.id, c.v)))
+      }
+      cents
+    }
+  }
+
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), Array[Array[Centroid]]]()
+
+  /** Drop cached PQ codebooks (after overwriting a corpus path). */
+  def clearCodebookCache(): Unit = codebookCache.clear()
+
+  /** IVF-PQ: the 100 TB MEMORY path. The corpus is stored as m = 8
+    * one-byte codes per vector (64 float64 dims → 8 bytes, 64:1
+    * against float32) plus its coarse IVF list; a query probes nProbe
+    * lists, scores candidates by ASYMMETRIC DISTANCE COMPUTATION —
+    * ⟨q, recon(v)⟩ = Σₘ ⟨q⁽ᵐ⁾, codebookₘ[codeₘ]⟩ against the full-
+    * precision query — and only the top `rerank` ADC survivors per
+    * query are re-scored with exact cosine on the raw vectors
+    * (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). At scale the raw-vector re-rank join
+    * touches rerank × queries rows — the full corpus is read once to
+    * ENCODE, then queries run entirely on the 8-byte codes.
+    *
+    * Everything is plan-literal column arithmetic: encode = m
+    * L2-argmins over 16-entry literal codebooks, ADC = m table
+    * lookups (element_at on a 2-D literal) + subvector dots; the
+    * reconstruction norm ‖recon(v)‖² = Σₘ ‖codebookₘ[codeₘ]‖² is
+    * computed once at encode time from a literal norm table. */
+  def annIvfPq(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+    nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+    kmeansIters: Int = 3, rerank: Int = 24): DataFrame = {
+    val dsub = 64 / m
+    val c = corpus(s, d)
+    val cents = Option(centroidCache.get((d, nLists, kmeansIters))).getOrElse {
+      val t = kmeansCentroids(c, nLists, kmeansIters)
+      val prior = centroidCache.putIfAbsent((d, nLists, kmeansIters), t)
+      if (prior != null) prior else t
+    }
+    val key = (d, m, ksub, kmeansIters)
+    val books = Option(codebookCache.get(key)).getOrElse {
+      val t = pqCodebooks(c, m, dsub, ksub, kmeansIters)
+      val prior = codebookCache.putIfAbsent(key, t)
+      if (prior != null) prior else t
+    }
+
+    // encode once: coarse list + m codes + reconstruction norm²
+    val codeCols = (0 until m).map(sub =>
+      l2NearestId(books(sub), subv(col("v"), sub, dsub)).as(s"code$sub"))
+    val encoded = c
+      .withColumn("list_id", topCents(cents, col("v"), 1)(0)("cent_id"))
+      .select(col("vec_id") +: col("list_id") +: codeCols: _*)
+      .select(col("vec_id"), col("list_id"),
+        array((0 until m).map(sub => col(s"code$sub")): _*).as("codes"),
+        (0 until m).map { sub =>
+          element_at(typedLit(books(sub).map(c => c.norm * c.norm).toSeq),
+            col(s"code$sub") + 1)
+        }.reduce(_ + _).as("recon2"))
+
+    val q = c.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(topCents(cents, col("v"), nProbe)("cent_id")).as("probe_list"))
+
+    // ADC: Σₘ ⟨q⁽ᵐ⁾, codebookₘ[codeₘ]⟩ — table lookups on 2-D literals
+    val adcDot = (0 until m).map { sub =>
+      dot(subv(col("qv"), sub, dsub),
+        element_at(typedLit(books(sub).map(_.v.toSeq).toSeq),
+          element_at(col("codes"), sub + 1) + 1))
+    }.reduce(_ + _)
+    val adc = encoded.join(broadcast(q),
+        col("list_id") === col("probe_list") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (adcDot / (norm(col("qv")) * sqrt(col("recon2")))).as("adc_cos"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_cos").desc, col("vec_id"))
+    val shortlist = adc.withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+
+    // exact re-rank of the shortlist only (raw vectors re-join here)
+    val exact = shortlist
+      .join(c, "vec_id")
+      .join(broadcast(c.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (norm(col("qv")) * norm(col("v")))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
 }

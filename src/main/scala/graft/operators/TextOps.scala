@@ -164,4 +164,66 @@ object TextOps {
       |  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored)
       |SELECT doc_id, rnk, term, tf, df, tfidf FROM ranked WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Repetition signals — the Gopher/MassiveText repetition filters
+    * (Rae et al. 2021, "Scaling Language Models", table A1) at word
+    * level: the mass of the most frequent bigram plus duplicate
+    * bigram/trigram fractions. A doc whose top bigram covers a large
+    * fraction of the text, or most of whose trigrams are repeats, is
+    * boilerplate/spam and gets filtered before training.
+    *
+    * All metrics are computed IN-ROW from the shingle arrays — no
+    * explode, no shuffle, scan-speed at 100 TB. The shingle arrays are
+    * materialized as columns FIRST: a lambda referencing an outer
+    * expression subtree re-evaluates that subtree per element (the
+    * TextFunctions.shingles pitfall), while a bound column read is
+    * free. The one quadratic term (counting each distinct bigram's
+    * occurrences) is O(per-doc bigrams²), bounded by document length —
+    * corpus size never enters. Ratios divide identical integers in
+    * both engines, so the doubles compare exactly. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        shingles(col("text"), 2).as("bg"),
+        shingles(col("text"), 3).as("tg"))
+      .select(
+        col("doc_id"),
+        size(col("bg")).as("n_bigrams"),
+        when(size(col("bg")) > 0,
+          array_max(transform(array_distinct(col("bg")),
+            x => size(filter(col("bg"), y => y === x)))).cast("double")
+            / size(col("bg"))).as("top_bigram_frac"),
+        when(size(col("bg")) > 0,
+          lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+            / size(col("bg"))).as("dup_bigram_frac"),
+        when(size(col("tg")) > 0,
+          lit(1.0) - size(array_distinct(col("tg"))).cast("double")
+            / size(col("tg"))).as("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(l) >= 2
+      |      THEN [l[i] || ' ' || l[i+1] for i in range(1, len(l))]
+      |      ELSE []::VARCHAR[] END AS bg,
+      |    CASE WHEN len(l) >= 3
+      |      THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)]
+      |      ELSE []::VARCHAR[] END AS tg
+      |  FROM toks)
+      |SELECT doc_id,
+      |  len(bg) AS n_bigrams,
+      |  CASE WHEN len(bg) > 0 THEN
+      |    CAST(list_max([len(list_filter(bg, y -> y = x)) for x in list_distinct(bg)]) AS DOUBLE) / len(bg)
+      |  END AS top_bigram_frac,
+      |  CASE WHEN len(bg) > 0 THEN
+      |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+      |  END AS dup_bigram_frac,
+      |  CASE WHEN len(tg) > 0 THEN
+      |    1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+      |  END AS dup_trigram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
 }

@@ -300,6 +300,28 @@ object StreamOps {
         col("l.ts").as("order_ts"), col("r.ts").as("detail_ts"))
   }
 
+  /** LEFT OUTER interval join — the branch the reference handles with
+    * its join-state timers (OrderWideApp keeps unmatched orders until
+    * the interval closes): an order with no detail inside
+    * [ts, ts + 30 min] must still emit, null-extended, once BOTH
+    * watermarks prove no matching detail can arrive. Same key/range
+    * condition as [[intervalJoinOn]]; Spark evicts the expired left
+    * row from join state and emits it with nulls in the trigger after
+    * the watermark passes — so the null rows are exactly-once, not
+    * repeated per trigger. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame): DataFrame =
+    left.withWatermark("ts", "10 minutes").alias("l")
+      .join(right.withWatermark("ts", "40 minutes").alias("r"),
+        expr("""l.user_id = r.user_id AND
+                r.ts >= l.ts AND
+                r.ts <= l.ts + interval 30 minutes"""),
+        "leftOuter")
+      .select(
+        col("l.event_id").as("order_event"),
+        col("r.event_id").as("detail_event"),
+        col("l.user_id").as("user_id"),
+        col("l.ts").as("order_ts"), col("r.ts").as("detail_ts"))
+
   /** DimAsyncFunction analog (app/func/DimAsyncFunction.java: every
     * stream record asynchronously looks up its dimension row in HBase
     * and merges the attributes in). Spark-native form: a stream-STATIC

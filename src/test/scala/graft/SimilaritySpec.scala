@@ -95,6 +95,55 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.map(_.v.toSeq).toSeq === again.map(_.v.toSeq).toSeq)
   }
 
+  test("IVF-PQ ANN: codes compress, ADC shortlist recalls, rerank returns exact cosines") {
+    val k = 5
+    val bfRows = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()
+    val bf = bfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bfCos = bfRows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val pqRows = Similarity.annIvfPq(spark, sf0001, nQueries = 8, k = k).collect()
+    val pq = pqRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pqRows.length === 8 * k)
+    // IVF-PQ probes the same coarse lists as plain IVF, then shortlists
+    // by 8-byte ADC; with exact re-rank its recall cannot collapse
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.15, s"IVF-PQ recall $recall below floor")
+    // survivors carry EXACT cosines (re-ranked on raw vectors): any
+    // pair also in brute force must agree bit-for-bit
+    bf.intersect(pq).foreach { key =>
+      val got = pqRows.find(r => (r.getLong(0), r.getLong(2)) == key).get.getDouble(3)
+      assert(got === bfCos(key), s"rerank cosine drifted for $key")
+    }
+    // deterministic across runs (codebooks cached + decimal means)
+    val again = Similarity.annIvfPq(spark, sf0001, nQueries = 8, k = k).collect().toSeq
+    assert(again.map(_.toString) === pqRows.toSeq.map(_.toString))
+  }
+
+  test("PQ codebooks: codes are within range and reconstruction beats the zero vector") {
+    import org.apache.spark.sql.functions._
+    val c = Similarity.corpus(spark, sf0001)
+    val books = Similarity.pqCodebooks(c, m = 8, dsub = 8, ksub = 16, iters = 2)
+    assert(books.length === 8)
+    books.foreach { b =>
+      assert(b.length === 16)
+      b.foreach(cent => assert(cent.v.length === 8))
+    }
+    // encode a sample driver-side and check quantization error: the
+    // reconstructed vector must be closer to the original than the
+    // origin is (i.e. PQ explains some variance) for nearly all rows
+    val sample = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val better = sample.count { v =>
+      val err = (0 until 8).map { m =>
+        val x = v.slice(m * 8, (m + 1) * 8)
+        val cent = books(m).minBy(c =>
+          c.v.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum)
+        cent.v.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      err < v.map(x => x * x).sum
+    }
+    assert(better >= 60, s"only $better/64 rows reconstruct better than zero")
+  }
+
   test("LSH ANN returns valid neighbors with usable recall") {
     val k = 5
     val bf = Similarity.annBruteforce(spark, sf0001, nQueries = 8, k = k).collect()

@@ -415,6 +415,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched orders once the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[Evt]
+    val details = MemoryStream[Evt]
+    val joined = StreamOps.intervalJoinLeftOuter(orders.toDF(), details.toDF())
+    val q = joined.writeStream.format("memory").queryName("ijlo")
+      .outputMode("append").start()
+    try {
+      orders.addData(Seq(
+        Evt(1, 7, "order", 0, ts(10)),    // will match
+        Evt(2, 8, "order", 0, ts(10))))   // no detail ever
+      details.addData(Seq(Evt(101, 7, "detail", 0, ts(15))))
+      q.processAllAvailable()
+      // push both watermarks far past order 2's [10, 40] window, then
+      // run another trigger so the expired state row is emitted
+      orders.addData(Seq(Evt(9, 99, "order", 0, ts(300))))
+      details.addData(Seq(Evt(199, 99, "detail", 0, ts(300))))
+      q.processAllAvailable()
+      orders.addData(Seq(Evt(10, 98, "order", 0, ts(400))))
+      details.addData(Seq(Evt(198, 98, "detail", 0, ts(400))))
+      q.processAllAvailable()
+      val got = spark.table("ijlo").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got(1L) === 101L)   // matched pair joins normally
+      assert(got(2L) === -1L)    // unmatched order emitted null-extended
+      assert(spark.table("ijlo").filter("order_event = 2").count() === 1)
+    } finally q.stop()
+  }
+
   test("chained stream-stream interval joins (OrderWide -> PaymentWide topology)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
