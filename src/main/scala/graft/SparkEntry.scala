@@ -72,6 +72,7 @@ object SparkEntry {
     "text_fingerprint"     -> (TextOps.fingerprintOp _),
     "text_tfidf"           -> ((sp, dir) => TextOps.tfidf(sp, dir)),
     "text_repetition"      -> (TextOps.repetition _),
+    "text_quality_gate"    -> (TextOps.qualityGate _),
     // Dedup
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
@@ -106,6 +107,7 @@ object SparkEntry {
     "pipeline_decontam"    -> (Chunking.decontaminate _),
     "text_pack"            -> (Sampling.pack _),
     "text_sample_stratified" -> (Sampling.sampleStratified _),
+    "text_sample_weighted" -> ((s, d) => Sampling.sampleWeighted(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,6 +172,7 @@ object SparkEntry {
     "text_fingerprint"     -> TextOps.fingerprintSql,
     "text_tfidf"           -> TextOps.tfidfSql,
     "text_repetition"      -> TextOps.repetitionSql,
+    "text_quality_gate"    -> TextOps.qualityGateSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_clusters"       -> Clusters.dedupClustersSql,
@@ -189,6 +192,7 @@ object SparkEntry {
     "ea_pivot_counts"      -> EventAnalytics.pivotCountsSql,
     "text_pack"            -> Sampling.packSql,
     "text_sample_stratified" -> Sampling.sampleStratifiedSql,
+    "text_sample_weighted" -> Sampling.sampleWeightedSql,
     // text_rolling_fp: native hash, not SQL-expressible → rows-only + spec
   )
 }

@@ -42,6 +42,24 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Occurrence count of the most frequent element of a string array:
+    * sort + one linear run-length fold — O(d log d) per row. The naive
+    * count-per-distinct form (`transform(array_distinct(a), x ->
+    * size(filter(a, y -> y = x)))`) is O(d²) per row: harmless on a
+    * 40-token test doc, 10⁸ comparisons on a 10k-shingle web page.
+    * Equal elements are adjacent after the sort, so the longest equal
+    * run IS the top count. */
+  def topCount(arr: Column): Column = {
+    val zero = struct(
+      lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    aggregate(array_sort(arr), zero,
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+  }
+
   /** Canonical form for exact dedup: collapse whitespace, lowercase. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

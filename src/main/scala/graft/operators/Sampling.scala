@@ -84,4 +84,46 @@ object Sampling {
       |WHERE (doc_id * 48271) % 2147483647 % 100
       |      < CASE WHEN source IN ('src0','src1') THEN 80 ELSE 25 END
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic WEIGHTED sampling without replacement — per-source
+    * top-k by weighted priority (the quality-weighted data-mixing
+    * pass: longer docs favored here; swap in any non-negative weight
+    * column). Each doc draws u ∈ (0,1) from the same minstd LCG as
+    * [[sampleStratified]] and gets priority key = u / weight; the k
+    * smallest keys per source win. Efraimidis–Spirakis would use
+    * u^(1/w) for exact inclusion probabilities, but pow/ln live in
+    * libm, whose last-ulp results differ between engines (the
+    * text_tfidf lesson) — and a selection boundary is exactly where an
+    * ulp flips membership. The engine therefore ships the RATIONAL
+    * priority: IEEE division of identical operands is bit-identical
+    * everywhere, so the SELECTION (not just the distribution) is
+    * reproducible across engines, partitionings and runs. The
+    * stochastic ordering is preserved (larger weight ⇒ stochastically
+    * smaller key); the spec pins determinism and the weight bias.
+    * One window top-k per source — scan-speed, no corpus shuffle
+    * beyond the per-source rank. */
+  def sampleWeighted(s: SparkSession, d: String, k: Int = 40): DataFrame = {
+    val u = (pmod(col("doc_id") * 48271L, lit(2147483647L)) + 1).cast("double") /
+      lit(2147483648.0)
+    val w = Window.partitionBy(col("source")).orderBy(col("key"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("key", u / col("n_chars").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val sampleWeightedSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, source, n_chars,
+      |    (CAST((doc_id * 48271) % 2147483647 + 1 AS DOUBLE) / 2147483648.0)
+      |      / CAST(n_chars AS DOUBLE) AS key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rnk
+      |  FROM keyed)
+      |SELECT source, rnk, doc_id, n_chars FROM ranked WHERE rnk <= 40
+      |ORDER BY source, rnk""".stripMargin
 }

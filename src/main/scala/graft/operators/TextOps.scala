@@ -177,10 +177,11 @@ object TextOps {
     * materialized as columns FIRST: a lambda referencing an outer
     * expression subtree re-evaluates that subtree per element (the
     * TextFunctions.shingles pitfall), while a bound column read is
-    * free. The one quadratic term (counting each distinct bigram's
-    * occurrences) is O(per-doc bigrams²), bounded by document length —
-    * corpus size never enters. Ratios divide identical integers in
-    * both engines, so the doubles compare exactly. */
+    * free. The top-bigram count is the sort + run-length fold of
+    * TextFunctions.topCount — O(d log d) per row, so a 10k-shingle web
+    * page costs ~10⁵ comparisons, not the naive form's 10⁸; corpus
+    * size never enters. Ratios divide identical integers in both
+    * engines, so the doubles compare exactly. */
   def repetition(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -190,8 +191,7 @@ object TextOps {
         col("doc_id"),
         size(col("bg")).as("n_bigrams"),
         when(size(col("bg")) > 0,
-          array_max(transform(array_distinct(col("bg")),
-            x => size(filter(col("bg"), y => y === x)))).cast("double")
+          topCount(col("bg")).cast("double")
             / size(col("bg"))).as("top_bigram_frac"),
         when(size(col("bg")) > 0,
           lit(1.0) - size(array_distinct(col("bg"))).cast("double")
@@ -200,6 +200,69 @@ object TextOps {
           lit(1.0) - size(array_distinct(col("tg"))).cast("double")
             / size(col("tg"))).as("dup_trigram_frac"))
       .orderBy(col("doc_id"))
+
+  /** Composite quality GATE — the C4/Gopher-style keep/drop verdict a
+    * pretraining pipeline applies after scoring (Raffel et al. 2020
+    * §2.2 heuristics; Rae et al. 2021 table A1), with thresholds
+    * re-tuned to the synthetic corpus so the gate splits it
+    * nontrivially. Rules, evaluated in order (first failure names the
+    * drop reason): doc length in chars and tokens, the top-bigram
+    * repetition cut, the duplicate-trigram cut. One in-row pass: the
+    * rule inputs reuse the same codegen'd expressions as
+    * [[quality]]/[[repetition]] — no shuffle, no second scan. */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("chars"),
+        size(tokens(col("text"))).as("toks"),
+        shingles(col("text"), 2).as("bg"),
+        shingles(col("text"), 3).as("tg"))
+    val top2 = topCount(col("bg")).cast("double") / size(col("bg"))
+    val dup3 = lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg"))
+    docs.select(
+      col("doc_id"),
+      when(col("chars") < 100, "too_short")
+        .when(col("toks") < 15, "too_few_tokens")
+        .when(col("toks") > 120, "too_many_tokens")
+        .when(size(col("bg")) > 0 && top2 > 0.06, "top_bigram_repetition")
+        .when(size(col("tg")) > 0 && dup3 > 0.02, "dup_trigram_repetition")
+        .as("drop_reason"))
+      .withColumn("keep", when(col("drop_reason").isNull, 1).otherwise(0))
+      .select(col("doc_id"), col("keep"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityGateSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, length(text) AS chars,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS toks,
+      |    CASE WHEN len(l) >= 2
+      |      THEN [l[i] || ' ' || l[i+1] for i in range(1, len(l))]
+      |      ELSE []::VARCHAR[] END AS bg,
+      |    CASE WHEN len(l) >= 3
+      |      THEN [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)]
+      |      ELSE []::VARCHAR[] END AS tg
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split(text, ' '), t -> len(t) > 0) AS l
+      |        FROM documents) t),
+      |v AS (
+      |  SELECT doc_id,
+      |    CASE
+      |      WHEN chars < 100 THEN 'too_short'
+      |      WHEN toks < 15 THEN 'too_few_tokens'
+      |      WHEN toks > 120 THEN 'too_many_tokens'
+      |      WHEN len(bg) > 0 AND
+      |        CAST(list_max([len(list_filter(bg, y -> y = x)) for x in list_distinct(bg)]) AS DOUBLE)
+      |          / len(bg) > 0.06 THEN 'top_bigram_repetition'
+      |      WHEN len(tg) > 0 AND
+      |        1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) > 0.02
+      |        THEN 'dup_trigram_repetition'
+      |    END AS drop_reason
+      |  FROM g)
+      |SELECT doc_id,
+      |  CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END AS keep,
+      |  drop_reason
+      |FROM v ORDER BY doc_id""".stripMargin
 
   val repetitionSql: String =
     """WITH toks AS (

@@ -261,6 +261,22 @@ object StreamOps {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("ch"), col("pv_ct"), col("ev_ct"), col("dur_sum"))
 
+  /** Hopping-window visitor stats — the streaming twin of
+    * `Dws.visitorStatsHop` (Flink HOP: size 2 h, slide 1 h). Each
+    * event contributes to both covering windows; the watermark closes
+    * a window once event time passes its END + delay, so the
+    * overlapping windows finalize one slide apart. */
+  def visitorStatsHop(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(
+        window(col("ts"), "2 hours", "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"), sum(col("value")).as("val_sum"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("event_type"), col("pv_ct"), col("val_sum"))
+
   /** KeywordStatsApp (tokenize + LATERAL explode + windowed count):
     * the UDTF becomes an explode over the tokenizer; counts roll up
     * per keyword per tumbling window behind a watermark. `textCol`

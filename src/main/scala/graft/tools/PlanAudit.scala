@@ -47,7 +47,15 @@ object PlanAudit {
       ("dws_product_stats_incr", "incremental refresh: history and delta partials merge and only partials roll up — the scan split is visible as two filtered reads of lineitem, never a rescan of aggregated history",
         Dws.productStatsIncr(spark, d)),
       ("dim_scd2", "one window pass per key builds every validity range; tombstones close the prior row inside the same sort",
-        DimMaintenance.dimScd2(spark, d)))
+        DimMaintenance.dimScd2(spark, d)),
+      ("text_repetition", "no shuffle beyond the presentation sort (which the forced-eval sink eliminates): both shingle arrays materialize once in a narrow Project and every metric is in-row array arithmetic",
+        TextOps.repetition(spark, d)),
+      ("q_cube", "one Expand (4 grouping sets) into a single partial/final HashAggregate pair — subtotals never rescan",
+        Relational.cubeAgg(spark, d)),
+      ("dws_visitor_stats_hop", "sliding window() fan-out happens inside Expand/codegen (no self-union of shifted tumbles); two-level exact distinct: (window, type, user) partials then partial-count rollup",
+        Dws.visitorStatsHop(spark, d)),
+      ("dedup_survivors", "the audited plan is the serving tail: corpus scan anti-joined (BroadcastHashJoin LeftAnti) against the loser ids; the cluster contraction rounds ran before this plan and are frozen into the checkpointed edge scan",
+        Clusters.dedupSurvivors(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>

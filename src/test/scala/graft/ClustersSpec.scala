@@ -96,5 +96,14 @@ class ClustersSpec extends SparkSpec {
     assert(m(2L)._2 === 0.0)
     assert(m(3L)._1 === 1.0)             // "w w" ×3 of 3
     assert(m(3L)._2 === 1.0 - 1.0 / 2.0)
+    // the shipped operator's sort+run-length top count agrees with the
+    // naive count-per-distinct form used for the hand numbers above
+    val viaOp = docs
+      .select(col("doc_id"), shingles(col("text"), 2).as("bg"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.topCount(col("bg")).cast("double")
+          .divide(size(col("bg"))).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaOp === m.map { case (k, v) => k -> v._1 })
   }
 }

@@ -62,4 +62,24 @@ class SamplingSpec extends SparkSpec {
       assert(rate < 0.45, s"$s rate=$rate")
     }
   }
+
+  test("weighted sample: deterministic, per-source bounded, and biased toward heavy docs") {
+    val k = 10
+    val a = Sampling.sampleWeighted(spark, sf001, k).collect()
+    val b = Sampling.sampleWeighted(spark, sf001, k).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq) // bit-stable
+    // no source exceeds k picks, ranks are 1..n without gaps
+    a.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.length <= k)
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length))
+    }
+    // weight bias: mean n_chars of the picked docs beats the corpus
+    // mean (u/w priorities favor long docs; the LCG draw is fixed, so
+    // this is a deterministic property of the data, not flaky)
+    val pickedMean = a.map(_.getLong(3)).sum.toDouble / a.length
+    val corpusMean = Tables.documents(spark, sf001)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(pickedMean > corpusMean,
+      s"picked mean $pickedMean not above corpus mean $corpusMean")
+  }
 }

@@ -241,6 +241,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("visitorStatsHop lands each event in both sliding windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.visitorStatsHop(input.toDF()).writeStream.format("memory")
+      .queryName("vsh").outputMode("append").start()
+    try {
+      // 01:30 (day 2) sits in windows [00:00, 02:00) and [01:00, 03:00)
+      input.addData(Seq(Evt(1, 1, "view", 10.0, ts(90))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(2, 2, "view", 1.0, ts(600))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(3, 3, "view", 1.0, ts(900))))
+      q.processAllAvailable()
+      val starts = spark.table("vsh").collect()
+        .filter(_.getLong(3) == 1L).map(_.getString(0)).toSet
+      assert(starts.contains("1970-01-02 00:00:00"))
+      assert(starts.contains("1970-01-02 01:00:00"))
+    } finally q.stop()
+  }
+
   test("keywordStats explodes tokens into windowed counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
