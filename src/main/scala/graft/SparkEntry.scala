@@ -73,6 +73,7 @@ object SparkEntry {
     "text_tfidf"           -> ((sp, dir) => TextOps.tfidf(sp, dir)),
     "text_repetition"      -> (TextOps.repetition _),
     "text_quality_gate"    -> (TextOps.qualityGate _),
+    "text_lm_score"        -> (TextOps.lmScore _),
     // Dedup
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "ann_ivf_pq"           -> ((s, d) => Similarity.annIvfPq(s, d)),
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
+    "mm_image_decode"      -> (Multimodal.imageDecodePipeline _),
     "mm_chunk_binary"      -> (Multimodal.chunkBinary _),
     "mm_reassemble"        -> (Multimodal.reassemble _),
     "mm_frame_sample"      -> (Multimodal.frameSample _),
@@ -95,6 +97,7 @@ object SparkEntry {
     "ea_sessionize"        -> (EventAnalytics.sessionize _),
     "ea_sessionize_chunked" -> (EventAnalytics.sessionizeChunked _),
     "ea_funnel"            -> (EventAnalytics.funnel _),
+    "ea_funnel_windowed"   -> (EventAnalytics.funnelWindowed _),
     "ea_retention"         -> (EventAnalytics.retention _),
     "ea_pivot_counts"      -> (EventAnalytics.pivotCounts _),
     "ea_transitions"       -> (EventAnalytics.transitions _),
@@ -173,6 +176,7 @@ object SparkEntry {
     "text_tfidf"           -> TextOps.tfidfSql,
     "text_repetition"      -> TextOps.repetitionSql,
     "text_quality_gate"    -> TextOps.qualityGateSql,
+    "text_lm_score"        -> TextOps.lmScoreSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_clusters"       -> Clusters.dedupClustersSql,
@@ -181,6 +185,7 @@ object SparkEntry {
     // hash-sketch based (not SQL-expressible) → driver rows-only check;
     // ScalaTest specs assert their semantics against ground truth.
     "mm_decode_pipeline"   -> Multimodal.decodePipelineSql,
+    "mm_image_decode"      -> Multimodal.imageDecodePipelineSql,
     "mm_chunk_binary"      -> Multimodal.chunkBinarySql,
     "mm_reassemble"        -> Multimodal.reassembleSql,
     "mm_frame_sample"      -> Multimodal.frameSampleSql,
@@ -188,6 +193,7 @@ object SparkEntry {
     // the chunked variant must produce IDENTICAL output — same oracle
     "ea_sessionize_chunked" -> EventAnalytics.sessionizeSql,
     "ea_funnel"            -> EventAnalytics.funnelSql,
+    "ea_funnel_windowed"   -> EventAnalytics.funnelWindowedSql,
     "ea_retention"         -> EventAnalytics.retentionSql,
     "ea_pivot_counts"      -> EventAnalytics.pivotCountsSql,
     "text_pack"            -> Sampling.packSql,

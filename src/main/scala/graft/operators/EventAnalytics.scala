@@ -158,6 +158,50 @@ object EventAnalytics {
       |  UNION ALL SELECT '3_purchase', user_id FROM p) t
       |GROUP BY stage ORDER BY stage""".stripMargin
 
+  /** Windowed funnel — [[funnel]] with a CONVERSION WINDOW: every
+    * later stage must land within 72 h of the user's FIRST stage-1
+    * event (the anchored greedy definition product-analytics funnels
+    * use; the anchor is the same `min` aggregate as the plain funnel,
+    * so the two share their join/agg shape and scale profile — the
+    * window predicate just rides the stage joins). */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val windowUs = 72L * 3600 * 1000000
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts_us") > col("t1") && col("ts_us") <= col("t1") + windowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"), min(col("t1")).as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts_us") > col("t2") && col("ts_us") <= col("t1") + windowUs)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    Seq("1_view", "2_click", "3_purchase").zip(Seq(v, c, p)).map { case (stage, df) =>
+        df.select(lit(stage).as("stage"), col("user_id"))
+      }
+      .reduce(_ unionAll _)
+      .groupBy(col("stage")).agg(count(lit(1)).as("user_ct"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelWindowedSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1 FROM events e
+      |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      |        AND e.ts <= v.t1 + INTERVAL 72 HOUR
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      |        AND e.ts <= c.t1 + INTERVAL 72 HOUR
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT stage, count(*) AS user_ct FROM (
+      |  SELECT '1_view' AS stage, user_id FROM v
+      |  UNION ALL SELECT '2_click', user_id FROM c
+      |  UNION ALL SELECT '3_purchase', user_id FROM p) t
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
   /** Cohort retention: users grouped by their first-activity day;
     * day-N retention = distinct users of that cohort active N days
     * later (N ≤ 7). */

