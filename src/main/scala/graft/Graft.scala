@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{RollingHash64, SimHashAgg}
+import graft.functions.{MinHashSig, RollingHash64, SimHashAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -76,5 +76,8 @@ object GraftExtensions {
       unary("graft_rolling_hash64")(RollingHash64(_))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
-      unary("graft_simhash")(SimHashAgg(_))))
+      unary("graft_simhash")(SimHashAgg(_))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      unary("graft_minhash_sig")(MinHashSig(_))))
 }

@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
+    "dedup_minhash_lsh_native" -> (Dedup.minhashLshNative _),
     "dedup_simhash"        -> (Dedup.simhash _),
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"       -> (Clusters.dedupClusters _),

@@ -236,9 +236,11 @@ object Dedup {
     * `ngramJaccard` when the signature recalls every ≥0.5 pair (the
     * spec asserts this on the planted dups). */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val abs = Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong,
-      rnd.nextInt(Int.MaxValue).toLong)
+    // canonical coefficient draw shared with the native expression —
+    // graft.functions.MinHashSig is the single source, so the two
+    // formulations produce bit-identical signatures
+    val abs = graft.functions.MinHashSig.coeffA
+      .zip(graft.functions.MinHashSig.coeffB).toSeq
 
     // the signature pass reads the RAW shingle stream (min() is
     // idempotent under duplicates, so the distinct's shuffle would be
@@ -270,6 +272,36 @@ object Dedup {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
 
+    verifyJaccard(shingleRows(s, d), candidates)
+  }
+
+  /** MinHash+LSH over the NATIVE signature expression
+    * (`graft.functions.MinHashSig`): the signature becomes a narrow
+    * per-row projection — two tight codegen'd loops over the in-row
+    * shingle array — instead of the column formulation's explode +
+    * 128-column min-aggregate, deleting the (doc × shingle) signature
+    * shuffle entirely. Coefficients are the same canonical draw, the
+    * band keys hash the same longs, so candidates, verification, and
+    * output are identical to [[minhashLsh]] (spec-checked pair for
+    * pair); only the plan shape differs. */
+  def minhashLshNative(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0) // empty docs have no signature (the explode analog)
+      .select(col("doc_id"), call_function("graft_minhash_sig", col("sh")).as("sig"))
+    val bandRows = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until NumBands).map { b =>
+        xxhash64((b * BandRows until (b + 1) * BandRows)
+          .map(i => element_at(col("sig"), i + 1)): _*)
+      }: _*)).as(Seq("band", "bk")))
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
     verifyJaccard(shingleRows(s, d), candidates)
   }
 

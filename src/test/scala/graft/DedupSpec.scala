@@ -21,6 +21,42 @@ class DedupSpec extends SparkSpec {
     assert(survivors.collect().forall(r => ids(r.getLong(0))))
   }
 
+  test("native minhash signature: codegen matches a driver-side reference and the column formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.MinHashSig
+    graft.Graft.registerFunctions(spark)
+    // independent driver-side reference over the same shingle arrays
+    val rows = Tables.documents(spark, sf0001).limit(20)
+      .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", call_function("graft_minhash_sig", col("sh")))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val shinglesArr = r.getSeq[String](1)
+      val expected = Array.fill(MinHashSig.NumHashes)(MinHashSig.Prime)
+      shinglesArr.foreach { s =>
+        val base = java.lang.Math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+            UTF8String.fromString(s), 42L), MinHashSig.Prime)
+        for (j <- 0 until MinHashSig.NumHashes) {
+          val v = java.lang.Math.floorMod(
+            MinHashSig.coeffA(j) * base + MinHashSig.coeffB(j), MinHashSig.Prime)
+          if (v < expected(j)) expected(j) = v
+        }
+      }
+      assert(r.getSeq[Long](2).toArray.toSeq === expected.toSeq,
+        s"signature mismatch for doc ${r.getLong(0)}")
+    }
+    // the two operator formulations return identical near-dup pairs
+    val classic = Dedup.minhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val native = Dedup.minhashLshNative(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native === classic)
+  }
+
   test("adaptive, naive and prefix-filtered jaccard all return the same pairs") {
     val adaptive = Dedup.ngramJaccard(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
