@@ -143,4 +143,92 @@ object ModernState {
       .transformWithState(new JumpProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** The strict CEP bounce pattern (`.times(2).consecutive()
+    * .within(10 s)` + timeout) on the modern API — the last classic
+    * stateful operator to get its `transformWithState` twin. The
+    * event buffer becomes a typed ListState, the candidate a
+    * ValueState, and the classic `setTimeoutTimestamp` a REAL
+    * event-time timer (deduped through a ValueState so exactly one is
+    * live per key). `advance` is the same watermark-driven pure body
+    * as StreamOps.jumpDetectStrict: input rows and expired timers
+    * both just re-run it, so stale timers are harmless no-ops and
+    * out-of-order safety carries over unchanged. */
+  private class StrictCepProcessor extends StatefulProcessor[Long, Evt, Jump] {
+    import StreamOps.{CepEvt, CepPending}
+    private val WinUs = 10L * 1000000L
+    @transient private var pendingSt: org.apache.spark.sql.streaming.ValueState[CepPending] = _
+    @transient private var bufSt: org.apache.spark.sql.streaming.ListState[CepEvt] = _
+    @transient private var timerSt: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pendingSt = getHandle.getValueState[CepPending]("pending",
+        Encoders.product[CepPending], org.apache.spark.sql.streaming.TTLConfig.NONE)
+      bufSt = getHandle.getListState[CepEvt]("buf",
+        Encoders.product[CepEvt], org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerSt = getHandle.getValueState[Long]("timer",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def advance(uid: Long, incoming: Seq[CepEvt], wmUs: Long): Iterator[Jump] = {
+      val all = (bufSt.get().toSeq ++ incoming).sortBy(b => (b.tsUs, b.eventId))
+      var pending = if (pendingSt.exists()) Option(pendingSt.get()) else None
+      val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+      val out = Seq.newBuilder[Jump]
+      ripe.foreach { e =>
+        pending.foreach { p =>
+          if (e.tsUs - p.tsUs > WinUs) out += Jump(p.eventId, uid, p.tsUs / 1000)
+          else if (e.isEntry) out += Jump(p.eventId, uid, p.tsUs / 1000)
+          // else: non-entry within 10 s → real visit, candidate dies
+        }
+        pending = if (e.isEntry) Some(CepPending(e.eventId, e.tsUs)) else None
+      }
+      pending.filter(p => wmUs > p.tsUs + WinUs).foreach { p =>
+        out += Jump(p.eventId, uid, p.tsUs / 1000)
+        pending = None
+      }
+      val prevTimer = if (timerSt.exists()) Option(timerSt.get()) else None
+      if (pending.isEmpty && unripe.isEmpty) {
+        pendingSt.clear(); bufSt.clear(); timerSt.clear()
+        prevTimer.foreach(getHandle.deleteTimer)
+      } else {
+        pending match {
+          case Some(p) => pendingSt.update(p)
+          case None => pendingSt.clear()
+        }
+        bufSt.clear()
+        if (unripe.nonEmpty) bufSt.appendList(unripe.toArray)
+        val nextMs = (pending.map(_.tsUs + WinUs) ++ unripe.headOption.map(_.tsUs))
+          .min / 1000 + 1
+        if (!prevTimer.contains(nextMs)) {
+          prevTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(nextMs)
+          timerSt.update(nextMs)
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Evt],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Jump] = {
+      def usOf(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+      val incoming = rows
+        .map(e => CepEvt(e.event_id, usOf(e.ts), e.event_type == "signup")).toSeq
+      advance(uid, incoming, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(uid: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Jump] =
+      advance(uid, Nil, timerValues.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  def jumpDetectStrict(ds: Dataset[Evt]): Dataset[Jump] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new StrictCepProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -55,7 +55,9 @@ object PlanAudit {
       ("dws_visitor_stats_hop", "sliding window() fan-out happens inside Expand/codegen (no self-union of shifted tumbles); two-level exact distinct: (window, type, user) partials then partial-count rollup",
         Dws.visitorStatsHop(spark, d)),
       ("dedup_survivors", "the audited plan is the serving tail: corpus scan anti-joined (BroadcastHashJoin LeftAnti) against the loser ids; the cluster contraction rounds ran before this plan and are frozen into the checkpointed edge scan",
-        Clusters.dedupSurvivors(spark, d)))
+        Clusters.dedupSurvivors(spark, d)),
+      ("dedup_minhash_lsh_native", "signature stage is ONE narrow Project (graft_minhash_sig codegen loops) — compare the classic plan's explode + 128-column HashAggregate + shuffle; bands fan out of the in-row array, bucket join unchanged",
+        Dedup.minhashLshNative(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>

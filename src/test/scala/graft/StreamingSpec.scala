@@ -343,6 +343,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState jumpDetectStrict matches the classic strict CEP verdicts") {
+    withRocksDb {
+      val batches = Seq(
+        Seq(Evt(1, 1, "signup", 0, ts(0)),
+          Evt(3, 2, "signup", 0, ts(0)),
+          Evt(5, 3, "signup", 0, ts(0)),
+          Evt(6, 3, "view", 0, new java.sql.Timestamp(ts(0).getTime + 5000)),
+          Evt(7, 4, "view", 0, ts(0)),
+          Evt(8, 5, "signup", 0, ts(0))),
+        Seq(Evt(4, 2, "signup", 0, new java.sql.Timestamp(ts(0).getTime + 5000)),
+          Evt(2, 1, "view", 0, ts(5))),
+        Seq(Evt(99, 9, "view", 0, ts(700))),
+        Seq(Evt(100, 9, "view", 0, ts(710))))
+      val modern = runBatches("strict2")(in =>
+        graft.streaming.ModernState.jumpDetectStrict(in.toDS()))(batches)
+        .map(_.getLong(0)).toSet
+      val classic = runBatches("strict2c")(in =>
+        StreamOps.jumpDetectStrict(in.toDS()))(batches)
+        .map(_.getLong(0)).toSet
+      assert(modern === Set(1L, 3L, 4L, 8L))
+      assert(modern === classic)
+    }
+  }
+
   test("jumpDetectStrict: out-of-order arrival cannot kill or pair a candidate falsely") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
