@@ -97,6 +97,7 @@ object SparkEntry {
     // Event analytics (ADS-adjacent serving shapes)
     "ea_sessionize"        -> (EventAnalytics.sessionize _),
     "ea_sessionize_chunked" -> (EventAnalytics.sessionizeChunked _),
+    "ea_sessionize_native" -> (EventAnalytics.sessionizeNative _),
     "ea_funnel"            -> (EventAnalytics.funnel _),
     "ea_funnel_windowed"   -> (EventAnalytics.funnelWindowed _),
     "ea_retention"         -> (EventAnalytics.retention _),
@@ -193,6 +194,8 @@ object SparkEntry {
     "ea_sessionize"        -> EventAnalytics.sessionizeSql,
     // the chunked variant must produce IDENTICAL output — same oracle
     "ea_sessionize_chunked" -> EventAnalytics.sessionizeSql,
+    // native session_window formulation — same sessions, same oracle
+    "ea_sessionize_native" -> EventAnalytics.sessionizeSql,
     "ea_funnel"            -> EventAnalytics.funnelSql,
     "ea_funnel_windowed"   -> EventAnalytics.funnelWindowedSql,
     "ea_retention"         -> EventAnalytics.retentionSql,

@@ -53,6 +53,29 @@ object EventAnalytics {
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Sessionization via Spark's NATIVE batch `session_window` — the
+    * same operator the streaming mirror runs, in batch: the gap-merge
+    * happens inside one SessionWindow aggregation instead of the
+    * hand-rolled lag + running-sum double window pass. gap + 1 µs
+    * aligns the end-EXCLUSIVE merge rule with the batch op's strict->
+    * boundary test (see StreamOps.sessionizeStream); the session
+    * sequence number is a per-user window over SESSION rows (#sessions
+    * ≪ #events). Shares [[sessionize]]'s oracle — outputs identical. */
+  def sessionizeNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "600000001 microseconds").as("w"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        moneySum(col("value")).as("value_sum"))
+      .withColumn("session_seq", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("w.start"))).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("stt"), col("edt"), col("value_sum"))
+      .orderBy(col("user_id"), col("session_seq"))
+
   /** Hot-key-safe sessionization — identical output to [[sessionize]]
     * (same oracle), but the per-key SERIAL work drops from O(events)
     * to O(time-chunks): SURVEY §4's "single key with billions of

@@ -21,6 +21,26 @@ class ChunkedSessionSpec extends SparkSpec {
     }
   }
 
+  test("native session_window == hand-rolled sessionize, including the exact-gap boundary") {
+    val plain = EventAnalytics.sessionize(spark, sf0001).collect().toSeq
+    val native = EventAnalytics.sessionizeNative(spark, sf0001).collect().toSeq
+    assert(native === plain)
+    // boundary: two events exactly 600 s apart stay in ONE session
+    // under the batch op's strict-> rule; the +1 µs pad makes the
+    // end-exclusive session_window agree
+    import spark.implicits._
+    val df = Seq(
+      (1L, 7L, "view", 1.0, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000))),
+      (2L, 7L, "view", 1.0, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600))),
+      (3L, 7L, "view", 1.0, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(2201)))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val sessions = df
+      .groupBy(session_window(col("ts"), "600000001 microseconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(2)).sorted.toSeq
+    assert(sessions === Seq(1L, 2L), "events 600s apart merge; 601s apart split")
+  }
+
   test("chunked as-of join == plain as-of at several chunk sizes (incl. corpus)") {
     import graft.operators.AsOfJoin
     val plain = AsOfJoin.purchaseAsOfView(spark, sf0001).collect().toSeq

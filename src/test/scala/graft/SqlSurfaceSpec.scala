@@ -59,5 +59,17 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT source, graft_simhash(xxhash64(text)) AS sh FROM documents GROUP BY source")
       .collect()
     assert(sh.length > 0 && sh.forall(!_.isNullAt(1)))
+    // minhash signature over a SQL-built shingle array: 128 slots, all
+    // inside [0, P)
+    val sig = spark.sql(
+      """SELECT doc_id, graft_minhash_sig(
+        |  filter(split(text, ' '), t -> length(t) > 0)) AS sig
+        |FROM documents ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(sig.length === 5)
+    sig.foreach { r =>
+      val arr = r.getSeq[Long](1)
+      assert(arr.length === 128)
+      assert(arr.forall(v => v >= 0 && v <= 2147483647L))
+    }
   }
 }
