@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, RollingHash64, SimHashAgg}
+import graft.functions.{MinHashSig, RollingHash64, SimHashAgg, TopKFreqAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -79,5 +79,17 @@ object GraftExtensions {
       unary("graft_simhash")(SimHashAgg(_))),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      unary("graft_minhash_sig")(MinHashSig(_))))
+      unary("graft_minhash_sig")(MinHashSig(_))),
+    (FunctionIdentifier("graft_topk_freq"),
+      new ExpressionInfo(classOf[TopKFreqAgg].getName, "graft_topk_freq"),
+      { children =>
+        require(children.length == 2, "graft_topk_freq expects (expr, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_freq: k must be an INT literal, got $other")
+        }
+        TopKFreqAgg(children.head, k)
+      }))
 }

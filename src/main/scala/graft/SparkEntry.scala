@@ -74,6 +74,7 @@ object SparkEntry {
     "text_repetition"      -> (TextOps.repetition _),
     "text_quality_gate"    -> (TextOps.qualityGate _),
     "text_lm_score"        -> (TextOps.lmScore _),
+    "q_heavy_hitters"      -> ((s, d) => TextOps.heavyHitters(s, d)),
     // Dedup
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),

@@ -242,6 +242,26 @@ object TextOps {
       |  CAST(sum(lp) AS DOUBLE) / count(*) AS mean_logprob
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Corpus heavy-hitter terms via the native Misra–Gries aggregate
+    * (`graft.functions.TopKFreqAgg`): bounded ≤ k counters per
+    * partial regardless of corpus size — the 100 TB top-k-frequent
+    * shape (an exact top-k's term→count map grows with the
+    * vocabulary). Counts are under-counts by ≤ the reported
+    * `max_deficit`; items with true frequency > n/k are guaranteed
+    * present. Rows-only check: marginal items/counts legitimately
+    * depend on merge order (inherent to MG — the spec asserts the
+    * guarantees instead of byte equality). */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+      .agg(call_function("graft_topk_freq", col("term"), lit(k)).as("summary"))
+      .select(explode(col("summary")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("count"),
+        col("e.max_deficit").as("max_deficit"))
+      .orderBy(col("count").desc, col("item"))
+  }
+
   /** Composite quality GATE — the C4/Gopher-style keep/drop verdict a
     * pretraining pipeline applies after scoring (Raffel et al. 2020
     * §2.2 heuristics; Rae et al. 2021 table A1), with thresholds
