@@ -31,6 +31,11 @@ object SparkEntry {
     "q_grouping_sets"      -> (Relational.groupingSets _),
     "q_rolling_window"     -> (Relational.rollingGmv _),
     "q_unpivot"            -> (Relational.unpivotCharges _),
+    "q_window_suite"       -> (Relational.windowSuite _),
+    "q_full_outer"         -> (Relational.fullOuterDaily _),
+    "q_gapfill"            -> (Relational.dailyGapfill _),
+    "q_countmin"           -> ((s, d) => Sketches.countMin(s, d)),
+    "graph_pagerank"       -> (Graph.pageRank _),
     "q_asof_join"          -> (AsOfJoin.purchaseAsOfView _),
     "q_asof_join_chunked"  -> (AsOfJoin.purchaseAsOfViewChunked _),
     "q_range_join"         -> (AsOfJoin.rangeJoin _),
@@ -129,6 +134,12 @@ object SparkEntry {
     "q_grouping_sets"      -> Relational.groupingSetsSql,
     "q_rolling_window"     -> Relational.rollingGmvSql,
     "q_unpivot"            -> Relational.unpivotChargesSql,
+    "q_window_suite"       -> Relational.windowSuiteSql,
+    "q_full_outer"         -> Relational.fullOuterDailySql,
+    "q_gapfill"            -> Relational.dailyGapfillSql,
+    // q_countmin: the CMS grid is engine/seed-specific → rows-only +
+    // spec (exact <= est <= exact + eps*N across partitionings)
+    "graph_pagerank"       -> Graph.pageRankSql,
     "ea_transitions"       -> EventAnalytics.transitionsSql,
     // chunked variant must produce IDENTICAL output — same oracle
     "ea_transitions_chunked" -> EventAnalytics.transitionsSql,

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relational edge sets — the serving
+  * shape behind "influential supplier / connected account" dashboards
+  * the reference's ADS layer approximates with per-entity counters.
+  *
+  * PageRank here is the classic damped power iteration expressed as a
+  * FIXED number of DataFrame join+aggregate rounds: each round shuffles
+  * only (dst, contribution) pairs — never adjacency lists — so a round
+  * is one hash-partitioned aggregation at any scale, and the whole
+  * computation is Catalyst-visible (AQE re-plans each round; the
+  * edge+degree subtree repeats per round and is deduplicated by
+  * ReuseExchange). A fixed iteration count (not convergence-test loops
+  * with driver round-trips) keeps the plan static and the oracle
+  * expressible as unrolled SQL.
+  *
+  * 100 TB notes: the edge list is the distributed big side, shuffled
+  * by src once per round on the same key — co-partitioned with the
+  * rank vector after round 1, so AQE observes stable partitioning; at
+  * extreme iteration counts, `localCheckpoint` every ~10 rounds would
+  * truncate lineage (not needed at 8).
+  */
+object Graph {
+
+  /** Core power iteration over an UNDIRECTED pair set. `pairs` carries
+    * one row per (a, b) edge; both directions are materialized so no
+    * node is dangling (every node has in- and out-edges). Returns
+    * (node, pr) with Σpr = 1. Doubles drift only in the last bits
+    * across partitionings; callers round before comparing. */
+  def pageRankEdges(pairs: DataFrame, iters: Int, damping: Double,
+      broadcastState: Boolean = false): DataFrame =
+    prCore(pairs, iters, damping, broadcastState)._1
+
+  /** Returns (ranks, n).
+    *
+    * Shape choices, each measured at sf0.1 (see BENCH_NOTES.md):
+    *  - the deduped PAIR set is the one cache pin — every downstream
+    *    table (edges, degrees, the per-round probe side) derives from
+    *    it narrowly, so nothing re-runs the base scan+distinct;
+    *  - both edge directions come from ONE narrow explode (a unionAll
+    *    of two projections duplicates the whole distinct subtree —
+    *    the optimizer pushes the union below it);
+    *  - `n` is pulled to the driver as ONE bounded scalar (the
+    *    HLL/centroid contract) so the teleport term is a literal and
+    *    each round stays a flat join+aggregate plan;
+    *  - the DEFAULT state layout is fully partitioned: rank and
+    *    edge+degree tables meet in shuffle joins keyed on the node id,
+    *    so no structure ever has to fit on one machine — the form that
+    *    survives a web-scale node set. `broadcastState = true` instead
+    *    rides the per-node tables through broadcast joins (right when
+    *    the node set is a bounded entity dim); measured at sf0.1 the
+    *    two are within noise of each other (~9.2 s both, medians of
+    *    3), so the scale-safe layout is the default and the spec
+    *    proves both paths produce identical ranks. */
+  private def prCore(pairs: DataFrame, iters: Int, damping: Double,
+      broadcastState: Boolean = false): (DataFrame, Long) = {
+    val bc: DataFrame => DataFrame = if (broadcastState) broadcast else identity
+    val pinned = pairs.cache()
+    val edges = pinned
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val withDeg = edges.join(bc(deg), "src").cache()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(bc(ranks), col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("w"))
+      ranks = contrib.groupBy(col("dst")).agg(sum(col("w")).as("m"))
+        .select(col("dst").as("node"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("m")).as("pr"))
+    }
+    (ranks, n)
+  }
+
+  /** Top-20 suppliers by PageRank on the undirected customer⋈supplier
+    * trade graph (distinct pairs via lineitem→orders). Scores are
+    * normalized to mean 1 (×N) and rounded to 6dp — far above the
+    * ~1e-13 FP-order drift eight double-sum rounds accumulate, so the
+    * DuckDB oracle (the same eight rounds unrolled as CTEs) matches
+    * bit-for-bit after rounding. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    // node ids are disjoint LONGS (customer 2k, supplier 2k+1), not
+    // decorated strings: every shuffle, join and aggregate in the
+    // iteration keys on an 8-byte integer instead of a variable-width
+    // string (measured ~2x on the whole op at sf0.1)
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val (ranks, n) = prCore(pairs, iters = Iters, damping = Damping)
+    ranks
+      .filter(col("node") % 2 === 1)
+      .select(((col("node") - 1) / 2).cast("long").as("s_suppkey"),
+        round(col("pr") * lit(n.toDouble), 6).as("score"))
+      .orderBy(col("score").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  private val Iters = 8
+  private val Damping = 0.85
+
+  /** The same eight damped rounds unrolled as chained CTEs — every
+    * arithmetic step CAST to DOUBLE so DuckDB's decimal literals don't
+    * change the dtype Spark computes in. */
+  val pageRankSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  CAST(${1 - Damping} AS DOUBLE) / (SELECT n FROM n)
+         |    + CAST($Damping AS DOUBLE) * sum(r.pr / d.deg) AS pr
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / (SELECT n FROM n) AS pr FROM deg),
+       |$rounds
+       |SELECT (node - 1) // 2 AS s_suppkey, round(pr * (SELECT n FROM n), 6) AS score
+       |FROM r$Iters WHERE node % 2 = 1
+       |ORDER BY score DESC, s_suppkey LIMIT 20""".stripMargin
+  }
+}

@@ -380,4 +380,125 @@ object Relational {
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
       |ORDER BY l_orderkey, l_linenumber, charge, amount""".stripMargin
+
+  /** Window-function breadth in one pass: rank / ntile / percent_rank /
+    * cume_dist / lag-delta / running sum share ONE window sort per
+    * (nation) partition — Catalyst collapses same-spec window functions
+    * into a single Window node, so the partition is sorted once, not
+    * six times. Ranking ints are cast to LONG (DuckDB emits BIGINT),
+    * ratio doubles rounded to 6dp (pure-FP division is bit-identical
+    * across engines, rounding guards the compare), money deltas and
+    * running sums computed in DECIMAL (exact, order-independent). */
+  def windowSuite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val balDec = dec(col("c_acctbal"))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("bal_rank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        (balDec - lag(balDec, 1).over(w)).cast("double").as("prev_gap"),
+        sum(balDec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_bal"))
+      .filter(col("bal_rank") <= 10)
+      .orderBy(col("n_name"), col("bal_rank"))
+  }
+
+  val windowSuiteSql: String =
+    """SELECT n_name, c_custkey, c_acctbal, bal_rank, quartile, pct_rank,
+      |  cdist, prev_gap, run_bal FROM (
+      |  SELECT n_name, c_custkey, c_acctbal,
+      |    rank() OVER w AS bal_rank,
+      |    ntile(4) OVER w AS quartile,
+      |    round(percent_rank() OVER w, 6) AS pct_rank,
+      |    round(cume_dist() OVER w, 6) AS cdist,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2))
+      |      - lag(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_gap,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_bal
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+      |) t WHERE bal_rank <= 10 ORDER BY n_name, bal_rank""".stripMargin
+
+  /** FULL OUTER join shape (completing the semi/anti/inner/interval
+    * breadth): per-day finished-order metrics vs pending-order metrics;
+    * days where only one status traded keep the other side's metrics at
+    * zero. Both inputs are pre-aggregated to ~one row per day BEFORE
+    * the join, so the full-outer shuffles only daily rows — never raw
+    * orders — and the join keys are the (already shuffled-by) group
+    * keys, which AQE plans as a cheap sort-merge on tiny sides. */
+  def fullOuterDaily(s: SparkSession, d: String): DataFrame = {
+    def daily(status: String, pfx: String): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === status)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as(s"${pfx}_ct"), moneySum(col("o_totalprice")).as(s"${pfx}_amt"))
+    daily("F", "fin").join(daily("P", "pend"), Seq("day"), "full_outer")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("fin_ct"), lit(0L)).as("fin_ct"),
+        coalesce(col("fin_amt"), lit(0.0)).as("fin_amt"),
+        coalesce(col("pend_ct"), lit(0L)).as("pend_ct"),
+        coalesce(col("pend_amt"), lit(0.0)).as("pend_amt"))
+      .orderBy(col("day"))
+  }
+
+  val fullOuterDailySql: String =
+    s"""WITH fin AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS fin_ct,
+       |    ${sqlMoneySum("o_totalprice")} AS fin_amt
+       |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+       |pend AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS pend_ct,
+       |    ${sqlMoneySum("o_totalprice")} AS pend_amt
+       |  FROM orders WHERE o_orderstatus = 'P' GROUP BY 1)
+       |SELECT strftime(coalesce(fin.day, pend.day), '%Y-%m-%d') AS day,
+       |  coalesce(fin_ct, 0) AS fin_ct, coalesce(fin_amt, 0.0) AS fin_amt,
+       |  coalesce(pend_ct, 0) AS pend_ct, coalesce(pend_amt, 0.0) AS pend_amt
+       |FROM fin FULL OUTER JOIN pend ON fin.day = pend.day
+       |ORDER BY day""".stripMargin
+
+  /** Calendar gap-fill: a continuous day spine from min to max order
+    * date, left-joined to daily order aggregates so quiet days emit
+    * explicit zero rows (the serving shape every dashboard line-chart
+    * needs). Spark-first: the spine is `sequence()` + `explode` over
+    * the 2-value bounds row — derived from the already-aggregated
+    * daily table, NOT a second scan of orders, and never a driver
+    * loop. At 100 TB the spine is still just (max-min) rows. */
+  def dailyGapfill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("order_ct"), moneySum(col("o_totalprice")).as("gmv"))
+    val spine = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("order_ct"), lit(0L)).as("order_ct"),
+        coalesce(col("gmv"), lit(0.0)).as("gmv"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle builds the same spine with a RECURSIVE CTE — the SQL-99
+    * formulation of the spine Spark expresses as sequence+explode. */
+  val dailyGapfillSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS order_ct,
+       |    ${sqlMoneySum("o_totalprice")} AS gmv
+       |  FROM orders GROUP BY 1),
+       |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+       |cal(day) AS (
+       |  SELECT mn FROM b
+       |  UNION ALL
+       |  SELECT day + 1 FROM cal WHERE day < (SELECT mx FROM b))
+       |SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+       |  coalesce(order_ct, 0) AS order_ct, coalesce(gmv, 0.0) AS gmv
+       |FROM cal LEFT JOIN daily ON cal.day = daily.day
+       |ORDER BY day""".stripMargin
 }

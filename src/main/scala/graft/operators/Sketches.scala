@@ -44,4 +44,39 @@ object Sketches {
       .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
       .agg(countDistinct(col("o_custkey")).as("exact_custs"))
       .orderBy(col("year"))
+
+  /** Count–min sketch point-frequency service (Cormode & Muthukrishnan
+    * J.Alg'05) — the third leg of the mergeable-frequency family next
+    * to MG top-k (which items are frequent) and HLL (how many distinct):
+    * "how often does THIS term occur" answered from a fixed
+    * depth×width counter grid, never from raw data. The sketch is
+    * built distributed (`count_min_sketch` is a partial-aggregable
+    * Catalyst aggregate; merges are counter-matrix adds, so the result
+    * is partitioning-independent for a fixed seed); only the
+    * kilobyte-sized grid reaches the driver — the same bounded-state
+    * contract as the HLL ops. Probes are the exact top-`probes` terms,
+    * computed from the same single term scan (the exact counts ride
+    * along as the in-query witness; the spec asserts the CMS
+    * guarantee exact ≤ est ≤ exact + ε·N).
+    */
+  def countMin(s: SparkSession, d: String, probes: Int = 20,
+      eps: Double = 0.0001, confidence: Double = 0.99): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val terms = Tables.documents(s, d)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    val sketchBytes = terms
+      .agg(count_min_sketch(col("term"), lit(eps), lit(confidence), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    // bounded driver step (same contract as the IVF centroid pull):
+    // exactly `probes` (term, count) rows leave the cluster; the grid
+    // is probed driver-side so no UDF enters any distributed plan
+    val top = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_ct"))
+      .orderBy(col("exact_ct").desc, col("term")).limit(probes)
+      .collect()
+    val rows = top.map(r =>
+      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    s.createDataFrame(rows.toSeq).toDF("term", "exact_ct", "cms_ct")
+      .orderBy(col("exact_ct").desc, col("term"))
+  }
 }

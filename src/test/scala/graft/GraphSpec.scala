@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** PageRank power iteration: planted graphs with known/independently
+  * computed ranks, mass conservation, and partitioning-independence of
+  * the rounded scores (the oracle-compared surface). */
+class GraphSpec extends SparkSpec {
+
+  /** Driver-side reference: the same damped undirected power
+    * iteration, computed on plain Scala maps. */
+  private def ref(pairs: Seq[(String, String)], iters: Int, damping: Double): Map[String, Double] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val nodes = deg.keySet
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = nodes.map(v => v -> ((1 - damping) / n + damping * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  private def run(pairs: Seq[(String, String)], iters: Int = 8, damping: Double = 0.85): Map[String, Double] = {
+    import spark.implicits._
+    Graph.pageRankEdges(pairs.toDF("a", "b"), iters, damping)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("a symmetric ring gives every node identical rank 1/n") {
+    val got = run(Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a"))
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    got.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+  }
+
+  test("a star concentrates rank on the hub, matching the reference iteration") {
+    val pairs = (1 to 5).map(i => "hub" -> s"leaf$i")
+    val got = run(pairs)
+    val want = ref(pairs, 8, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (node, pr) =>
+      assert(math.abs(pr - want(node)) < 1e-9, s"$node: $pr vs ${want(node)}")
+    }
+    assert(got("hub") > got("leaf1") * 2)
+    // total rank mass is conserved by the damped update
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("an asymmetric two-community graph matches the reference iteration") {
+    val pairs = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "d", "d" -> "e")
+    val got = run(pairs)
+    val want = ref(pairs, 8, 0.85)
+    got.foreach { case (node, pr) =>
+      assert(math.abs(pr - want(node)) < 1e-9, s"$node: $pr vs ${want(node)}")
+    }
+  }
+
+  test("partitioned-state and broadcast-state loops produce identical ranks") {
+    import spark.implicits._
+    val df = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "d", "d" -> "e").toDF("a", "b")
+    val part = Graph.pageRankEdges(df, 8, 0.85, broadcastState = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bcast = Graph.pageRankEdges(df, 8, 0.85, broadcastState = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(part.keySet === bcast.keySet)
+    part.foreach { case (node, pr) =>
+      assert(math.abs(pr - bcast(node)) < 1e-12, s"$node: $pr vs ${bcast(node)}")
+    }
+  }
+
+  test("rounded supplier scores are identical across repartitionings") {
+    val a = Graph.pageRank(spark, sf0001).collect().toSeq
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Graph.pageRank(spark, sf0001).collect().toSeq
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+}

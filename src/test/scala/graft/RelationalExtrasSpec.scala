@@ -52,6 +52,56 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(got((2L, 1)) === ("alpha", 1L, 1L, score(1, 1)))
   }
 
+  test("gapfill: quiet days appear as explicit zero rows and the spine is continuous") {
+    val rows = Relational.dailyGapfill(spark, sf0001).collect()
+    val days = rows.map(_.getString(0))
+    assert(days.toSet.size === days.length)
+    // continuous: row count == exact span between the min and max day
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(days.head), java.time.LocalDate.parse(days.last)) + 1
+    assert(rows.length.toLong === span)
+    // sf0.001 has ~1.5k orders over ~2.4k days → gaps must exist, and a
+    // gap day carries exactly (0 orders, 0.0 gmv)
+    val zeros = rows.filter(_.getLong(1) == 0L)
+    assert(zeros.nonEmpty)
+    zeros.foreach(r => assert(r.getDouble(2) === 0.0))
+  }
+
+  test("window suite: rank/ntile/pct/cume/lag/running agree on a planted partition") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // four customers with a balance tie: over the tie-visible window
+    // (balance only) rank skips and percent_rank/cume_dist use the
+    // tied-group definitions; ntile is checked over the operator's
+    // fully tie-broken window, where its bucket assignment is
+    // deterministic
+    val df = Seq((1L, 50.0), (2L, 50.0), (3L, 30.0), (4L, 10.0))
+      .toDF("c_custkey", "c_acctbal")
+    val tied = Window.orderBy(col("c_acctbal").desc)
+    val total = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val got = df.select(col("c_custkey"),
+        rank().over(tied).as("rnk"), ntile(4).over(total).as("q"),
+        round(percent_rank().over(tied), 6).as("pr"),
+        round(cume_dist().over(tied), 6).as("cd"))
+      .orderBy(col("c_custkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(got === Array(
+      (1L, 1, 1, 0.0, 0.5), (2L, 1, 2, 0.0, 0.5),
+      (3L, 3, 3, 0.666667, 0.75), (4L, 4, 4, 1.0, 1.0)))
+  }
+
+  test("full outer daily keeps days traded by only one status, zero-filled") {
+    val rows = Relational.fullOuterDaily(spark, sf0001).collect()
+    // at sf0.001 (~1.5k orders over ~2.4k days) one-sided days dominate
+    assert(rows.exists(r => r.getLong(1) == 0L && r.getLong(3) > 0L))
+    assert(rows.exists(r => r.getLong(1) > 0L && r.getLong(3) == 0L))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L || r.getLong(3) > 0L) // no phantom days
+      if (r.getLong(1) == 0L) assert(r.getDouble(2) === 0.0)
+      if (r.getLong(3) == 0L) assert(r.getDouble(4) === 0.0)
+    }
+  }
+
   test("unpivot emits one (charge, amount) row per metric column, no shuffle") {
     val out = Relational.unpivotCharges(spark, sf0001)
     val n = Tables.lineitem(spark, sf0001).count()

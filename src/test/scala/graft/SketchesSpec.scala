@@ -41,4 +41,29 @@ class SketchesSpec extends SparkSpec {
     val b = Sketches.hllPreAgg(spark, sf001).collect().toSeq
     assert(a === b)
   }
+
+  test("count-min estimates obey exact <= est <= exact + eps*N") {
+    val eps = 0.0001
+    val n = Tables.documents(spark, sf001)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .count()
+    val rows = Sketches.countMin(spark, sf001).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: CMS never under-counts, got $est < $exact")
+      assert(est <= exact + (eps * n).toLong + 1,
+        s"${r.getString(0)}: est $est beyond eps*N slack over $exact (N=$n)")
+    }
+  }
+
+  test("count-min grid is partitioning-independent for a fixed seed") {
+    val a = Sketches.countMin(spark, sf001).collect().toSeq
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Sketches.countMin(spark, sf001).collect().toSeq
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
 }
