@@ -34,6 +34,7 @@ object SparkEntry {
     "q_window_suite"       -> (Relational.windowSuite _),
     "q_full_outer"         -> (Relational.fullOuterDaily _),
     "q_gapfill"            -> (Relational.dailyGapfill _),
+    "q_org_walk"           -> (Relational.orgWalk _),
     "q_countmin"           -> ((s, d) => Sketches.countMin(s, d)),
     "graph_pagerank"       -> (Graph.pageRank _),
     "q_asof_join"          -> (AsOfJoin.purchaseAsOfView _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_window_suite"       -> Relational.windowSuiteSql,
     "q_full_outer"         -> Relational.fullOuterDailySql,
     "q_gapfill"            -> Relational.dailyGapfillSql,
+    "q_org_walk"           -> Relational.orgWalkSql,
     // q_countmin: the CMS grid is engine/seed-specific → rows-only +
     // spec (exact <= est <= exact + eps*N across partitionings)
     "graph_pagerank"       -> Graph.pageRankSql,

@@ -485,6 +485,44 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Recursive-CTE hierarchy walk through Spark's own SQL surface
+    * (`WITH RECURSIVE` → `UnionLoop`, new in Spark 4): every customer
+    * walks up a derived reporting chain (manager = custkey DIV 2, a
+    * dense binary hierarchy over the key space — the synthetic stand-in
+    * for org charts / category trees, which the TPC-H-ish schema lacks)
+    * and reports chain depth plus the DECIMAL-exact balance along it.
+    * Depth is data-dependent per row (log2 of the key, ≤ ~15 at any
+    * tested SF) — genuine variable-depth recursion, not a bounded-hop
+    * join chain, and each level is one distributed join+filter step.
+    * The 2400-day calendar spine deliberately does NOT use this form:
+    * a recursion 2400 levels deep is 2400 sequential jobs, which is why
+    * [[dailyGapfill]] builds its spine with sequence+explode instead —
+    * recursion where depth is log-bounded, fan-out where it isn't. */
+  def orgWalk(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.registerViews(s, d)
+    s.sql(
+      """WITH RECURSIVE chain(start, node, hop) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT start, node DIV 2, hop + 1 FROM chain WHERE node > 1)
+        |SELECT chain.start AS c_custkey, max(chain.hop) AS depth,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS chain_bal
+        |FROM chain JOIN customer c ON chain.node = c.c_custkey
+        |GROUP BY chain.start
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val orgWalkSql: String =
+    """WITH RECURSIVE chain(start, node, hop) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT start, node // 2, hop + 1 FROM chain WHERE node > 1)
+      |SELECT chain.start AS c_custkey, max(chain.hop) AS depth,
+      |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS chain_bal
+      |FROM chain JOIN customer c ON chain.node = c.c_custkey
+      |GROUP BY chain.start
+      |ORDER BY c_custkey""".stripMargin
+
   /** Oracle builds the same spine with a RECURSIVE CTE — the SQL-99
     * formulation of the spine Spark expresses as sequence+explode. */
   val dailyGapfillSql: String =

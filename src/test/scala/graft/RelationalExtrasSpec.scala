@@ -90,6 +90,21 @@ class RelationalExtrasSpec extends SparkSpec {
       (3L, 3, 3, 0.666667, 0.75), (4L, 4, 4, 1.0, 1.0)))
   }
 
+  test("org walk: recursive chain depth is floor(log2(key)), balances sum exactly") {
+    val rows = Relational.orgWalk(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // depth of key k (k >= 1) is floor(log2 k); key 0 never recurses
+    assert(rows(0L)._1 === 0)
+    assert(rows(1L)._1 === 0)
+    assert(rows(5L)._1 === 2)   // 5 -> 2 -> 1
+    assert(rows(100L)._1 === 6) // 100 -> 50 -> 25 -> 12 -> 6 -> 3 -> 1
+    // chain balance for 5 = acctbal(5) + acctbal(2) + acctbal(1), 2dp-exact
+    val bal = Tables.customer(spark, sf0001)
+      .filter(col("c_custkey").isin(5L, 2L, 1L))
+      .collect().map(r => BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(BigDecimal(rows(5L)._2).setScale(2, BigDecimal.RoundingMode.HALF_UP) === bal)
+  }
+
   test("full outer daily keeps days traded by only one status, zero-filled") {
     val rows = Relational.fullOuterDaily(spark, sf0001).collect()
     // at sf0.001 (~1.5k orders over ~2.4k days) one-sided days dominate
