@@ -57,7 +57,15 @@ object PlanAudit {
       ("dedup_survivors", "the audited plan is the serving tail: corpus scan anti-joined (BroadcastHashJoin LeftAnti) against the loser ids; the cluster contraction rounds ran before this plan and are frozen into the checkpointed edge scan",
         Clusters.dedupSurvivors(spark, d)),
       ("dedup_minhash_lsh_native", "signature stage is ONE narrow Project (graft_minhash_sig codegen loops) — compare the classic plan's explode + 128-column HashAggregate + shuffle; bands fan out of the in-row array, bucket join unchanged",
-        Dedup.minhashLshNative(spark, d)))
+        Dedup.minhashLshNative(spark, d)),
+      ("q_window_suite", "six window functions (rank/ntile/percent_rank/cume_dist/lag/running sum) collapse into ONE Window node over one partition sort — no repeated exchanges",
+        Relational.windowSuite(spark, d)),
+      ("q_gapfill", "day spine is explode(sequence()) over the 1-row bounds aggregate of the ALREADY-aggregated daily table (no second orders scan); left join fills gaps",
+        Relational.dailyGapfill(spark, d)),
+      ("q_org_walk", "Spark 4 recursive CTE: UnionLoop drives the variable-depth chain walk; each level is a distributed filter+project, the tail is one hash aggregate over the loop output",
+        Relational.orgWalk(spark, d)),
+      ("graph_pagerank", "final round of the damped power iteration: cached edge+degree table (InMemoryTableScan) joins the rank vector, partial-sum before the dst exchange; teleport term is a literal — no count subtree in the loop",
+        Graph.pageRank(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>
