@@ -291,6 +291,28 @@ object StreamOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         col("keyword"), col("ct"))
 
+  /** Windowed heavy hitters: the native Misra–Gries aggregate
+    * (`graft.functions.TopKFreqAgg`) running INSIDE a streaming
+    * window — per micro-batch partials merge into the window's state
+    * summary (TypedImperativeAggregate serializes its ≤ k counters
+    * into the state store), so a window's top terms are served from
+    * O(k) state no matter how many events it absorbs; the watermark
+    * closes the window and emits the final summary. This is the
+    * streaming form of `q_heavy_hitters` — the exact windowed count
+    * (`keywordStats`) keys state per (window, term), which grows with
+    * vocabulary; this keeps one bounded row per window. Caller must
+    * have `Graft.registerFunctions` applied to the session. */
+  def heavyHittersWindowed(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .select(col("ts"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(call_function("graft_topk_freq", col("term"), lit(k)).as("summary"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        explode(col("summary")).as("e"))
+      .select(col("stt"), col("e.item").as("item"), col("e.count").as("count"))
+
   /** OrderWideApp / PaymentWideApp interval join: stream⋈stream on key
     * + time-range with watermarks bounding state retention. `left` are
     * order headers, `right` are detail events; details must land within

@@ -281,6 +281,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersWindowed merges MG partials across micro-batches in window state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Graft.registerFunctions(spark)
+    val input = MemoryStream[Evt]
+    val q = StreamOps.heavyHittersWindowed(input.toDF(), "event_type", k = 8)
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    try {
+      // same window, two micro-batches: the summary must merge state
+      input.addData(Seq(
+        Evt(1, 1, "spark spark flink", 0, ts(5)),
+        Evt(2, 2, "spark kafka", 0, ts(10))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(3, 3, "spark flink", 0, ts(20))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(4, 4, "later", 0, ts(300)))) // close the window
+      q.processAllAvailable()
+      val got = spark.table("hh").collect()
+        .filter(_.getString(0) == "1970-01-02 00:00:00")
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      // 4 distinct terms <= k=8 -> Misra-Gries counts are EXACT
+      assert(got === Map("spark" -> 4L, "flink" -> 2L, "kafka" -> 1L))
+    } finally q.stop()
+  }
+
   test("jumpDetectStrict: exact CEP pairs, strict-consecutive kills, timeout fires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
