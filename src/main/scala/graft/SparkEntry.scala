@@ -98,6 +98,7 @@ object SparkEntry {
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
     "mm_image_decode"      -> (Multimodal.imageDecodePipeline _),
+    "mm_image_resize"      -> (Multimodal.imageResizePipeline _),
     "mm_chunk_binary"      -> (Multimodal.chunkBinary _),
     "mm_reassemble"        -> (Multimodal.reassemble _),
     "mm_frame_sample"      -> (Multimodal.frameSample _),
@@ -202,6 +203,7 @@ object SparkEntry {
     // ScalaTest specs assert their semantics against ground truth.
     "mm_decode_pipeline"   -> Multimodal.decodePipelineSql,
     "mm_image_decode"      -> Multimodal.imageDecodePipelineSql,
+    "mm_image_resize"      -> Multimodal.imageResizePipelineSql,
     "mm_chunk_binary"      -> Multimodal.chunkBinarySql,
     "mm_reassemble"        -> Multimodal.reassembleSql,
     "mm_frame_sample"      -> Multimodal.frameSampleSql,

@@ -254,6 +254,101 @@ object Multimodal {
        |    / ($BmpWidth * h) AS mean_r
        |FROM img ORDER BY doc_id""".stripMargin
 
+  /** One output pixel of the downsampled thumbnail. */
+  case class ThumbPixel(doc_id: Long, ty: Long, tx: Long,
+    mean_b: Double, mean_g: Double, mean_r: Double)
+
+  private val ResizeF = 4 // 4x4 block average: 16px-wide BMP -> 4px thumb
+
+  /** Block-average resize of a decoded BMP — the transform stage a
+    * media pipeline runs AFTER decode (thumbnailing / feature-map
+    * pooling). Decode + resize share one mapPartitions pass: pixels
+    * never leave the task between stages, the shuffle carries only
+    * thumb pixels (a 16x size cut at F=4). Blocks walk in DISPLAY
+    * orientation (bottom-up rows inverted by the decoder), trailing
+    * display rows beyond the last full block are dropped (floor
+    * semantics, the standard pooling edge rule). Means are exact:
+    * 16 byte-ints summed then divided once. */
+  private[graft] def resizeBmp(b: Array[Byte], docId: Long): Seq[ThumbPixel] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return Nil
+    val pixOff = leInt(b, 10, 4)
+    val width = leInt(b, 18, 4)
+    val rawH = leInt(b, 22, 4)
+    val height = math.abs(rawH)
+    val topDown = rawH < 0
+    if (width <= 0 || height == 0 || leInt(b, 28, 2) != 24 || leInt(b, 30, 4) != 0) return Nil
+    val stride = ((width * 3 + 3) / 4) * 4
+    if (pixOff + stride.toLong * height > b.length) return Nil
+    val tw = width / ResizeF
+    val th = height / ResizeF
+    (0 until th).flatMap { ty =>
+      (0 until tw).map { tx =>
+        var sb = 0; var sg = 0; var sr = 0
+        var dy = 0
+        while (dy < ResizeF) {
+          val dispRow = ty * ResizeF + dy
+          val srcRow = if (topDown) dispRow else height - 1 - dispRow
+          val base = pixOff + srcRow * stride
+          var dx = 0
+          while (dx < ResizeF) {
+            val p = base + (tx * ResizeF + dx) * 3
+            sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        val n = (ResizeF * ResizeF).toDouble
+        ThumbPixel(docId, ty.toLong, tx.toLong, sb / n, sg / n, sr / n)
+      }
+    }
+  }
+
+  /** decode→resize pipeline over the synthesized BMPs: one row per
+    * thumbnail pixel. Docs need at least F pixel rows (one block row). */
+  def imageResizePipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(encode(col("text"), "utf-8")) >= BmpWidth * 3 * ResizeF)
+      .select(
+        col("doc_id"),
+        bmpColumn(encode(col("text"), "utf-8")).as("payload"),
+        col("lang"), col("source"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      it.flatMap { r => resizeBmp(r.payload, r.doc_id) }
+    }.toDF()
+      .orderBy(col("doc_id"), col("ty"), col("tx"))
+  }
+
+  /** Oracle recomputes every 4x4 block mean from the raw char codes:
+    * display row r reads data row (h-1-r) (bottom-up BMP), block
+    * (ty,tx) channel c sums the 16 bytes at
+    * (h-1-(4ty+dy))*$w3 + 3(4tx+dx) + c (1-indexed). The 16 (dy,dx)
+    * offsets are UNROLLED as constants: DuckDB's binder drops lateral
+    * column scope inside a NESTED list comprehension, so the only
+    * free comprehension variable is the outer pixel index k. */
+  val imageResizePipelineSql: String = {
+    val w3 = BmpWidth * 3
+    def mean(c: Int) =
+      (0 until ResizeF * ResizeF).map { dd =>
+        s"ord(data[(h-1-((k//${BmpWidth / ResizeF})*$ResizeF + ${dd / ResizeF}))*$w3" +
+          s" + 3*((k%${BmpWidth / ResizeF})*$ResizeF + ${dd % ResizeF}) + $c + 1])"
+      }.mkString("(", "\n       |      + ", s") / ${ResizeF * ResizeF}.0")
+    s"""WITH img AS (
+       |  SELECT doc_id, length(text) // $w3 AS h,
+       |    substring(text, 1, (length(text) // $w3) * $w3) AS data
+       |  FROM documents WHERE length(text) >= ${w3 * ResizeF})
+       |SELECT doc_id, u.ty AS ty, u.tx AS tx,
+       |  u.mean_b AS mean_b, u.mean_g AS mean_g, u.mean_r AS mean_r
+       |FROM img, UNNEST([{
+       |    'ty': k // ${BmpWidth / ResizeF}, 'tx': k % ${BmpWidth / ResizeF},
+       |    'mean_b': ${mean(0)},
+       |    'mean_g': ${mean(1)},
+       |    'mean_r': ${mean(2)}
+       |  } for k in range(0, (h // $ResizeF) * ${BmpWidth / ResizeF})]) AS t(u)
+       |ORDER BY doc_id, ty, tx""".stripMargin
+  }
+
   private val BlobChunk = 256
 
   /** Binary sharding: split each payload into fixed-size byte chunks

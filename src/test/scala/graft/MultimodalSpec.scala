@@ -93,6 +93,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(bpp8).isEmpty)
   }
 
+  test("resize: 4x4 block means in display orientation, both row orders, floor edges") {
+    def le(v: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    // 4x5 image, width 4 → 12-byte rows padded to 12 (already aligned);
+    // pixel (display r, x) has B=r*10+x, G=B+100, R=x  (values < 128)
+    val w = 4; val h = 5
+    def dispRow(r: Int): Array[Byte] =
+      (0 until w).flatMap(x => Seq((r * 10 + x).toByte, (r * 10 + x + 100).toByte, x.toByte)).toArray
+    def bmp(height: Int, rows: Array[Byte]): Array[Byte] =
+      "BM".getBytes("US-ASCII") ++ le(54 + rows.length, 4) ++ le(0, 4) ++ le(54, 4) ++
+        le(40, 4) ++ le(w, 4) ++ le(height, 4) ++ le(1, 2) ++ le(24, 2) ++
+        le(0, 4) ++ le(rows.length, 4) ++ le(0, 16) ++ rows
+    val bottomUp = bmp(h, (h - 1 to 0 by -1).flatMap(dispRow).toArray)
+    val topDown = bmp(-h, (0 until h).flatMap(dispRow).toArray)
+    for (b <- Seq(bottomUp, topDown)) {
+      val px = Multimodal.resizeBmp(b, 7L)
+      // thumb is 1x1 (5 display rows floor to one 4-row block); display
+      // rows 0-3, all 4 columns: B mean = mean(r*10+x) = 15+1.5
+      assert(px === Seq(Multimodal.ThumbPixel(7L, 0L, 0L, 16.5, 116.5, 1.5)))
+    }
+    // rejection mirrors the decoder
+    assert(Multimodal.resizeBmp("XX".getBytes ++ bottomUp.drop(2), 1L).isEmpty)
+  }
+
   test("image decode pipeline: dimensions and channel means recompute from source bytes") {
     val docs = Tables.documents(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
