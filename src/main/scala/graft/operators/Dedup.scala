@@ -286,16 +286,7 @@ object Dedup {
     * pair); only the plan shape differs. */
   def minhashLshNative(s: SparkSession, d: String): DataFrame = {
     graft.Graft.registerFunctions(s)
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0) // empty docs have no signature (the explode analog)
-      .select(col("doc_id"), call_function("graft_minhash_sig", col("sh")).as("sig"))
-    val bandRows = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until NumBands).map { b =>
-        xxhash64((b * BandRows until (b + 1) * BandRows)
-          .map(i => element_at(col("sig"), i + 1)): _*)
-      }: _*)).as(Seq("band", "bk")))
+    val bandRows = bandIndex(Tables.documents(s, d).select(col("doc_id"), col("text")))
     val candidates = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -303,6 +294,27 @@ object Dedup {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
     verifyJaccard(shingleRows(s, d), candidates)
+  }
+
+  /** (doc, band, bucket-key) index rows from any (doc_id, text, …)
+    * frame — the native-signature banding stage shared by the batch
+    * LSH op and the streaming near-dup gate (identical hash draw on
+    * both sides is what makes a stream row land in the same bucket as
+    * its corpus twin). Extra input columns (e.g. the stream's event
+    * time) ride through untouched; `text` is consumed into the
+    * signature. Works unchanged on streaming frames: signature and
+    * band fan-out are narrow per-row projections. */
+  def bandIndex(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .withColumn("sh", shingles(col("text"), 3))
+      .filter(size(col("sh")) > 0) // empty docs have no signature (the explode analog)
+      .withColumn("sig", call_function("graft_minhash_sig", col("sh")))
+      .drop("text", "sh")
+    val keep = sig.columns.filter(_ != "sig").map(col)
+    sig.select((keep :+ posexplode(array((0 until NumBands).map { b =>
+      xxhash64((b * BandRows until (b + 1) * BandRows)
+        .map(i => element_at(col("sig"), i + 1)): _*)
+    }: _*)).as(Seq("band", "bk"))): _*)
   }
 
   /** Exact Jaccard restricted to candidate (i, j) pairs. */

@@ -313,6 +313,47 @@ object StreamOps {
         explode(col("summary")).as("e"))
       .select(col("stt"), col("e.item").as("item"), col("e.count").as("count"))
 
+  /** Windowed approximate distinct visitors: Datasketches HLL running
+    * inside the streaming window — the UniqueVisitApp-at-scale shape
+    * where exact per-window distinct state (one row per (window, user))
+    * would grow with the audience. Each micro-batch's partial sketch
+    * unions into the window's state-store sketch; the closed window
+    * emits the estimate plus exact-state-free cardinality from
+    * kilobytes of state per window. */
+  def approxDistinctWindowed(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("approx_uv"),
+        count(lit(1)).as("ev_ct"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("approx_uv"), col("ev_ct"))
+
+  /** Online near-dup gate: each incoming document is MinHash-banded
+    * (the native `graft_minhash_sig` — a narrow per-row projection, so
+    * it runs unchanged inside the stream) and joined stream-STATIC
+    * against the pre-built corpus band index; a bucket collision
+    * flags the incoming doc against its corpus twin. Multi-band
+    * collisions dedup through `dropDuplicatesWithinWatermark`, so
+    * per-pair state expires with the watermark instead of growing
+    * with the stream. This is how a training-data ingest rejects
+    * near-copies of an already-curated corpus without re-running batch
+    * dedup: the corpus index is built once (batch `Dedup.bandIndex`),
+    * the stream pays one narrow projection + one broadcastable join
+    * per row. Candidates are band-level (the batch op's exact-Jaccard
+    * verify runs downstream on the flagged pairs). */
+  def nearDupGate(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    val idx = graft.operators.Dedup.bandIndex(corpus)
+      .select(col("doc_id").as("ref_id"), col("band"), col("bk"))
+    graft.operators.Dedup.bandIndex(stream.withWatermark("ts", "10 minutes"))
+      .join(idx, Seq("band", "bk"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .select(col("doc_id"), col("ts"), col("ref_id"))
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
+      .select(col("doc_id"), col("ref_id"))
+  }
+
   /** OrderWideApp / PaymentWideApp interval join: stream⋈stream on key
     * + time-range with watermarks bounding state retention. `left` are
     * order headers, `right` are detail events; details must land within

@@ -306,6 +306,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("approxDistinctWindowed: HLL state merges across batches, exact at small n") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.approxDistinctWindowed(input.toDF())
+      .writeStream.format("memory").queryName("adw").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 10, "view", 0, ts(5)), Evt(2, 11, "view", 0, ts(10)),
+        Evt(3, 10, "click", 0, ts(15))))
+      q.processAllAvailable()
+      // second batch, same window: new user + a repeat — sketch must union
+      input.addData(Seq(Evt(4, 12, "view", 0, ts(30)), Evt(5, 11, "view", 0, ts(40))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(6, 99, "view", 0, ts(300)))) // close the window
+      q.processAllAvailable()
+      val row = spark.table("adw").collect()
+        .find(_.getString(0) == "1970-01-02 00:00:00").get
+      // HLL lgK=14 is exact at 3 distinct users; 5 events counted
+      assert(row.getLong(1) === 3L)
+      assert(row.getLong(2) === 5L)
+    } finally q.stop()
+  }
+
+  test("nearDupGate flags stream docs colliding with the corpus index, once per pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Graft.registerFunctions(spark)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again in the morning"
+    val corpus = Seq(
+      (100L, boiler),
+      (101L, "completely different reference material about spark execution plans")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[Evt]
+    // stream text rides in event_type; doc_id in event_id
+    val stream = input.toDF().select(
+      col("event_id").as("doc_id"), col("event_type").as("text"), col("ts"))
+    val q = StreamOps.nearDupGate(stream, corpus)
+      .writeStream.format("memory").queryName("ndg").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 1, boiler + " tonight", 0, ts(5)),             // near-dup of 100
+        Evt(2, 2, "unrelated text with zero shared shingles whatsoever", 0, ts(6))))
+      q.processAllAvailable()
+      // same near-dup arrives again inside the watermark: no re-emit
+      input.addData(Seq(Evt(1, 1, boiler + " tonight", 0, ts(10))))
+      q.processAllAvailable()
+      val got = spark.table("ndg").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet === Set((1L, 100L)))
+      assert(got.length === 1, s"pair must emit exactly once, got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("jumpDetectStrict: exact CEP pairs, strict-consecutive kills, timeout fires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
