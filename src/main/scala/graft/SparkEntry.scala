@@ -118,6 +118,7 @@ object SparkEntry {
     "text_pii_scrub"       -> (Chunking.piiScrub _),
     "text_ngram_freq"      -> (Chunking.ngramFreq _),
     "pipeline_decontam"    -> (Chunking.decontaminate _),
+    "pipeline_decontam_ngram" -> (Chunking.decontaminateNgram _),
     "text_pack"            -> (Sampling.pack _),
     "text_sample_stratified" -> (Sampling.sampleStratified _),
     "text_sample_weighted" -> ((s, d) => Sampling.sampleWeighted(s, d)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "ea_transitions_chunked" -> EventAnalytics.transitionsSql,
     "text_ngram_freq"      -> Chunking.ngramFreqSql,
     "pipeline_decontam"    -> Chunking.decontaminateSql,
+    "pipeline_decontam_ngram" -> Chunking.decontaminateNgramSql,
     "ann_bruteforce"       -> Similarity.annBruteforceSql,
     "q_asof_join"          -> AsOfJoin.purchaseAsOfViewSql,
     // chunked variant must produce IDENTICAL output — same oracle

@@ -127,4 +127,50 @@ object Chunking {
       |    AND md5(lower(trim(regexp_replace(b.text, '\s+', ' ', 'g'))))
       |      = md5(lower(trim(regexp_replace(a.text, '\s+', ' ', 'g')))))
       |ORDER BY a.doc_id""".stripMargin
+
+  private val DecontamN = 8
+
+  /** N-gram-overlap decontamination (the GPT-3 appendix-C / PaLM form,
+    * Brown et al. 2020): a corpus doc is contaminated if it shares ANY
+    * word 8-gram with the benchmark set — catching partial quotes and
+    * splices the whole-document fingerprint anti-join misses. Shape:
+    * per-doc distinct n-grams (in-row `array_distinct`, no global
+    * distinct shuffle) semi-join the benchmark gram set, contaminated
+    * ids anti-join back. The gram set is the big side and stays
+    * distributed; at 100 TB the semi-join keys on the gram string and
+    * every stage is partial-aggregable. Benchmark docs drop themselves
+    * (their grams are in the set) — EXCEPT docs too short to carry one
+    * n-gram, which contribute nothing and survive, identically in both
+    * engines. */
+  def decontaminateNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def grams(df: DataFrame) =
+      df.select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(col("text"), DecontamN))).as("g"))
+    val benchGrams = grams(docs.filter(col("source").isin(BenchSources: _*)))
+      .select(col("g")).distinct()
+    val contaminated = grams(docs).join(benchGrams, "g").select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val BenchSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  val decontaminateNgramSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS l
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source,
+       |    unnest([array_to_string(l[i:i+${DecontamN - 1}], ' ')
+       |            for i in range(1, len(l) - ${DecontamN - 2})]) AS g
+       |  FROM toks WHERE len(l) >= $DecontamN),
+       |bench AS (SELECT DISTINCT g FROM grams
+       |          WHERE source IN ('src0','src1','src2','src3','src4')),
+       |bad AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g))
+       |SELECT a.doc_id, a.source FROM documents a
+       |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = a.doc_id)
+       |ORDER BY a.doc_id""".stripMargin
 }

@@ -1,0 +1,30 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Chunking
+
+/** Planted-corpus checks for the n-gram decontamination semantics —
+  * the oracle proves engine-equality, these prove the overlap rule. */
+class ChunkingSpec extends SparkSpec {
+
+  test("ngram decontam: 8-gram quotes drop, 7-gram overlaps keep, short bench docs survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-decon").toFile.getAbsolutePath
+    val bench = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      // benchmark docs (sources src0-4 play the held-out set)
+      (1L, bench, "en", "src0", 1L),
+      (2L, "tiny bench doc", "en", "src1", 1L), // < 8 tokens: no grams
+      // corpus docs
+      (3L, "prefix words then alpha bravo charlie delta echo foxtrot golf hotel and more", "en", "src7", 1L), // 8-gram quote
+      (4L, "alpha bravo charlie delta echo foxtrot golf DIFFERENT tail words here", "en", "src8", 1L), // only 7-gram overlap
+      (5L, "completely unrelated content with no shared phrases at all whatsoever", "en", "src9", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Chunking.decontaminateNgram(spark, dir).collect().map(_.getLong(0)).toSet
+    // doc 1 drops (is benchmark), doc 2 survives (no grams to match),
+    // doc 3 drops (verbatim 8-gram), docs 4 and 5 keep
+    assert(kept === Set(2L, 4L, 5L))
+  }
+}
