@@ -95,6 +95,7 @@ object SparkEntry {
     "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"              -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_pq"           -> ((s, d) => Similarity.annIvfPq(s, d)),
+    "emb_centroids"        -> (Similarity.embCentroids _),
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
     "mm_image_decode"      -> (Multimodal.imageDecodePipeline _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "pipeline_decontam"    -> Chunking.decontaminateSql,
     "pipeline_decontam_ngram" -> Chunking.decontaminateNgramSql,
     "ann_bruteforce"       -> Similarity.annBruteforceSql,
+    "emb_centroids"        -> Similarity.embCentroidsSql,
     "q_asof_join"          -> AsOfJoin.purchaseAsOfViewSql,
     // chunked variant must produce IDENTICAL output — same oracle
     "q_asof_join_chunked"  -> AsOfJoin.purchaseAsOfViewSql,

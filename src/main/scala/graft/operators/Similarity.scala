@@ -349,4 +349,31 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** Per-label embedding centroids — the vector-column GROUP BY every
+    * embedding pipeline runs (class prototypes, k-means init, drift
+    * monitoring). The vector column explodes to (label, dim, value)
+    * and aggregates per (label, dim): fully partial-aggregable, no
+    * vector ever collected whole, state per group is one running
+    * (sum, count) — the shape that holds at billions of vectors where
+    * a collect-and-average would not. Output is the long form (one
+    * row per dimension); re-collecting to arrays is a presentation
+    * step downstream. Means rounded to 6dp: double sums drift only in
+    * the last bits across partitionings/engines. */
+  def embCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("v")), 6).as("mean_val"), count(lit(1)).as("vec_ct"))
+      .orderBy(col("label"), col("dim"))
+
+  val embCentroidsSql: String =
+    """SELECT label, i AS dim, round(avg(v), 6) AS mean_val,
+      |  CAST(count(*) AS BIGINT) AS vec_ct
+      |FROM (
+      |  SELECT label, unnest(embedding) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings)
+      |GROUP BY label, i
+      |ORDER BY label, dim""".stripMargin
 }

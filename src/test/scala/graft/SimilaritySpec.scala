@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.{col, element_at}
 
 /** ANN correctness: brute force against a driver-side exact
   * computation; LSH recall against brute force. */
@@ -159,5 +160,20 @@ class SimilaritySpec extends SparkSpec {
     // isotropic-Gaussian corpus = worst case for LSH; just require the
     // probing to beat random-bucket luck
     assert(recall >= 0.15, s"LSH recall $recall below floor")
+  }
+
+  test("embedding centroids recompute by hand and are partitioning-independent") {
+    val rows = Similarity.embCentroids(spark, sf001).collect()
+    assert(rows.length === 10 * 64) // 10 labels x 64 dims, long form
+    // recompute one (label, dim) cell by hand from the raw vectors
+    val want = Tables.embeddings(spark, sf001)
+      .filter(col("label") === 3)
+      .select(element_at(col("embedding"), 5).cast("double"))
+      .collect().map(_.getDouble(0))
+    val cell = rows.find(r => r.getInt(0) == 3 && r.getLong(1) == 5L).get
+    assert(cell.getLong(3) === want.length.toLong)
+    assert(math.abs(cell.getDouble(2) - want.sum / want.length) < 1e-6)
+    val again = Similarity.embCentroids(spark, sf001).collect().toSeq
+    assert(rows.toSeq === again)
   }
 }
