@@ -73,6 +73,32 @@ class EdgeCaseSpec extends SparkSpec {
       (1L, "k", Some("87")), (1L, "x", Some("a b")), (1L, "y", None)))
   }
 
+  test("pagerank: empty pair set yields empty ranks; self-loop graph stays finite") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    assert(graft.operators.Graph.pageRankEdges(empty, 3, 0.85).collect().isEmpty)
+    // self-loop + isolated edge: ranks stay finite and sum to 1
+    val loops = Seq("a" -> "a", "b" -> "c").toDF("a", "b")
+    val ranks = graft.operators.Graph.pageRankEdges(loops, 4, 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.keySet === Set("a", "b", "c"))
+    ranks.values.foreach(v => assert(!v.isNaN && !v.isInfinite && v > 0))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+  }
+
+  test("ngram decontam on pathological docs: gram-free docs always survive") {
+    val kept = Chunking.decontaminateNgram(spark, dir).collect().map(_.getLong(0)).toSet
+    // docs 1,2,3,5 carry no 8-gram -> keep; 0 is benchmark (src0, has
+    // 9 tokens -> grams, drops itself); 4 is its verbatim dup -> drops
+    assert(kept === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("count-min on a tiny corpus keeps probes bounded by row count") {
+    val rows = graft.operators.Sketches.countMin(spark, dir, probes = 50).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+  }
+
   test("pii scrub and token counts behave on empty text") {
     val tc = TextOps.tokenCount(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
