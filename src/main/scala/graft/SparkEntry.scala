@@ -107,6 +107,7 @@ object SparkEntry {
     "ea_sessionize"        -> (EventAnalytics.sessionize _),
     "ea_sessionize_chunked" -> (EventAnalytics.sessionizeChunked _),
     "ea_sessionize_native" -> (EventAnalytics.sessionizeNative _),
+    "ea_path_analysis"     -> (EventAnalytics.pathAnalysis _),
     "ea_funnel"            -> (EventAnalytics.funnel _),
     "ea_funnel_windowed"   -> (EventAnalytics.funnelWindowed _),
     "ea_retention"         -> (EventAnalytics.retention _),
@@ -216,6 +217,7 @@ object SparkEntry {
     "ea_sessionize_chunked" -> EventAnalytics.sessionizeSql,
     // native session_window formulation — same sessions, same oracle
     "ea_sessionize_native" -> EventAnalytics.sessionizeSql,
+    "ea_path_analysis"     -> EventAnalytics.pathAnalysisSql,
     "ea_funnel"            -> EventAnalytics.funnelSql,
     "ea_funnel_windowed"   -> EventAnalytics.funnelWindowedSql,
     "ea_retention"         -> EventAnalytics.retentionSql,

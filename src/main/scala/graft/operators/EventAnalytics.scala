@@ -34,6 +34,62 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  private val PathLen = 8
+
+  /** Session path mining (user-journey analysis): each session's
+    * ordered event-type sequence, truncated to its first [[PathLen]]
+    * events, counted across every session — the top-20 journeys. The
+    * truncation happens BEFORE the path collect (row_number filter),
+    * so per-session aggregation state is bounded at PathLen structs
+    * even for a bot session with millions of events — the op never
+    * builds an unbounded `collect_list`. Path order is (ts_us,
+    * event_id) — the oracle-stable tie-broken event order. */
+  def pathAnalysis(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val sw = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(concat_ws(">",
+        transform(
+          sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("sess_ct"))
+      .orderBy(col("sess_ct").desc, col("path"))
+      .limit(20)
+  }
+
+  val pathAnalysisSql: String =
+    s"""WITH flags AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |              > INTERVAL 600 SECOND
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flags),
+       |rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+       |                               ORDER BY ts, event_id) AS rn
+       |  FROM sess),
+       |paths AS (
+       |  SELECT user_id, session_seq,
+       |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+       |  FROM rn WHERE rn <= $PathLen GROUP BY 1, 2)
+       |SELECT path, count(*) AS sess_ct FROM paths
+       |GROUP BY path ORDER BY sess_ct DESC, path LIMIT 20""".stripMargin
+
   val sessionizeSql: String =
     s"""SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,

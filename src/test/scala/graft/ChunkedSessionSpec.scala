@@ -97,6 +97,30 @@ class ChunkedSessionSpec extends SparkSpec {
     }
   }
 
+  test("path analysis truncates sessions to 8 events and counts identical journeys") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val d = Files.createTempDirectory("graft-paths").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    val rows =
+      // user 1: ONE session of 10 events (1s apart) — path must stop at 8
+      (0 until 10).map(i => ((i + 1).toLong, ns(i), 1L, s"t$i", 1.0, "{}")) ++
+      // users 2 and 3: identical two-event sessions -> same path, count 2
+      Seq((20L, ns(0), 2L, "view", 1.0, "{}"), (21L, ns(5), 2L, "click", 1.0, "{}"),
+        (22L, ns(0), 3L, "view", 1.0, "{}"), (23L, ns(5), 3L, "click", 1.0, "{}"),
+        // user 2's SECOND session after a >600s gap: single purchase
+        (24L, ns(5 + 601), 2L, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventAnalytics.pathAnalysis(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      (0 until 8).map(i => s"t$i").mkString(">") -> 1L,
+      "view>click" -> 2L,
+      "purchase" -> 1L))
+  }
+
   test("chunked strict jump stitches every boundary-straddle case") {
     import spark.implicits._
     import graft.operators.Dwm
