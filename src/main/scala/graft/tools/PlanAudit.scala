@@ -65,7 +65,13 @@ object PlanAudit {
       ("q_org_walk", "Spark 4 recursive CTE: UnionLoop drives the variable-depth chain walk; each level is a distributed filter+project, the tail is one hash aggregate over the loop output",
         Relational.orgWalk(spark, d)),
       ("graph_pagerank", "final round of the damped power iteration: cached edge+degree table (InMemoryTableScan) joins the rank vector, partial-sum before the dst exchange; teleport term is a literal — no count subtree in the loop",
-        Graph.pageRank(spark, d)))
+        Graph.pageRank(spark, d)),
+      ("pipeline_decontam_ngram", "in-row array_distinct gram fan-out (no global distinct of raw grams), contaminated ids from ONE semi-join keyed on the gram string, LeftAnti back to the corpus",
+        Chunking.decontaminateNgram(spark, d)),
+      ("ea_path_analysis", "session assignment reuses the lag+running-sum window; the row_number<=8 filter runs BEFORE the path collect, so the aggregate's collect_list is bounded at 8 structs per session",
+        EventAnalytics.pathAnalysis(spark, d)),
+      ("emb_centroids", "vector column explodes in-place (Generate, no join) and the per-(label,dim) mean is a standard two-phase hash aggregate — partial-aggregable at any vector count",
+        Similarity.embCentroids(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>
