@@ -145,6 +145,60 @@ object StreamOps {
   case class CepPending(eventId: Long, tsUs: Long)
   case class CepState(pending: Option[CepPending], buf: Seq[CepEvt])
 
+  case class FunnelEvt(eventId: Long, tsUs: Long, tpe: String)
+  case class FunnelState(t1: Option[Long], t2: Option[Long], done: Boolean, buf: Seq[FunnelEvt])
+  case class StageHit(stage: String, user_id: Long, ts_us: Long)
+
+  /** Streaming conversion funnel — the per-user view→click→purchase
+    * ladder of the batch `EventAnalytics.funnelWindowed`, as an
+    * event-time state machine: stage 2 must land strictly after stage
+    * 1 and inside the conversion window anchored at the FIRST view;
+    * stage 3 strictly after stage 2, same anchor window. Out-of-order
+    * safety uses the buffer-until-watermark skeleton shared with
+    * [[jumpDetectStrict]]: events ripen only once the watermark
+    * passes them, ripe events replay in (ts, event_id) order, so the
+    * first-qualifying-event decisions are exactly the batch op's
+    * min-over-qualifying choices. Emits one StageHit per completed
+    * stage (groupBy(stage).count downstream is the batch output).
+    * State is three longs + flags per user — the same per-user
+    * footprint the batch distinct needs — plus the unripe buffer,
+    * which the watermark bounds. */
+  def funnelStream(ds: Dataset[Evt], windowUs: Long = 72L * 3600L * 1000000L): Dataset[StageHit] = {
+    import ds.sparkSession.implicits._
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, events, state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(None, None, done = false, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = events.map(e => FunnelEvt(e.event_id, usOf(e.ts), e.event_type)).toSeq
+          val all = (prev.buf ++ incoming).sortBy(e => (e.tsUs, e.eventId))
+          val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+          var (t1, t2, done) = (prev.t1, prev.t2, prev.done)
+          val out = Seq.newBuilder[StageHit]
+          ripe.foreach { e =>
+            e.tpe match {
+              case "view" if t1.isEmpty =>
+                t1 = Some(e.tsUs); out += StageHit("1_view", uid, e.tsUs)
+              case "click" if t1.nonEmpty && t2.isEmpty &&
+                  e.tsUs > t1.get && e.tsUs <= t1.get + windowUs =>
+                t2 = Some(e.tsUs); out += StageHit("2_click", uid, e.tsUs)
+              case "purchase" if t2.nonEmpty && !done &&
+                  e.tsUs > t2.get && e.tsUs <= t1.get + windowUs =>
+                done = true; out += StageHit("3_purchase", uid, e.tsUs)
+              case _ => // non-qualifying: wrong stage, out of window, or repeat
+            }
+          }
+          state.update(FunnelState(t1, t2, done, unripe))
+          // unripe events need a wake-up even if the key goes quiet
+          unripe.headOption.foreach(e => state.setTimeoutTimestamp(e.tsUs / 1000L + 1))
+          out.result().iterator
+      }
+  }
+
   /** The reference's EXACT CEP bounce pattern as a stream
     * (UserJumpDetailApp.java:84-95: session-entry `.times(2)
     * .consecutive().within(10 s)` plus the timeout side output):

@@ -359,6 +359,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: stages complete in order, out-of-order events replay correctly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.funnelStream(input.toDS()).writeStream.format("memory")
+      .queryName("funnel").outputMode("append").start()
+    try {
+      // user 1: click BEFORE its view in event time (same batch) must
+      // not count; the later click does. user 2: only views.
+      input.addData(Seq(
+        Evt(1, 1, "click", 0, ts(3)),
+        Evt(2, 1, "view", 0, ts(5)),
+        Evt(3, 1, "click", 0, ts(20)),
+        Evt(4, 2, "view", 0, ts(7))))
+      q.processAllAvailable()
+      // advance the watermark gently (it must never pass an event's
+      // time before that event arrives — the engine drops sub-watermark
+      // rows before they reach the state machine)
+      input.addData(Seq(Evt(5, 9, "view", 0, ts(25))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(6, 1, "purchase", 0, ts(40)), Evt(7, 9, "view", 0, ts(60))))
+      q.processAllAvailable()
+      // ripen everything; user 1 finishes via its event-time timer, no
+      // further user-1 events needed
+      input.addData(Seq(Evt(8, 9, "view", 0, ts(400))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(9, 9, "view", 0, ts(500))))
+      q.processAllAvailable()
+      val got = spark.table("funnel").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got.contains(("1_view", 1L)) && got.contains(("2_click", 1L)))
+      assert(got.contains(("3_purchase", 1L)), s"purchase missing in $got")
+      assert(got.contains(("1_view", 2L)))
+      assert(!got.exists(h => h._1 != "1_view" && h._2 == 2L))
+      // duplicate stages never emit twice
+      assert(spark.table("funnel").collect().length ===
+        spark.table("funnel").collect().map(r => (r.getString(0), r.getLong(1))).toSet.size)
+    } finally q.stop()
+  }
+
   test("jumpDetectStrict: exact CEP pairs, strict-consecutive kills, timeout fires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
