@@ -81,6 +81,7 @@ object SparkEntry {
     "text_quality_gate"    -> (TextOps.qualityGate _),
     "text_lm_score"        -> (TextOps.lmScore _),
     "q_heavy_hitters"      -> ((s, d) => TextOps.heavyHitters(s, d)),
+    "text_length_hist"     -> (TextOps.lengthHist _),
     // Dedup
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
@@ -199,6 +200,7 @@ object SparkEntry {
     "text_repetition"      -> TextOps.repetitionSql,
     "text_quality_gate"    -> TextOps.qualityGateSql,
     "text_lm_score"        -> TextOps.lmScoreSql,
+    "text_length_hist"     -> TextOps.lengthHistSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_clusters"       -> Clusters.dedupClustersSql,

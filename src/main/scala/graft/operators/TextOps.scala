@@ -350,4 +350,26 @@ object TextOps {
       |    1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
       |  END AS dup_trigram_frac
       |FROM g ORDER BY doc_id""".stripMargin
+
+  private val HistBucket = 256L
+
+  /** Corpus length histogram per source — the reporting scan every
+    * dataset card / mixing decision starts from. Buckets are integer
+    * arithmetic on the stored length column (no text touched, scan
+    * reads two columns), one partial-aggregable groupBy. */
+  def lengthHist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"),
+        expr(s"n_chars div $HistBucket * $HistBucket").as("bucket_lo"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("n_chars")).as("char_sum"))
+      .orderBy(col("source"), col("bucket_lo"))
+
+  val lengthHistSql: String =
+    s"""SELECT source, n_chars // $HistBucket * $HistBucket AS bucket_lo,
+       |  count(*) AS doc_ct,
+       |  CAST(sum(n_chars) AS BIGINT) AS char_sum
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY source, bucket_lo""".stripMargin
 }
