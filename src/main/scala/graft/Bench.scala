@@ -23,8 +23,10 @@ object Bench {
 
   /** Forces evaluation of every column: hash each row's full width,
     * xor-fold to one long. Map columns are serialized first (Spark
-    * forbids hashing MapType — key order is undefined). */
-  private def forceEval(df: DataFrame): Unit = {
+    * forbids hashing MapType — key order is undefined). Shared with
+    * [[tools.BenchOne]] so single-query timings use the exact same
+    * sink as the gate. */
+  private[graft] def forceEval(df: DataFrame): Unit = {
     val cols: Array[Column] = df.schema.fields.map { f =>
       f.dataType match {
         case _: MapType => to_json(col(f.name))
@@ -36,9 +38,9 @@ object Bench {
     ()
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** The bench session config — one definition so every timing tool
+    * measures under the same protocol. */
+  private[graft] def benchSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,6 +51,13 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = benchSession(cpus)
     // warm-up: JIT + classloading + parquet footer caches, so the first
     // timed query doesn't absorb one-time costs
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()

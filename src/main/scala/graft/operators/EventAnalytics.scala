@@ -17,14 +17,22 @@ object EventAnalytics {
     * session with count/duration. The session id is a running sum of
     * session-start flags per user — one window pass, then one
     * aggregation, both on the same user_id partitioning. */
-  def sessionize(s: SparkSession, d: String): DataFrame = {
+  /** Gap-rule session assignment (strict > GapUs on (ts_us, event_id)
+    * order) — THE definition of a session boundary, shared by every
+    * serial-window formulation so the rule can never drift between
+    * ops. */
+  private def addSessionSeq(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    Tables.events(s, d)
+    events
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("new_s",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs, 1).otherwise(0))
       .withColumn("session_seq", sum(col("new_s")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    addSessionSeq(Tables.events(s, d))
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -45,15 +53,9 @@ object EventAnalytics {
     * builds an unbounded `collect_list`. Path order is (ts_us,
     * event_id) — the oracle-stable tie-broken event order. */
   def pathAnalysis(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val sw = Window.partitionBy(col("user_id"), col("session_seq"))
       .orderBy(col("ts_us"), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs, 1).otherwise(0))
-      .withColumn("session_seq", sum(col("new_s")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    addSessionSeq(Tables.events(s, d))
       .withColumn("rn", row_number().over(sw))
       .filter(col("rn") <= PathLen)
       .groupBy(col("user_id"), col("session_seq"))

@@ -76,7 +76,13 @@ object Graph {
         .select(col("dst").as("node"),
           (lit((1.0 - damping) / n) + lit(damping) * col("m")).as("pr"))
     }
-    (ranks, n)
+    // materialize the final rank vector (small: one row per node) so
+    // the three upstream cache pins can be released immediately —
+    // otherwise every prCore call leaks its caches for the session
+    // lifetime (the returned plan references withDeg in all rounds)
+    val finalRanks = ranks.localCheckpoint(true)
+    Seq(withDeg, deg, pinned).foreach(_.unpersist())
+    (finalRanks, n)
   }
 
   /** Top-20 suppliers by PageRank on the undirected customer⋈supplier

@@ -532,7 +532,10 @@ object Relational {
        |  FROM orders GROUP BY 1),
        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
        |cal(day) AS (
-       |  SELECT mn FROM b
+       |  -- mn IS NOT NULL guard: on an empty input Spark's
+       |  -- explode(sequence(null,null)) yields ZERO rows; the anchor
+       |  -- must match, not emit one NULL-day row
+       |  SELECT mn FROM b WHERE mn IS NOT NULL
        |  UNION ALL
        |  SELECT day + 1 FROM cal WHERE day < (SELECT mx FROM b))
        |SELECT strftime(cal.day, '%Y-%m-%d') AS day,

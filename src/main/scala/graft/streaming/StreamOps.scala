@@ -398,8 +398,12 @@ object StreamOps {
     * per row. Candidates are band-level (the batch op's exact-Jaccard
     * verify runs downstream on the flagged pairs). */
   def nearDupGate(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    // the static side of a stream-static join re-executes per trigger:
+    // cache the banded index so the corpus pays shingling + 128-hash
+    // signatures ONCE, not once per micro-batch
     val idx = graft.operators.Dedup.bandIndex(corpus)
       .select(col("doc_id").as("ref_id"), col("band"), col("bk"))
+      .cache()
     graft.operators.Dedup.bandIndex(stream.withWatermark("ts", "10 minutes"))
       .join(idx, Seq("band", "bk"))
       .filter(col("doc_id") =!= col("ref_id"))
