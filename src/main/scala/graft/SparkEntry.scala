@@ -101,6 +101,7 @@ object SparkEntry {
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
     "mm_image_decode"      -> (Multimodal.imageDecodePipeline _),
     "mm_image_resize"      -> (Multimodal.imageResizePipeline _),
+    "mm_audio_resample"    -> (Multimodal.audioResamplePipeline _),
     "mm_chunk_binary"      -> (Multimodal.chunkBinary _),
     "mm_reassemble"        -> (Multimodal.reassemble _),
     "mm_frame_sample"      -> (Multimodal.frameSample _),
@@ -211,6 +212,7 @@ object SparkEntry {
     "mm_decode_pipeline"   -> Multimodal.decodePipelineSql,
     "mm_image_decode"      -> Multimodal.imageDecodePipelineSql,
     "mm_image_resize"      -> Multimodal.imageResizePipelineSql,
+    "mm_audio_resample"    -> Multimodal.audioResamplePipelineSql,
     "mm_chunk_binary"      -> Multimodal.chunkBinarySql,
     "mm_reassemble"        -> Multimodal.reassembleSql,
     "mm_frame_sample"      -> Multimodal.frameSampleSql,

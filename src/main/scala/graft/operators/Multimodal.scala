@@ -71,7 +71,18 @@ object Multimodal {
     * stats from the data chunk's PCM payload — 8-bit unsigned or
     * 16-bit signed little-endian, any channel count. Returns None for
     * anything that is not a PCM RIFF/WAVE. */
-  private[graft] def decodeWav(b: Array[Byte]): Option[DecodedRecord] = {
+  private[graft] case class WavInfo(channels: Int, rate: Int, bits: Int,
+    dataOff: Int, dataLen: Int) {
+    def nValues: Int = dataLen / (bits / 8)
+    /** The i-th PCM value: 8-bit unsigned or 16-bit signed LE. */
+    def value(b: Array[Byte], i: Int): Int =
+      if (bits == 8) b(dataOff + i) & 0xff
+      else (((b(dataOff + i * 2 + 1) & 0xff) << 8 | (b(dataOff + i * 2) & 0xff)) << 16) >> 16
+  }
+
+  /** The generic RIFF walker shared by decode and resample: honors
+    * even-byte chunk padding, skips unknown chunks, validates PCM. */
+  private[graft] def parseWav(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
         new String(b, 8, 4, "US-ASCII") != "WAVE") return None
     var off = 12
@@ -91,9 +102,15 @@ object Multimodal {
       off += 8 + len + (len & 1) // RIFF chunks are word-aligned
     }
     if (fmt != 1 || dataOff < 0 || channels <= 0 || rate <= 0 ||
-        (bits != 8 && bits != 16)) return None
-    val bytesPer = bits / 8
-    val nValues = dataLen / bytesPer
+        (bits != 8 && bits != 16)) None
+    else Some(WavInfo(channels, rate, bits, dataOff, dataLen))
+  }
+
+  private[graft] def decodeWav(b: Array[Byte]): Option[DecodedRecord] = {
+    val info = parseWav(b).getOrElse(return None)
+    val channels = info.channels; val rate = info.rate; val bits = info.bits
+    val dataOff = info.dataOff
+    val nValues = info.nValues
     val nFrames = nValues / channels
     var sum = 0L; var peak = Int.MinValue; var i = 0
     while (i < nValues) {
@@ -147,6 +164,73 @@ object Multimodal {
        |    CAST(list_max([ord(c) for c in string_split(text, '')]) AS INTEGER)
        |    END AS peak_amp
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  case class ResampledRecord(doc_id: Long, sr_out: Int, n_out: Long,
+    mean_amp: Double, peak_block: Double)
+
+  private val ResampleF = 4
+
+  /** Audio decimation — the transform stage after decode (the WAV
+    * sibling of [[imageResizePipeline]]'s block average): every
+    * [[ResampleF]] consecutive PCM values boxcar-average into one
+    * output sample (crude low-pass + downsample), witnesses are the
+    * decimated stream's mean and its loudest block. Decode + resample
+    * share the parse (one [[parseWav]] walk); trailing values beyond
+    * the last full block drop (floor rule, as the image op). All
+    * arithmetic is exact: block sums are ints, divisions are single
+    * double ops — engine-stable. */
+  private[graft] def resampleWav(b: Array[Byte], docId: Long): Option[ResampledRecord] = {
+    val info = parseWav(b).getOrElse(return None)
+    val nOut = info.nValues / ResampleF
+    if (nOut == 0) return Some(ResampledRecord(docId, info.rate / ResampleF, 0L, 0.0, 0.0))
+    var total = 0L; var peakBlock = Long.MinValue
+    var blk = 0
+    while (blk < nOut) {
+      var s = 0L; var j = 0
+      while (j < ResampleF) { s += info.value(b, blk * ResampleF + j); j += 1 }
+      total += s; if (s > peakBlock) peakBlock = s
+      blk += 1
+    }
+    Some(ResampledRecord(docId, info.rate / ResampleF, nOut.toLong,
+      total.toDouble / (nOut.toLong * ResampleF), peakBlock.toDouble / ResampleF))
+  }
+
+  /** decode→resample pipeline over the synthesized WAVs: one witness
+    * row per document (the decimated stream itself stays in the task,
+    * as the image thumbs do — only the bounded summary ships). */
+  def audioResamplePipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        wavColumn(encode(col("text"), "utf-8")).as("payload"),
+        col("lang"), col("source"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      it.flatMap(r => resampleWav(r.payload, r.doc_id))
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle recomputes the decimation from char codes: block b sums
+    * chars 4b+1..4b+4, the mean divides the first 4·n_out codes once,
+    * the peak is the max block sum over 4. Nested comprehensions bind
+    * table columns fine in a plain SELECT (only lateral UNNEST drops
+    * that scope — see [[imageResizePipelineSql]]). */
+  val audioResamplePipelineSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, length(text) // $ResampleF AS n_out FROM documents)
+       |SELECT doc_id,
+       |  CAST($WavRate // $ResampleF AS INTEGER) AS sr_out,
+       |  CAST(n_out AS BIGINT) AS n_out,
+       |  CASE WHEN n_out = 0 THEN 0.0 ELSE
+       |    CAST(list_sum([ord(c) for c in
+       |      string_split(substring(text, 1, $ResampleF * n_out), '')]) AS DOUBLE)
+       |      / ($ResampleF * n_out) END AS mean_amp,
+       |  CASE WHEN n_out = 0 THEN 0.0 ELSE
+       |    CAST(list_max([list_sum([ord(text[b * $ResampleF + j]) for j in range(1, ${ResampleF + 1})])
+       |                   for b in range(0, n_out)]) AS DOUBLE) / $ResampleF END AS peak_block
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Decoded image features, all parsed/computed from the BMP bytes. */
   case class DecodedImage(doc_id: Long, n_bytes: Long, width: Int, height: Int,

@@ -117,6 +117,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeBmp("XX".getBytes ++ bottomUp.drop(2), 1L).isEmpty)
   }
 
+  test("audio resample: block means, loudest block, floor edge, 16-bit path") {
+    // 8-bit mono: 10 samples -> 2 blocks of 4, samples 9-10 dropped
+    def le(v: Int, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def wav8(samples: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le(samples.length + 36, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(8000, 4) ++
+        le(1, 2) ++ le(8, 2) ++ "data".getBytes ++ le(samples.length, 4) ++ samples
+    val b = wav8(Array[Byte](10, 20, 30, 40, 1, 2, 3, 94, 99, 99))
+    val r = Multimodal.resampleWav(b, 5L).get
+    assert(r.sr_out === 2000)
+    assert(r.n_out === 2L)
+    assert(r.peak_block === 100 / 4.0)            // both blocks sum 100
+    assert(r.mean_amp === 200 / 8.0)              // first 8 samples only
+    // 16-bit signed: negative samples sign-extend through the blocks
+    def wav16(samples: Array[Int]): Array[Byte] =
+      "RIFF".getBytes ++ le(samples.length * 2 + 36, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(16000, 4) ++
+        le(2, 2) ++ le(16, 2) ++ "data".getBytes ++ le(samples.length * 2, 4) ++
+        samples.flatMap(v => le(v, 2))
+    val r16 = Multimodal.resampleWav(wav16(Array(-100, -100, -100, -100, 400, 0, 0, 0)), 6L).get
+    assert(r16.n_out === 2L)
+    assert(r16.mean_amp === 0.0)
+    assert(r16.peak_block === 100.0)
+    // rejection mirrors the decoder
+    assert(Multimodal.resampleWav("XX".getBytes ++ b.drop(2), 1L).isEmpty)
+  }
+
   test("image decode pipeline: dimensions and channel means recompute from source bytes") {
     val docs = Tables.documents(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
