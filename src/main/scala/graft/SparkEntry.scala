@@ -50,6 +50,7 @@ object SparkEntry {
     "dwd_props_explode"    -> (Dwd.propsExplode _),
     "dim_upsert"           -> (DimMaintenance.dimUpsert _),
     "dim_scd2"             -> (DimMaintenance.dimScd2 _),
+    "q_scd2_pit"           -> (DimMaintenance.scd2PointInTime _),
     // DWM
     "dwm_unique_visit"     -> (Dwm.uniqueVisit _),
     "dwm_user_jump"        -> (Dwm.userJump _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "dedup_embedding"      -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"       -> (Clusters.dedupClusters _),
     "dedup_survivors"      -> (Clusters.dedupSurvivors _),
+    "dedup_gram_frac"      -> (Dedup.gramFrac _),
     // Similarity search
     "ann_bruteforce"       -> ((s, d) => Similarity.annBruteforce(s, d)),
     "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
@@ -173,6 +175,7 @@ object SparkEntry {
     "dwd_props_explode"    -> Dwd.propsExplodeSql,
     "dim_upsert"           -> DimMaintenance.dimUpsertSql,
     "dim_scd2"             -> DimMaintenance.dimScd2Sql,
+    "q_scd2_pit"           -> DimMaintenance.scd2PointInTimeSql,
     "dwm_unique_visit"     -> Dwm.uniqueVisitSql,
     "dwm_user_jump"        -> Dwm.userJumpSql,
     // chunked variant must produce IDENTICAL output — same oracle
@@ -206,6 +209,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_clusters"       -> Clusters.dedupClustersSql,
     "dedup_survivors"      -> Clusters.dedupSurvivorsSql,
+    "dedup_gram_frac"      -> Dedup.gramFracSql,
     // dedup_minhash_lsh / dedup_simhash / dedup_embedding / ann_* are
     // hash-sketch based (not SQL-expressible) → driver rows-only check;
     // ScalaTest specs assert their semantics against ground truth.

@@ -434,6 +434,69 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  private val SharedN = 8
+
+  /** Cross-document duplicated-n-gram fraction — the corpus-level
+    * near-dup DIAGNOSTIC (RefinedWeb/FineWeb report it per dump;
+    * `text_repetition` is its within-doc sibling): for every doc, the
+    * fraction of its distinct word 8-grams that also occur in at least
+    * one OTHER document. High-fraction docs are boilerplate/mirror
+    * candidates even when no single partner clears a pairwise
+    * threshold, which is exactly what the pair-based ops can't see.
+    *
+    * Shape: in-row distinct grams (no global distinct), gram
+    * document-frequency by one partial-aggregable groupBy, grams
+    * re-join their df (both sides hash-partitioned on the gram —
+    * ReuseExchange folds the shuffle), one per-doc rollup. Everything
+    * is linear in corpus grams; no pair blowup anywhere. */
+  def gramFrac(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text"), SharedN))).as("g"))
+    // (doc_id, g) unique by construction → count(1) = distinct-doc df
+    val gramDf = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(gramDf, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") > 1).cast("long")).as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_shared").cast("double") / col("n_grams"), 6)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirrors decontaminateNgramSql's gram comprehension; sums
+    * CAST to BIGINT (DuckDB HUGEINT), the fraction is one division of
+    * two exact integers rounded 6dp — engine-stable. */
+  val gramFracSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS l
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(l[i:i+${SharedN - 1}], ' ')
+       |              for i in range(1, len(l) - ${SharedN - 2})]) AS g
+       |    FROM toks WHERE len(l) >= $SharedN) t),
+       |gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM grams JOIN gdf USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_grams, 0) AS n_grams,
+       |  coalesce(n_shared, 0) AS n_shared,
+       |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+       |       ELSE round(CAST(n_shared AS DOUBLE) / n_grams, 6) END AS shared_frac
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- shared sketch plumbing ---------------------------------------
 }
 

@@ -140,6 +140,76 @@ object DimMaintenance {
       |WHERE op <> 'd'
       |ORDER BY p_partkey, valid_from, p_name""".stripMargin
 
+  /** SCD2 point-in-time (temporal) join — the consumer side of
+    * [[dimScd2]]: every fact row picks up the dimension VERSION that
+    * was valid at the fact's event time (the reference enriches each
+    * order with the dim row current at processing time,
+    * gmall-realtime app/func/DimAsyncFunction.java; PIT is the
+    * history-correct batch form).
+    *
+    * The naive plan is a per-key interval join (`fact.ts BETWEEN
+    * valid_from AND valid_to`) — an inequality join Spark can only
+    * nested-loop or near-cross-product per key. This formulation never
+    * builds intervals at all: the dim CHANGE stream (base snapshot at
+    * version 0, updates, delete tombstones carrying a NULL payload)
+    * rides the MERGE-form as-of ([[AsOfJoin.asOf]]) — one shuffle on
+    * the dim key, one ordered window pass. Tombstones work for free:
+    * the carried payload struct goes non-null-with-null-fields, so a
+    * fact dated inside a deleted gap resolves to NULL exactly like the
+    * closed-validity interval semantics. Same-version ties resolve by
+    * the CDC record id riding FIRST in the payload struct (struct
+    * comparison = lexicographic), matching the empty-interval
+    * semantics of [[scd2]]'s (version, tie) lead.
+    *
+    * Instance: every `view` event (the fact stream) picks up the part
+    * version current at view time under the same purchase/error CDC
+    * replay as [[dimScd2]]. NULL part keys (dirty payloads) are
+    * excluded on BOTH sides: SQL join-on-NULL never matches, while a
+    * window PARTITION BY groups NULLs together — keeping them would
+    * let NULL-key facts see NULL-key updates. */
+  def scd2PointInTime(s: SparkSession, d: String): DataFrame = {
+    val updates = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(
+        Dwd.propsK(col("props")).cast("long").as("p_partkey"),
+        col("ts_us").as("version"),
+        col("event_id").as("tie"),
+        when(col("event_type") =!= "error",
+          concat(lit("upd-"), col("event_id"))).as("p_name"))
+      .filter(col("p_partkey").isNotNull)
+    val base = Tables.part(s, d)
+      .select(col("p_partkey"), lit(0L).as("version"),
+        lit(Long.MinValue).as("tie"), col("p_name"))
+    val facts = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"),
+        Dwd.propsK(col("props")).cast("long").as("p_partkey"),
+        col("ts_us").as("version"))
+      .filter(col("p_partkey").isNotNull)
+    AsOfJoin.asOf(facts, base.unionByName(updates),
+      key = "p_partkey", ts = "version", payloadCols = Seq("tie", "p_name"))
+      .select(col("event_id"), col("p_partkey"), col("p_name").as("pit_name"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Oracle: the literal interval join against the SCD2 history —
+    * valid_from inclusive, valid_to exclusive, open-ended current
+    * rows; ties collapse to empty intervals so each fact matches at
+    * most one version. */
+  val scd2PointInTimeSql: String =
+    s"""WITH scd AS (${dimScd2Sql}),
+       |facts AS (
+       |  SELECT event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS p_partkey,
+       |    epoch_us(ts) AS v
+       |  FROM events WHERE event_type = 'view'
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL)
+       |SELECT f.event_id, f.p_partkey, s.p_name AS pit_name
+       |FROM facts f LEFT JOIN scd s
+       |  ON f.p_partkey = s.p_partkey AND f.v >= s.valid_from
+       |     AND (s.valid_to IS NULL OR f.v < s.valid_to)
+       |ORDER BY event_id""".stripMargin
+
   val dimUpsertSql: String =
     """WITH updates AS (
       |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_partkey,

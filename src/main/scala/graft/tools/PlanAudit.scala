@@ -71,7 +71,11 @@ object PlanAudit {
       ("ea_path_analysis", "session assignment reuses the lag+running-sum window; the row_number<=8 filter runs BEFORE the path collect, so the aggregate's collect_list is bounded at 8 structs per session",
         EventAnalytics.pathAnalysis(spark, d)),
       ("emb_centroids", "vector column explodes in-place (Generate, no join) and the per-(label,dim) mean is a standard two-phase hash aggregate — partial-aggregable at any vector count",
-        Similarity.embCentroids(spark, d)))
+        Similarity.embCentroids(spark, d)),
+      ("q_scd2_pit", "temporal join with NO inequality join: dim change stream ∪ facts shuffle once on the dim key into one ordered window pass (the as-of MERGE); tombstones ride as null-field payload structs",
+        DimMaintenance.scd2PointInTime(spark, d)),
+      ("dedup_gram_frac", "in-row distinct gram fan-out; the gram-df aggregate joins back to the gram stream (AQE broadcasts the aggregated df table at this SF; at scale both sides hash-partition on the gram key); per-doc rollup is a standard two-phase aggregate — linear in corpus grams",
+        Dedup.gramFrac(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>

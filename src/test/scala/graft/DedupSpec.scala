@@ -104,6 +104,30 @@ class DedupSpec extends SparkSpec {
     assert(mh === exact)
   }
 
+  test("gram frac: cross-doc sharing only, in-row repeats collapse, short docs zero") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-gramfrac")
+      .toFile.getAbsolutePath
+    Seq(
+      // docs 1+2 share exactly their first 8-gram (1 of 3 grams each)
+      (1L, "a b c d e f g h x1 x2", "en", "s0"),
+      (2L, "a b c d e f g h y1 y2", "en", "s0"),
+      // docs 3+5 are verbatim copies: their single gram is shared
+      (3L, "p q r s t u v w", "en", "s0"),
+      (4L, "short text", "en", "s0"),
+      (5L, "p q r s t u v w", "en", "s0"),
+      // a WITHIN-doc repeated gram is not "shared": df stays 1
+      (6L, "m n o p2 q2 r2 s2 t2 m n o p2 q2 r2 s2 t2", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.gramFrac(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 1L, 0.333333)), 2L -> ((3L, 1L, 0.333333)),
+      3L -> ((1L, 1L, 1.0)), 4L -> ((0L, 0L, 0.0)),
+      5L -> ((1L, 1L, 1.0)), 6L -> ((8L, 0L, 0.0))))
+  }
+
   test("simhash pairs are genuinely similar (jaccard >= 0.3) with high recall") {
     val exact = exactPairs(sf0001)
     val sh = Dedup.simhash(spark, sf0001).collect()

@@ -139,6 +139,41 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(incr === full)
   }
 
+  test("scd2 point-in-time join: boundaries inclusive-exclusive, delete gaps NULL, ties by cdc id") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-pit").toFile.getAbsolutePath
+    def ns(sec: Long): Long = sec * 1000000000L
+    def ev(id: Long, sec: Long, typ: String, k: Long): (Long, Long, Long, String, Double, String) =
+      (id, ns(sec), 1L, typ, 1.0, s"""{"k": $k}""")
+    Seq(
+      // k=1 version chain: base → upd-10 @100 → deleted @200 → upd-12 @300
+      ev(10, 100, "purchase", 1), ev(11, 200, "error", 1), ev(12, 300, "purchase", 1),
+      // k=3 tie: two updates at the same instant — higher event_id wins
+      ev(30, 100, "purchase", 3), ev(31, 100, "purchase", 3),
+      // facts (views)
+      ev(20, 50, "view", 1),   // before any cdc → base
+      ev(21, 100, "view", 1),  // at version start → inclusive
+      ev(22, 150, "view", 1),  // mid-version
+      ev(23, 250, "view", 1),  // inside the deleted gap → NULL
+      ev(24, 300, "view", 1),  // at re-insert boundary
+      ev(25, 350, "view", 1),
+      ev(26, 100, "view", 2),  // untouched key → base
+      ev(27, 100, "view", 5),  // key absent from the dim → NULL
+      ev(32, 100, "view", 3),  // tie instant → max-tie update
+      ev(33, 50, "view", 3))   // before the tie → base
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    Seq((1L, "base-1", "B"), (2L, "base-2", "B"), (3L, "base-3", "B"))
+      .toDF("p_partkey", "p_name", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    val out = DimMaintenance.scd2PointInTime(spark, d).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out === Map(
+      20L -> "base-1", 21L -> "upd-10", 22L -> "upd-10", 23L -> null,
+      24L -> "upd-12", 25L -> "upd-12", 26L -> "base-2", 27L -> null,
+      32L -> "upd-31", 33L -> "base-3"))
+  }
+
   test("scd2: versions chain validity ranges, deletes close but never appear") {
     import spark.implicits._
     val hist = Seq(
