@@ -40,4 +40,140 @@ object Ads {
        |GROUP BY p_brand
        |ORDER BY order_amount DESC, p_brand
        |LIMIT 5""".stripMargin
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.expressions.Window
+
+  /** Daily DAU + trailing-7-day WAU — the active-user dashboard series
+    * every ClickHouse publisher serves. The WAU is NOT a per-day
+    * rescan of a week of raw events: each distinct (user, day)
+    * activity row fans out to the ≤7 window days it keeps the user
+    * weekly-active for (`sequence`+`explode`, the q_gapfill spine
+    * trick), and the count is a two-level exact distinct. Work is
+    * O(activity × 7) with every stage partial-aggregable — no per-day
+    * window join, no single-partition anything. */
+  def activeUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // inner join: the fan-out's tail beyond the last active day (and
+    // gap days with no activity at all) carry no DAU row and drop
+    dau.join(wau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+      |wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      |        FROM (SELECT DISTINCT day FROM ud) d
+      |        JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      |        GROUP BY d.day)
+      |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY day""".stripMargin
+
+  /** One-row exact interpolated quartile cuts of `c` over `df` —
+    * the same value-grouped CDF walk as `Relational.quantiles` (whose
+    * oracle proves the interp formula bit-matches `quantile_cont`),
+    * ungrouped. The window sorts the DISTINCT-VALUE count table, so
+    * it is safe exactly when the metric's value space is bounded —
+    * which [[rfm]] guarantees by quantizing first. */
+  private def quartileCuts(df: DataFrame, c: String, pre: String): DataFrame = {
+    val counts = df.groupBy(col(c).as("p")).agg(count(lit(1)).as("ct"))
+    val cum = counts
+      .withColumn("cum", sum(col("ct")).over(Window.orderBy(col("p"))))
+      .withColumn("n", sum(col("ct")).over(Window.partitionBy()))
+    def qCols(q: Double, nm: String): Seq[Column] = {
+      val r = lit(q) * (col("n") - 1)
+      val lo = floor(r)
+      val hi = ceil(r)
+      Seq(
+        max(when(col("cum") - col("ct") <= lo && lo < col("cum"), col("p"))).as(s"${nm}_lo"),
+        max(when(col("cum") - col("ct") <= hi && hi < col("cum"), col("p"))).as(s"${nm}_hi"),
+        max(hi - r).as(s"${nm}_wlo"),
+        max(r - lo).as(s"${nm}_whi"))
+    }
+    def interp(nm: String) =
+      when(col(s"${nm}_whi") === 0.0, col(s"${nm}_lo"))
+        .otherwise(col(s"${nm}_lo") * col(s"${nm}_wlo") +
+          col(s"${nm}_hi") * col(s"${nm}_whi"))
+    val aggs = qCols(0.25, "a") ++ qCols(0.5, "b") ++ qCols(0.75, "c")
+    cum.agg(aggs.head, aggs.tail: _*)
+      .select(interp("a").as(s"${pre}25"), interp("b").as(s"${pre}50"),
+        interp("c").as(s"${pre}75"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary, the classic
+    * e-commerce user scoring the ADS layer feeds to marketing) WITHOUT
+    * a global sort: the textbook `ntile(4)` needs one total order over
+    * all users — the thing that cannot scale — so scores band against
+    * exact quartile CUTS instead (three scalars per metric, broadcast
+    * back as a 1-row cross join). Cut distributions are quantized to
+    * keep the CDF walk's value space bounded: recency days and
+    * purchase counts are already small ints; monetary is floored to
+    * whole currency units FOR THE CUTS (scores band the floored value
+    * — `floor`, not `round`, because double rounding ties break
+    * differently across engines). */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val maxDay = p.agg(max(col("day")).as("max_day"))
+    val u = p.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+        moneySum(col("value")).as("m"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("r_days", datediff(col("max_day"), col("last_day")).cast("long"))
+      .withColumn("m_q", floor(col("m").cast("double")))
+    val cuts = quartileCuts(u, "r_days", "r")
+      .crossJoin(quartileCuts(u, "f", "f"))
+      .crossJoin(quartileCuts(u, "m_q", "m"))
+    def above(v: Column, pre: String): Column =
+      (v > col(s"${pre}25")).cast("int") + (v > col(s"${pre}50")).cast("int") +
+        (v > col(s"${pre}75")).cast("int")
+    u.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("r_days"), col("f"),
+        col("m").cast("double").as("m"),
+        (lit(4) - above(col("r_days"), "r")).as("r_score"),
+        (lit(1) + above(col("f"), "f")).as("f_score"),
+        (lit(1) + above(col("m_q"), "m")).as("m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  val rfmSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |u AS (
+       |  SELECT user_id,
+       |    date_diff('day', max(day), (SELECT max(day) FROM p)) AS r_days,
+       |    CAST(count(*) AS BIGINT) AS f,
+       |    ${sqlMoneySum("value")} AS m,
+       |    floor(CAST(${sqlMoneySum("value")} AS DOUBLE)) AS m_q
+       |  FROM p GROUP BY user_id),
+       |cuts AS (
+       |  SELECT quantile_cont(r_days, 0.25) AS r25, quantile_cont(r_days, 0.5) AS r50,
+       |    quantile_cont(r_days, 0.75) AS r75,
+       |    quantile_cont(f, 0.25) AS f25, quantile_cont(f, 0.5) AS f50,
+       |    quantile_cont(f, 0.75) AS f75,
+       |    quantile_cont(m_q, 0.25) AS m25, quantile_cont(m_q, 0.5) AS m50,
+       |    quantile_cont(m_q, 0.75) AS m75
+       |  FROM u)
+       |SELECT user_id, r_days, f, m,
+       |  4 - (CAST(r_days > r25 AS INT) + CAST(r_days > r50 AS INT)
+       |       + CAST(r_days > r75 AS INT)) AS r_score,
+       |  1 + (CAST(f > f25 AS INT) + CAST(f > f50 AS INT)
+       |       + CAST(f > f75 AS INT)) AS f_score,
+       |  1 + (CAST(m_q > m25 AS INT) + CAST(m_q > m50 AS INT)
+       |       + CAST(m_q > m75 AS INT)) AS m_score
+       |FROM u, cuts ORDER BY user_id""".stripMargin
 }

@@ -75,7 +75,9 @@ object PlanAudit {
       ("q_scd2_pit", "temporal join with NO inequality join: dim change stream ∪ facts shuffle once on the dim key into one ordered window pass (the as-of MERGE); tombstones ride as null-field payload structs",
         DimMaintenance.scd2PointInTime(spark, d)),
       ("dedup_gram_frac", "in-row distinct gram fan-out; the gram-df aggregate joins back to the gram stream (AQE broadcasts the aggregated df table at this SF; at scale both sides hash-partition on the gram key); per-doc rollup is a standard two-phase aggregate — linear in corpus grams",
-        Dedup.gramFrac(spark, d)))
+        Dedup.gramFrac(spark, d)),
+      ("ads_rfm", "no global sort anywhere: per-user aggregates once, quartile cuts reduce to 1-row aggregates over tiny distinct-value tables (the only Window sorts those), scores band via a broadcast cross join",
+        Ads.rfm(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>

@@ -139,6 +139,48 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(incr === full)
   }
 
+  test("active users: per-day dedup, trailing-7-day WAU, fan-out tail days dropped") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-active").toFile.getAbsolutePath
+    def at(day: Long, id: Long, user: Long) =
+      (id, (day * 86400L + 43200L + id) * 1000000000L, user, "view", 1.0, """{"k": 1}""")
+    Seq(at(1, 1, 1), at(1, 2, 2), at(2, 3, 2), at(2, 4, 2), at(10, 5, 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.operators.Ads.activeUsers(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    // d2: user 2's two events collapse; window {d-6..d} still sees user 1
+    // d10: d1/d2 activity aged out; no rows for the d3..d8 fan-out tail
+    assert(out.toSeq === Seq(
+      "1970-01-02" -> ((2L, 2L)), "1970-01-03" -> ((1L, 2L)),
+      "1970-01-11" -> ((1L, 1L))))
+  }
+
+  test("rfm: quartile-cut banding matches the hand-computed ntile(4) on planted users") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-rfm").toFile.getAbsolutePath
+    // user u: u purchases of value u on day u → f=u, m=u², r_days=8-u
+    val rows = for { u <- 1L to 8L; i <- 1L to u } yield
+      (u * 100 + i, (u * 86400L + 43200L + i) * 1000000000L, u, "purchase",
+        u.toDouble, """{"k": 1}""")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = graft.operators.Ads.rfm(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6))))
+      .toMap
+    // quartile cuts over 8 evenly-ranked users put 2 users per band;
+    // recency reverses (smallest r_days = best score)
+    val expScore = Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4)
+    (1L to 8L).foreach { u =>
+      val (r, f, m, rs, fs, ms) = out(u)
+      assert((r, f, m) === ((8 - u, u, (u * u).toDouble)))
+      assert(fs === expScore(u), s"f_score user $u")
+      assert(ms === expScore(u), s"m_score user $u")
+      assert(rs === expScore(u), s"r_score user $u (reversed recency)")
+    }
+  }
+
   test("scd2 point-in-time join: boundaries inclusive-exclusive, delete gaps NULL, ties by cdc id") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-pit").toFile.getAbsolutePath
