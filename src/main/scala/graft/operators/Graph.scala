@@ -112,6 +112,90 @@ object Graph {
   private val Iters = 8
   private val Damping = 0.85
 
+  /** Multi-source BFS over an undirected pair set: min hop distance
+    * from any source node, bounded at `rounds` hops. Frontier
+    * iteration — round r expands ONLY nodes first reached at r−1 (the
+    * min-aggregate excludes earlier-settled nodes from later
+    * frontiers), so each round shuffles one (dst, r) pair per frontier
+    * edge, never adjacency lists, and total work is O(edges × 1) like
+    * sequential BFS — not O(edges × rounds) like naive relaxation.
+    * Unreached nodes (farther than `rounds`, or disconnected) emit no
+    * row. `localCheckpoint` per round truncates the iterative lineage
+    * (the [[Clusters]] loop discipline). */
+  def bfsEdges(pairs: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val pinned = pairs.cache()
+    val edges = pinned
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    var dist = sources.select(col("node"), lit(0).as("dist")).localCheckpoint()
+    // early exit on an empty frontier (graph settled before the hop
+    // cap): one bounded scalar per round off the just-checkpointed
+    // table — BFS is done when no node was first labeled this round
+    var r = 1
+    var live = true
+    while (r <= rounds && live) {
+      val frontier = dist.filter(col("dist") === r - 1)
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(r).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      live = !dist.filter(col("dist") === r).isEmpty
+      r += 1
+    }
+    Seq(edges, pinned).foreach(_.unpersist())
+    dist
+  }
+
+  private val BfsRounds = 6
+  private val BfsSources = 5
+
+  /** Oracled instance: hop distance from the five hub suppliers
+    * (s_suppkey 0–4) across the trade graph — the "how far is every
+    * account from a flagged set" serving query. Same long node
+    * encoding as [[pageRank]]. */
+  def bfs(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val sources = pairs.select(col("b").as("node"))
+      .filter((col("node") - 1) / 2 < BfsSources).distinct()
+    bfsEdges(pairs, sources, BfsRounds)
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        (when(col("node") % 2 === 0, col("node") / 2)
+          .otherwise((col("node") - 1) / 2)).cast("long").as("key"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("kind"), col("key"))
+  }
+
+  /** DuckDB oracle: UNION-dedup recursive reach with the same hop
+    * bound, min per node. */
+  val bfsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM pairs),
+       |sources AS (
+       |  SELECT DISTINCT b AS node FROM pairs WHERE (b - 1) // 2 < $BfsSources),
+       |reach(node, dist) AS (
+       |  SELECT node, 0 FROM sources
+       |  UNION
+       |  SELECT e.dst, r.dist + 1 FROM reach r JOIN edges e ON e.src = r.node
+       |  WHERE r.dist < $BfsRounds),
+       |d AS (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  CASE WHEN node % 2 = 0 THEN node // 2 ELSE (node - 1) // 2 END AS key,
+       |  CAST(dist AS BIGINT) AS dist
+       |FROM d ORDER BY kind, key""".stripMargin
+
   /** The same eight damped rounds unrolled as chained CTEs — every
     * arithmetic step CAST to DOUBLE so DuckDB's decimal literals don't
     * change the dtype Spark computes in. */

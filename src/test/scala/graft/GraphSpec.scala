@@ -72,6 +72,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bfs: chain cap, multi-source min, cycle shortcut, disconnected absent") {
+    import spark.implicits._
+    def bfs(pairs: Seq[(Long, Long)], sources: Seq[Long], rounds: Int = 6): Map[Long, Int] =
+      Graph.bfsEdges(pairs.toDF("a", "b"), sources.toDF("node"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chain = (1L to 8L).map(i => i -> (i + 1))          // 1-2-...-9
+    val iso = Seq(100L -> 101L)                            // disconnected island
+    // single source: distances 0..6, nodes beyond the hop cap absent
+    assert(bfs(chain ++ iso, Seq(1L)) ===
+      (1L to 7L).map(i => i -> (i - 1).toInt).toMap)
+    // two sources: min distance over sources; whole chain now in reach
+    assert(bfs(chain ++ iso, Seq(1L, 9L)) === Map(
+      1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4, 6L -> 3, 7L -> 2, 8L -> 1, 9L -> 0))
+    // diamond: both 2-hop paths settle 4 at round 2, never 3
+    assert(bfs(Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L), Seq(1L)) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   test("rounded supplier scores are identical across repartitionings") {
     val a = Graph.pageRank(spark, sf0001).collect().toSeq
     val old = spark.conf.get("spark.sql.shuffle.partitions")
