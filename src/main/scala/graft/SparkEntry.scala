@@ -102,6 +102,7 @@ object SparkEntry {
     "ann_ivf"              -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_ivf_pq"           -> ((s, d) => Similarity.annIvfPq(s, d)),
     "emb_centroids"        -> (Similarity.embCentroids _),
+    "emb_pca"              -> (Similarity.embPca _),
     // Multimodal plumbing
     "mm_decode_pipeline"   -> (Multimodal.decodePipeline _),
     "mm_image_decode"      -> (Multimodal.imageDecodePipeline _),
@@ -162,6 +163,8 @@ object SparkEntry {
     "pipeline_decontam_ngram" -> Chunking.decontaminateNgramSql,
     "ann_bruteforce"       -> Similarity.annBruteforceSql,
     "emb_centroids"        -> Similarity.embCentroidsSql,
+    // emb_pca: eigenvector extraction is not SQL-expressible → rows-only;
+    // SimilaritySpec pins the loadings against planted known directions
     "q_asof_join"          -> AsOfJoin.purchaseAsOfViewSql,
     // chunked variant must produce IDENTICAL output — same oracle
     "q_asof_join_chunked"  -> AsOfJoin.purchaseAsOfViewSql,

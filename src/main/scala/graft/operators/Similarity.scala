@@ -376,4 +376,56 @@ object Similarity {
       |  FROM embeddings)
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
+
+  /** Top principal component of the embedding corpus — the whitening /
+    * all-but-the-top (Mu & Viswanath, ICLR'18) / drift-monitoring
+    * primitive. The distributed part is ONE scan aggregating two
+    * native [[graft.functions.VecSumAgg]] partials: Σx (dim doubles)
+    * and the flattened Σxxᵀ (dim² doubles, the outer product built
+    * in-row by codegen'd nested `transform`s) — per-partition state is
+    * dim+dim² doubles, mergeable map-side, so a billion-vector corpus
+    * ships ~33 KB per partition and exactly one bounded row to the
+    * driver (the HLL/centroid contract). The driver then runs the
+    * O(dim²·iters) power iteration on the dim×dim covariance — never
+    * distributed because it is microscopic next to the scan. Sign
+    * convention: the largest-|loading| component is positive. */
+  def embPca(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.registerFunctions(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val outer = flatten(transform(col("v"), x => transform(col("v"), y => x * y)))
+    val row = emb.agg(
+      call_function("graft_vec_sum", col("v")).as("sv"),
+      call_function("graft_vec_sum", outer).as("so"),
+      count(lit(1)).as("n")).head()
+    val sv = row.getSeq[Double](0).toArray
+    val so = row.getSeq[Double](1).toArray
+    val n = row.getLong(2).toDouble
+    val dim = sv.length
+    val mu = sv.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) => so(i * dim + j) / n - mu(i) * mu(j))
+    var x = Array.fill(dim)(1.0 / math.sqrt(dim))
+    for (_ <- 1 to 200) {
+      val y = Array.tabulate(dim) { i =>
+        var t = 0.0; var j = 0
+        while (j < dim) { t += cov(i)(j) * x(j); j += 1 }
+        t
+      }
+      val nrm = math.sqrt(y.map(v => v * v).sum)
+      if (nrm > 0) x = y.map(_ / nrm)
+    }
+    val lambda = (0 until dim).map { i =>
+      x(i) * (0 until dim).map(j => cov(i)(j) * x(j)).sum
+    }.sum
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val k = x.indices.maxBy(i => math.abs(x(i)))
+    val signed = if (x(k) < 0) x.map(v => -v) else x
+    val share = if (trace > 0) lambda / trace else 0.0
+    signed.zipWithIndex
+      .map { case (l, i) =>
+        ((i + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(share * 1e6) / 1e6) }
+      .toSeq.toDF("dim", "loading", "var_share")
+      .orderBy(col("dim"))
+  }
 }

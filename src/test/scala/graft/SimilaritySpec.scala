@@ -176,4 +176,45 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.embCentroids(spark, sf001).collect().toSeq
     assert(rows.toSeq === again)
   }
+
+  test("graft_vec_sum: exact element-wise sums, merge across partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col}
+    graft.Graft.registerFunctions(spark)
+    // integer-valued doubles sum exactly in any partition/merge order
+    val vecs = (1 to 100).map(i => Array(i.toDouble, 2.0 * i, -i.toDouble))
+    val expect = Seq(5050.0, 10100.0, -5050.0)
+    Seq(1, 7, 32).foreach { parts =>
+      val got = vecs.toDF("v").repartition(parts)
+        .agg(call_function("graft_vec_sum", col("v")))
+        .head().getSeq[Double](0)
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
+  test("emb_pca recovers planted principal directions") {
+    import spark.implicits._
+    def pca(vecs: Seq[Array[Float]]): (Map[Long, Double], Double) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-pca")
+        .toFile.getAbsolutePath
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      val rows = Similarity.embPca(spark, d).collect()
+      (rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap, rows.head.getDouble(2))
+    }
+    val dim = 8
+    def axis(k: Int, t: Float): Array[Float] =
+      Array.tabulate(dim)(i => if (i == k) t else 0f)
+    // variance entirely along dim 3 (1-based: 4): loading e4, share 1
+    val (l1, s1) = pca((1 to 10).map(t => axis(3, t.toFloat)))
+    assert(math.abs(l1(4L) - 1.0) < 1e-6 && s1 === 1.0)
+    assert((1 to dim).filter(_ != 4).forall(i => math.abs(l1(i.toLong)) < 1e-6))
+    // variance along the (3,4)/5 line in dims 1-2: loadings 0.6 / 0.8,
+    // sign normalized to the largest-|loading| component
+    val (l2, s2) = pca((1 to 10).map(t => Array.tabulate(dim)(i =>
+      if (i == 0) 3f * t else if (i == 1) 4f * t else 0f)))
+    assert(math.abs(l2(1L) - 0.6) < 1e-6 && math.abs(l2(2L) - 0.8) < 1e-6)
+    assert(s2 === 1.0)
+  }
 }
