@@ -34,6 +34,7 @@ object SparkEntry {
     "q_window_suite"       -> (Relational.windowSuite _),
     "q_full_outer"         -> (Relational.fullOuterDaily _),
     "q_gapfill"            -> (Relational.dailyGapfill _),
+    "q_open_orders"        -> (Relational.openOrders _),
     "q_org_walk"           -> (Relational.orgWalk _),
     "q_countmin"           -> ((s, d) => Sketches.countMin(s, d)),
     "graph_pagerank"       -> (Graph.pageRank _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_window_suite"       -> Relational.windowSuiteSql,
     "q_full_outer"         -> Relational.fullOuterDailySql,
     "q_gapfill"            -> Relational.dailyGapfillSql,
+    "q_open_orders"        -> Relational.openOrdersSql,
     "q_org_walk"           -> Relational.orgWalkSql,
     // q_countmin: the CMS grid is engine/seed-specific → rows-only +
     // spec (exact <= est <= exact + eps*N across partitionings)

@@ -485,6 +485,54 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Interval-overlap aggregation by SWEEP-LINE: per-day count of
+    * lineitems ordered but not yet shipped (in-flight inventory — the
+    * "concurrent sessions / open tickets" dashboard shape). The naive
+    * plan joins every calendar day against every interval
+    * (`day BETWEEN start AND end`) — O(days × intervals) and an
+    * inequality join. The sweep-line never materializes overlaps:
+    * each interval becomes two DELTAS (+1 at start, −1 the day after
+    * end), deltas aggregate per day (partial-aggregable — 100 TB of
+    * intervals collapses to one bounded day-granular table), and one
+    * running sum over the calendar spine replays them. The only
+    * serial structure is the day-granularity window — calendar-bounded
+    * like [[dailyGapfill]]'s spine, independent of data volume. */
+  def openOrders(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(to_date(col("o_orderdate")).as("start"),
+        to_date(col("l_shipdate")).as("end"))
+      .filter(col("start").isNotNull && col("end") >= col("start"))
+    val deltas = iv.select(col("start").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(date_add(col("end"), 1).as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    val spine = iv.agg(min(col("start")).as("mn"), max(col("end")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    spine.join(deltas, Seq("day"), "left")
+      .withColumn("open_ct",
+        sum(coalesce(col("delta"), lit(0L)))
+          .over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("open_ct"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle: the literal day-interval containment join (the formulation
+    * the sweep-line replaces), day spine by list comprehension. */
+  val openOrdersSql: String =
+    """WITH iv AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS s, CAST(l_shipdate AS DATE) AS e
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate IS NOT NULL AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)),
+      |b AS (SELECT min(s) AS lo, max(e) AS hi FROM iv),
+      |spine AS (SELECT unnest([lo + CAST(i AS INTEGER)
+      |                         for i in range(0, hi - lo + 1)]) AS day FROM b)
+      |SELECT strftime(sp.day, '%Y-%m-%d') AS day,
+      |  CAST(count(iv.s) AS BIGINT) AS open_ct
+      |FROM spine sp LEFT JOIN iv ON sp.day BETWEEN iv.s AND iv.e
+      |GROUP BY sp.day ORDER BY day""".stripMargin
+
   /** Recursive-CTE hierarchy walk through Spark's own SQL surface
     * (`WITH RECURSIVE` → `UnionLoop`, new in Spark 4): every customer
     * walks up a derived reporting chain (manager = custkey DIV 2, a

@@ -117,6 +117,30 @@ class RelationalExtrasSpec extends SparkSpec {
     }
   }
 
+  test("open orders: sweep-line replay equals the literal containment count") {
+    import org.apache.spark.sql.functions._
+    // independent driver-side reference: count intervals containing each day
+    val iv = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select(to_date(col("o_orderdate")).as("s"), to_date(col("l_shipdate")).as("e"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+      .filter { case (s, e) => !e.isBefore(s) }
+    val out = Relational.openOrders(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.nonEmpty)
+    // spans min(start)..max(end) with no gaps
+    assert(out.length === java.time.temporal.ChronoUnit.DAYS.between(
+      iv.map(_._1).min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)),
+      iv.map(_._2).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))).toInt + 1)
+    out.foreach { case (dayStr, ct) =>
+      val day = java.time.LocalDate.parse(dayStr)
+      val want = iv.count { case (s, e) => !day.isBefore(s) && !day.isAfter(e) }
+      assert(ct === want.toLong, s"day $dayStr")
+    }
+    // the count really varies (intervals open and close)
+    assert(out.map(_._2).distinct.length > 1)
+  }
+
   test("unpivot emits one (charge, amount) row per metric column, no shuffle") {
     val out = Relational.unpivotCharges(spark, sf0001)
     val n = Tables.lineitem(spark, sf0001).count()
