@@ -90,4 +90,43 @@ object FileSources {
     * scan), so operators are format-agnostic. */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Small-file compaction — the warehouse maintenance pass every
+    * streaming/micro-batch sink eventually needs: per-micro-batch
+    * writes leave thousands of kilobyte files per partition, and at
+    * 100 TB the file LISTING alone starts to dominate planning while
+    * each task reads one tiny file. Rewrites a parquet directory into
+    * `ceil(bytes / targetBytes)` evenly-sized files (repartition, not
+    * coalesce: coalesce merges adjacent partitions and inherits their
+    * skew) and swaps it in via rename — readers either see the old
+    * layout or the new one, and the data is byte-for-byte the same
+    * rows. Call per partition directory on a partitioned table (each
+    * `dt=` dir is a standalone parquet dir). Returns (filesBefore,
+    * filesAfter). */
+  def compact(spark: SparkSession, path: String,
+    targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def parts(p: String): Seq[java.nio.file.Path] = {
+      val s = Files.list(Paths.get(p))
+      try s.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val before = parts(path)
+    val bytes = before.map(Files.size).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compacting"
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp)
+    val bak = path.stripSuffix("/") + ".pre-compact"
+    Files.move(Paths.get(path), Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    def rmRec(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
+    rmRec(Paths.get(bak))
+    (before.length, parts(path).length)
+  }
 }

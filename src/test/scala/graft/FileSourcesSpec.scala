@@ -164,4 +164,28 @@ class FileSourcesSpec extends SparkSpec {
     assert(df.schema.map(_.dataType) === Seq(LongType, StringType))
     assert(df.count() === 2)
   }
+
+  test("compaction: small files merge to the byte-target count, rows identical, dir swapped clean") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val path = s"$base/t.parquet"
+    (1L to 10000L).map(i => (i, s"row-$i")).toDF("id", "s")
+      .repartition(64).write.parquet(path)
+    val expect = spark.read.parquet(path).collect().map(_.toSeq).sortBy(_.head.toString)
+    // everything fits one target file
+    val (b1, a1) = FileSources.compact(spark, path, targetBytes = Long.MaxValue)
+    assert(b1 === 64 && a1 === 1)
+    assert(spark.read.parquet(path).collect().map(_.toSeq)
+      .sortBy(_.head.toString).toSeq === expect.toSeq)
+    // a byte target about a third of the table gives ~3 files
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (b2, a2) = FileSources.compact(spark, path, targetBytes = bytes / 3)
+    assert(b2 === 1 && a2 >= 3 && a2 <= 5, s"got $a2 files")
+    assert(spark.read.parquet(path).collect().map(_.toSeq)
+      .sortBy(_.head.toString).toSeq === expect.toSeq)
+    // no leftover staging/backup directories
+    assert(!new java.io.File(s"$path.compacting").exists())
+    assert(!new java.io.File(s"$path.pre-compact").exists())
+  }
 }
