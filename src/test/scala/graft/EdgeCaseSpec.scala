@@ -107,4 +107,54 @@ class EdgeCaseSpec extends SparkSpec {
     val scrub = Chunking.piiScrub(spark, dir).collect()
     assert(scrub.length === 6)
   }
+
+  test("gram frac on pathological docs: verbatim dups 1.0, gram-free docs 0.0") {
+    val out = Dedup.gramFrac(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 0/4 are verbatim copies with 9 tokens → 2 grams, both shared
+    assert(out(0L) === ((2L, 2L, 1.0)) && out(4L) === ((2L, 2L, 1.0)))
+    Seq(1L, 2L, 3L, 5L).foreach(id => assert(out(id) === ((0L, 0L, 0.0)), s"doc $id"))
+  }
+
+  test("rfm with a single purchaser: degenerate cuts give scores (4, 1, 1)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-rfm-edge").toFile.getAbsolutePath
+    Seq((1L, 86400L * 1000000000L, 7L, "purchase", 25.5, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = graft.operators.Ads.rfm(spark, d).collect()
+    assert(r.length === 1)
+    // every cut equals the single observation, so nothing is "above" any
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getDouble(3)) === ((0L, 1L, 25.5)))
+    assert((r.head.getInt(4), r.head.getInt(5), r.head.getInt(6)) === ((4, 1, 1)))
+    // and a single active day: DAU = WAU = 1
+    val au = graft.operators.Ads.activeUsers(spark, d).collect()
+    assert(au.length === 1 && au.head.getLong(1) === 1L && au.head.getLong(2) === 1L)
+  }
+
+  test("bfs with no sources terminates empty; isolated source reports only itself") {
+    import spark.implicits._
+    val pairs = Seq(1L -> 2L).toDF("a", "b")
+    assert(graft.operators.Graph.bfsEdges(pairs,
+      Seq.empty[Long].toDF("node"), 6).count() === 0L)
+    // source 9 touches no edge: one row at distance 0
+    val iso = graft.operators.Graph.bfsEdges(pairs, Seq(9L).toDF("node"), 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(iso.toSeq === Seq(9L -> 0))
+  }
+
+  test("pca on a zero-variance corpus: no NaNs, uniform start vector, zero var share") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-pca-edge").toFile.getAbsolutePath
+    (1L to 5L).map(i => (i, Array.fill(8)(2.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rows = graft.operators.Similarity.embPca(spark, d).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      assert(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
+      assert(math.abs(r.getDouble(1) - 1.0 / math.sqrt(8)) < 1e-5)
+      assert(r.getDouble(2) === 0.0)
+    }
+  }
 }
