@@ -497,6 +497,76 @@ object Dedup {
        |FROM documents d LEFT JOIN perdoc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Maximal duplicated-SPAN extraction — the step after
+    * [[gramFrac]]'s diagnostic: WHERE exactly is each document
+    * duplicated (the RefinedWeb/“Deduplicating Training Data” exact
+    * substring removal feed). A token position is covered when some
+    * word 8-gram starting there also occurs in another document;
+    * overlapping/contiguous covered ranges merge into maximal spans
+    * `[span_start, span_end]` (1-based token indices).
+    *
+    * Shape: gram occurrences KEEP their positions (one `posexplode`),
+    * the shared-gram set comes from the same distinct-gram df rollup
+    * as [[gramFrac]], and span merging is the classic running-max
+    * interval fold — one window over each doc's duplicated positions,
+    * bounded by tokens-per-doc, never corpus-sized. */
+  def spanExtract(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val occ = docs.select(col("doc_id"),
+      posexplode(shingles(col("text"), SharedN)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+    val shared = occ.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1).select(col("g"))
+    val dup = occ.join(shared, "g").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + (SharedN - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("new_span",
+        (prevMaxEnd.isNull || col("pos") > prevMaxEnd + 1).cast("int"))
+      .withColumn("span", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (SharedN - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span").cast("long").as("span"),
+        col("span_start"), col("span_end"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Oracle: zipped-unnest positions, HAVING df ≥ 2, the identical
+    * running-max interval fold (window sums CAST off HUGEINT). */
+  val spanExtractSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS l
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id,
+       |    unnest([i for i in range(1, len(l) - ${SharedN - 2})]) AS pos,
+       |    unnest([array_to_string(l[i:i+${SharedN - 1}], ' ')
+       |            for i in range(1, len(l) - ${SharedN - 2})]) AS g
+       |  FROM toks WHERE len(l) >= $SharedN),
+       |shared AS (
+       |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ) t
+       |  GROUP BY g HAVING count(*) > 1),
+       |dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN shared USING (g)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + ${SharedN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM dup),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    CAST(sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span
+       |  FROM m)
+       |SELECT doc_id, span,
+       |  CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${SharedN - 1} AS BIGINT) AS span_end
+       |FROM sp GROUP BY doc_id, span
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // ---- shared sketch plumbing ---------------------------------------
 }
 

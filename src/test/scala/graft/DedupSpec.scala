@@ -128,6 +128,30 @@ class DedupSpec extends SparkSpec {
       5L -> ((1L, 1L, 1.0)), 6L -> ((8L, 0L, 0.0))))
   }
 
+  test("span extract: maximal merged spans at exact token positions") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-span")
+      .toFile.getAbsolutePath
+    val A = (1 to 10).map(i => s"s$i").mkString(" ")        // 10-token shared run
+    Seq(
+      (1L, A, "en", "s0"),                                   // A alone
+      (2L, s"x1 x2 $A", "en", "s0"),                         // A offset by 2
+      (3L, (1 to 7).map(i => s"u$i").mkString(" ") + s" $A " +
+        (1 to 5).map(i => s"v$i").mkString(" "), "en", "s0"), // A inside padding
+      (4L, s"$A ${(1 to 10).map(i => s"w$i").mkString(" ")} $A", "en", "s0"), // two runs
+      (5L, (1 to 12).map(i => s"z$i").mkString(" "), "en", "s0")) // unique text
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.spanExtract(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // doc 1: whole doc; doc 2: tokens 3-12; doc 3: boundary grams are
+    // unique so the span is exactly A's tokens 8-17; doc 4: two spans
+    // with the unshared w-run untouched; doc 5 absent
+    assert(out.toSeq === Seq(
+      (1L, 1L, 10L), (2L, 3L, 12L), (3L, 8L, 17L),
+      (4L, 1L, 10L), (4L, 21L, 30L)))
+  }
+
   test("simhash pairs are genuinely similar (jaccard >= 0.3) with high recall") {
     val exact = exactPairs(sf0001)
     val sh = Dedup.simhash(spark, sf0001).collect()
