@@ -77,7 +77,11 @@ object PlanAudit {
       ("dedup_gram_frac", "in-row distinct gram fan-out; the gram-df aggregate joins back to the gram stream (AQE broadcasts the aggregated df table at this SF; at scale both sides hash-partition on the gram key); per-doc rollup is a standard two-phase aggregate — linear in corpus grams",
         Dedup.gramFrac(spark, d)),
       ("ads_rfm", "no global sort anywhere: per-user aggregates once, quartile cuts reduce to 1-row aggregates over tiny distinct-value tables (the only Window sorts those), scores band via a broadcast cross join",
-        Ads.rfm(spark, d)))
+        Ads.rfm(spark, d)),
+      ("q_open_orders", "sweep-line: intervals collapse to a partial-aggregable per-day delta table BEFORE the calendar join; the only Window walks the bounded day spine — the O(days x intervals) containment join exists solely in the oracle",
+        Relational.openOrders(spark, d)),
+      ("dedup_span_extract", "one posexplode keeps gram positions; the shared-gram set is the same distinct+groupBy rollup as gram_frac; the interval-merge fold is one per-doc window over duplicated positions only",
+        Dedup.spanExtract(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>
