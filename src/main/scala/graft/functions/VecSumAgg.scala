@@ -47,8 +47,17 @@ case class VecSumAgg(
     val v = child.eval(input)
     if (v == null) buffer
     else {
-      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        .toDoubleArray()
+      val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      // toDoubleArray would silently read a null slot as 0.0, and a
+      // zero-length vector is indistinguishable from the uninitialized
+      // buffer sentinel — reject both loudly
+      require(ad.numElements() > 0, s"$prettyName: empty vector")
+      var j = 0
+      while (j < ad.numElements()) {
+        require(!ad.isNullAt(j), s"$prettyName: null element at index $j")
+        j += 1
+      }
+      val arr = ad.toDoubleArray()
       if (buffer.isEmpty) arr
       else {
         require(buffer.length == arr.length,

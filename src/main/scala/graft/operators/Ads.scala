@@ -53,7 +53,12 @@ object Ads {
     * O(activity × 7) with every stage partial-aggregable — no per-day
     * window join, no single-partition anything. */
   def activeUsers(s: SparkSession, d: String): DataFrame = {
+    // NULL user_ids are excluded EXPLICITLY on both sides: Spark's
+    // distinct+count would keep a (null, day) row while SQL's
+    // count(DISTINCT user_id) drops it — filtering first makes the
+    // two semantics identical by construction
     val ud = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
@@ -71,7 +76,8 @@ object Ads {
   }
 
   val activeUsersSql: String =
-    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |            FROM events WHERE user_id IS NOT NULL),
       |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
       |wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
       |        FROM (SELECT DISTINCT day FROM ud) d
@@ -92,24 +98,12 @@ object Ads {
     val cum = counts
       .withColumn("cum", sum(col("ct")).over(Window.orderBy(col("p"))))
       .withColumn("n", sum(col("ct")).over(Window.partitionBy()))
-    def qCols(q: Double, nm: String): Seq[Column] = {
-      val r = lit(q) * (col("n") - 1)
-      val lo = floor(r)
-      val hi = ceil(r)
-      Seq(
-        max(when(col("cum") - col("ct") <= lo && lo < col("cum"), col("p"))).as(s"${nm}_lo"),
-        max(when(col("cum") - col("ct") <= hi && hi < col("cum"), col("p"))).as(s"${nm}_hi"),
-        max(hi - r).as(s"${nm}_wlo"),
-        max(r - lo).as(s"${nm}_whi"))
-    }
-    def interp(nm: String) =
-      when(col(s"${nm}_whi") === 0.0, col(s"${nm}_lo"))
-        .otherwise(col(s"${nm}_lo") * col(s"${nm}_wlo") +
-          col(s"${nm}_hi") * col(s"${nm}_whi"))
-    val aggs = qCols(0.25, "a") ++ qCols(0.5, "b") ++ qCols(0.75, "c")
+    val aggs = CdfQuantile.qCols(0.25, "a") ++ CdfQuantile.qCols(0.5, "b") ++
+      CdfQuantile.qCols(0.75, "c")
     cum.agg(aggs.head, aggs.tail: _*)
-      .select(interp("a").as(s"${pre}25"), interp("b").as(s"${pre}50"),
-        interp("c").as(s"${pre}75"))
+      .select(CdfQuantile.interp("a").as(s"${pre}25"),
+        CdfQuantile.interp("b").as(s"${pre}50"),
+        CdfQuantile.interp("c").as(s"${pre}75"))
   }
 
   /** RFM segmentation (recency / frequency / monetary, the classic

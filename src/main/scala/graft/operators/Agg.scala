@@ -29,3 +29,35 @@ object Agg {
   def sqlRevenue(price: String, discount: String): String =
     s"CAST(sum(CAST($price AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST($discount AS DECIMAL(18,2)))) AS DOUBLE)"
 }
+
+/** Shared pieces of the exact interpolated-percentile CDF walk
+  * (`Relational.quantiles` grouped, `Ads.quartileCuts` global): over a
+  * frame carrying (`p` distinct value, `ct` its count, `cum` running
+  * count, `n` total), locate the two rows bracketing each quantile and
+  * interpolate EXACTLY the two-sided form both Spark's `percentile`
+  * and DuckDB's `quantile_cont` evaluate — bit-identical doubles. The
+  * invariant lives HERE once; a fix in one consumer cannot silently
+  * leave the other diverging from its oracle. */
+private[operators] object CdfQuantile {
+
+  /** Four agg columns: bracketing values + both interpolation weights.
+    * The weights are carried SEPARATELY (constant per group, n is
+    * group-wide) — collapsing to f/1−f drifts in the last ulp. */
+  def qCols(q: Double, nm: String): Seq[Column] = {
+    val r = lit(q) * (col("n") - 1)
+    val lo = floor(r)
+    val hi = ceil(r)
+    Seq(
+      max(when(col("cum") - col("ct") <= lo && lo < col("cum"), col("p"))).as(s"${nm}_lo"),
+      max(when(col("cum") - col("ct") <= hi && hi < col("cum"), col("p"))).as(s"${nm}_hi"),
+      max(hi - r).as(s"${nm}_wlo"),
+      max(r - lo).as(s"${nm}_whi"))
+  }
+
+  /** loV·(hi−pos) + hiV·(pos−lo), with the integral-position special
+    * case — the exact `quantile_cont` form. */
+  def interp(nm: String): Column =
+    when(col(s"${nm}_whi") === 0.0, col(s"${nm}_lo"))
+      .otherwise(col(s"${nm}_lo") * col(s"${nm}_wlo") +
+        col(s"${nm}_hi") * col(s"${nm}_whi"))
+}

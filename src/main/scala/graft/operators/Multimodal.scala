@@ -172,27 +172,30 @@ object Multimodal {
 
   /** Audio decimation — the transform stage after decode (the WAV
     * sibling of [[imageResizePipeline]]'s block average): every
-    * [[ResampleF]] consecutive PCM values boxcar-average into one
-    * output sample (crude low-pass + downsample), witnesses are the
-    * decimated stream's mean and its loudest block. Decode + resample
-    * share the parse (one [[parseWav]] walk); trailing values beyond
-    * the last full block drop (floor rule, as the image op). All
-    * arithmetic is exact: block sums are ints, divisions are single
-    * double ops — engine-stable. */
+    * [[ResampleF]] consecutive FRAMES boxcar-average into one output
+    * sample (crude low-pass + downsample; multi-channel frames also
+    * downmix, so the block spans frames×channels values and
+    * `sr_out = rate / ResampleF` is the true output FRAME rate —
+    * sizing blocks in raw values would halve the effective factor per
+    * extra channel). Witnesses are the decimated stream's mean and its
+    * loudest block; trailing frames beyond the last full block drop
+    * (floor rule, as the image op). All arithmetic is exact: block
+    * sums are ints, divisions are single double ops — engine-stable. */
   private[graft] def resampleWav(b: Array[Byte], docId: Long): Option[ResampledRecord] = {
     val info = parseWav(b).getOrElse(return None)
-    val nOut = info.nValues / ResampleF
+    val blockVals = ResampleF * info.channels
+    val nOut = (info.nValues / info.channels) / ResampleF
     if (nOut == 0) return Some(ResampledRecord(docId, info.rate / ResampleF, 0L, 0.0, 0.0))
     var total = 0L; var peakBlock = Long.MinValue
     var blk = 0
     while (blk < nOut) {
       var s = 0L; var j = 0
-      while (j < ResampleF) { s += info.value(b, blk * ResampleF + j); j += 1 }
+      while (j < blockVals) { s += info.value(b, blk * blockVals + j); j += 1 }
       total += s; if (s > peakBlock) peakBlock = s
       blk += 1
     }
     Some(ResampledRecord(docId, info.rate / ResampleF, nOut.toLong,
-      total.toDouble / (nOut.toLong * ResampleF), peakBlock.toDouble / ResampleF))
+      total.toDouble / (nOut.toLong * blockVals), peakBlock.toDouble / blockVals))
   }
 
   /** decode→resample pipeline over the synthesized WAVs: one witness

@@ -220,31 +220,16 @@ object Relational {
       .withColumn("cum", sum(col("ct")).over(
         Window.partitionBy(col("l_returnflag")).orderBy(col("p"))))
       .withColumn("n", sum(col("ct")).over(Window.partitionBy(col("l_returnflag"))))
-    // the row holding 0-based position k is the one with cum-ct ≤ k < cum
-    def qCols(q: Double, nm: String): Seq[Column] = {
-      val r = lit(q) * (col("n") - 1)
-      val lo = floor(r)
-      val hi = ceil(r)
-      Seq(
-        max(when(col("cum") - col("ct") <= lo && lo < col("cum"), col("p"))).as(s"${nm}_lo"),
-        max(when(col("cum") - col("ct") <= hi && hi < col("cum"), col("p"))).as(s"${nm}_hi"),
-        // both weights carried separately — constant per group (n is
-        // group-wide); collapsing to f/1−f drifts in the last ulp
-        max(hi - r).as(s"${nm}_wlo"),
-        max(r - lo).as(s"${nm}_whi"))
-    }
-    val aggs = qCols(0.25, "a") ++ qCols(0.5, "b") ++ qCols(0.75, "c")
-    // EXACTLY the two-sided form both Spark's `percentile` and DuckDB's
-    // `quantile_cont` evaluate: loV·(hi−pos) + hiV·(pos−lo), with the
-    // integral-position special case — bit-identical doubles
-    def interp(nm: String) =
-      when(col(s"${nm}_whi") === 0.0, col(s"${nm}_lo"))
-        .otherwise(col(s"${nm}_lo") * col(s"${nm}_wlo") +
-          col(s"${nm}_hi") * col(s"${nm}_whi"))
+    // the row holding 0-based position k is the one with cum-ct ≤ k <
+    // cum; bracketing + interpolation live in CdfQuantile (shared with
+    // Ads.quartileCuts)
+    val aggs = CdfQuantile.qCols(0.25, "a") ++ CdfQuantile.qCols(0.5, "b") ++
+      CdfQuantile.qCols(0.75, "c")
     cum.groupBy(col("l_returnflag"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("l_returnflag"),
-        interp("a").as("q25"), interp("b").as("median"), interp("c").as("q75"))
+        CdfQuantile.interp("a").as("q25"), CdfQuantile.interp("b").as("median"),
+        CdfQuantile.interp("c").as("q75"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -403,9 +403,24 @@ object Similarity {
     val so = row.getSeq[Double](1).toArray
     val n = row.getLong(2).toDouble
     val dim = sv.length
+    if (dim == 0) {
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "dim BIGINT, loading DOUBLE, var_share DOUBLE"))
+    }
     val mu = sv.map(_ / n)
     val cov = Array.tabulate(dim, dim)((i, j) => so(i * dim + j) / n - mu(i) * mu(j))
-    var x = Array.fill(dim)(1.0 / math.sqrt(dim))
+    // deterministic LCG start: a UNIFORM start is exactly orthogonal to
+    // any eigenvector whose components sum to zero (e.g. anti-correlated
+    // dim pairs), stalling the iteration at the start vector; a fixed
+    // pseudo-random direction has nonzero overlap with any eigenvector
+    // that isn't adversarially tuned to this seed
+    var x = Array.tabulate(dim) { i =>
+      (((i + 1) * 6364136223846793005L + 1442695040888963407L) >>> 11).toDouble
+    }
+    val x0n = math.sqrt(x.map(v => v * v).sum)
+    x = x.map(_ / x0n)
     for (_ <- 1 to 200) {
       val y = Array.tabulate(dim) { i =>
         var t = 0.0; var j = 0

@@ -98,10 +98,15 @@ object FileSources {
     * each task reads one tiny file. Rewrites a parquet directory into
     * `ceil(bytes / targetBytes)` evenly-sized files (repartition, not
     * coalesce: coalesce merges adjacent partitions and inherits their
-    * skew) and swaps it in via rename — readers either see the old
-    * layout or the new one, and the data is byte-for-byte the same
-    * rows. Call per partition directory on a partitioned table (each
-    * `dt=` dir is a standalone parquet dir). Returns (filesBefore,
+    * skew) and swaps it in by rename. The swap is TWO renames, not one
+    * atomic operation: a reader racing the swap can observe a brief
+    * missing-path window, and a failure between them restores the
+    * original layout before rethrowing — the data is never lost, and
+    * after any outcome the path holds byte-for-byte the same rows.
+    * Call per PARTITION directory on a partitioned table (each `dt=`
+    * dir is a standalone parquet dir); calling it on the partitioned
+    * ROOT is refused — a rewrite there would inline the partition
+    * columns and flatten the layout. Returns (filesBefore,
     * filesAfter). */
   def compact(spark: SparkSession, path: String,
     targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -113,18 +118,28 @@ object FileSources {
       finally s.close()
     }
     val before = parts(path)
+    require(before.nonEmpty,
+      s"compact: no parquet files directly under $path — for a " +
+        "partitioned table, compact each partition directory, not the root")
     val bytes = before.map(Files.size).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = path.stripSuffix("/") + ".compacting"
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp)
     val bak = path.stripSuffix("/") + ".pre-compact"
-    Files.move(Paths.get(path), Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     def rmRec(p: java.nio.file.Path): Unit = {
       val s = Files.walk(p)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally s.close()
+    }
+    Files.move(Paths.get(path), Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        // restore the original layout before surfacing the failure
+        Files.move(Paths.get(bak), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+        rmRec(Paths.get(tmp))
+        throw e
     }
     rmRec(Paths.get(bak))
     (before.length, parts(path).length)

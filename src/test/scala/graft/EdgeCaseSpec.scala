@@ -143,7 +143,7 @@ class EdgeCaseSpec extends SparkSpec {
     assert(iso.toSeq === Seq(9L -> 0))
   }
 
-  test("pca on a zero-variance corpus: no NaNs, uniform start vector, zero var share") {
+  test("pca on a zero-variance corpus: no NaNs, unit start vector, zero var share") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-pca-edge").toFile.getAbsolutePath
     (1L to 5L).map(i => (i, Array.fill(8)(2.5f), 0))
@@ -153,8 +153,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.length === 8)
     rows.foreach { r =>
       assert(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
-      assert(math.abs(r.getDouble(1) - 1.0 / math.sqrt(8)) < 1e-5)
       assert(r.getDouble(2) === 0.0)
     }
+    // the (arbitrary but deterministic) start direction stays a unit vector
+    assert(math.abs(rows.map(r => r.getDouble(1) * r.getDouble(1)).sum - 1.0) < 1e-4)
+    // and an empty corpus returns an empty frame, not a crash
+    val e = Files.createTempDirectory("graft-pca-empty").toFile.getAbsolutePath
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$e/embeddings.parquet")
+    assert(graft.operators.Similarity.embPca(spark, e).count() === 0L)
   }
 }

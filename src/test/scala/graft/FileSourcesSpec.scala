@@ -187,5 +187,15 @@ class FileSourcesSpec extends SparkSpec {
     // no leftover staging/backup directories
     assert(!new java.io.File(s"$path.compacting").exists())
     assert(!new java.io.File(s"$path.pre-compact").exists())
+    // a partitioned ROOT is refused (a rewrite would flatten the layout)
+    val proot = s"$base/p.parquet"
+    (1L to 100L).map(i => (i, s"d${i % 3}")).toDF("id", "dt")
+      .write.partitionBy("dt").parquet(proot)
+    intercept[IllegalArgumentException] {
+      FileSources.compact(spark, proot)
+    }
+    // while each partition directory compacts fine
+    val (_, pa) = FileSources.compact(spark, s"$proot/dt=d0", targetBytes = Long.MaxValue)
+    assert(pa === 1)
   }
 }

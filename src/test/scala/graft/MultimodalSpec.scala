@@ -141,6 +141,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r16.n_out === 2L)
     assert(r16.mean_amp === 0.0)
     assert(r16.peak_block === 100.0)
+    // stereo: a block is 4 FRAMES = 8 values (downmix), sr_out counts frames
+    def wav16st(samples: Array[Int]): Array[Byte] =
+      "RIFF".getBytes ++ le(samples.length * 2 + 36, 4) ++ "WAVEfmt ".getBytes ++
+        le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(8000, 4) ++ le(32000, 4) ++
+        le(4, 2) ++ le(16, 2) ++ "data".getBytes ++ le(samples.length * 2, 4) ++
+        samples.flatMap(v => le(v, 2))
+    // 6 stereo frames = 12 values -> ONE full 4-frame block, 2 frames dropped
+    val rs = Multimodal.resampleWav(
+      wav16st(Array(8, -8, 8, -8, 8, -8, 8, -8, 99, 99, 99, 99)), 7L).get
+    assert(rs.sr_out === 2000)
+    assert(rs.n_out === 1L)
+    assert(rs.mean_amp === 0.0)   // L/R cancel inside the downmix block
+    assert(rs.peak_block === 0.0)
     // rejection mirrors the decoder
     assert(Multimodal.resampleWav("XX".getBytes ++ b.drop(2), 1L).isEmpty)
   }

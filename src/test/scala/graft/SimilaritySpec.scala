@@ -190,6 +190,15 @@ class SimilaritySpec extends SparkSpec {
         .head().getSeq[Double](0)
       assert(got === expect, s"parts=$parts")
     }
+    // null elements and empty vectors fail loudly, never sum as 0.0
+    intercept[Exception] {
+      Seq(Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0))
+        .toDF("v").agg(call_function("graft_vec_sum", col("v"))).head()
+    }
+    intercept[Exception] {
+      Seq(Seq.empty[Double], Seq(1.0, 2.0))
+        .toDF("v").agg(call_function("graft_vec_sum", col("v"))).head()
+    }
   }
 
   test("emb_pca recovers planted principal directions") {
@@ -216,5 +225,14 @@ class SimilaritySpec extends SparkSpec {
       if (i == 0) 3f * t else if (i == 1) 4f * t else 0f)))
     assert(math.abs(l2(1L) - 0.6) < 1e-6 && math.abs(l2(2L) - 0.8) < 1e-6)
     assert(s2 === 1.0)
+    // anti-correlated dims: the PC's components sum to zero, which a
+    // UNIFORM power-iteration start is exactly orthogonal to — the LCG
+    // start must still converge to (1,-1)/sqrt(2)
+    val (l3, s3) = pca((1 to 10).map(t => Array.tabulate(dim)(i =>
+      if (i == 0) t.toFloat else if (i == 1) -t.toFloat else 0f)))
+    val r2 = 1.0 / math.sqrt(2)
+    assert(math.abs(math.abs(l3(1L)) - r2) < 1e-6 && math.abs(math.abs(l3(2L)) - r2) < 1e-6)
+    assert(l3(1L) * l3(2L) < 0, "components must oppose")
+    assert(s3 === 1.0)
   }
 }
