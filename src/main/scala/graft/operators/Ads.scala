@@ -87,6 +87,71 @@ object Ads {
       |FROM dau JOIN wau ON dau.day = wau.day
       |ORDER BY day""".stripMargin
 
+  /** Rolling z-score anomaly flags on the daily GMV series — the
+    * monitoring query behind every "revenue looks weird today" alert.
+    * Each day scores against its trailing 7-PRESENT-day window (a rows
+    * frame, not a range frame: gap days don't silently shrink the
+    * sample). Determinism across engines is by construction: the
+    * window sums (Σx, Σx²) are DECIMAL-exact (order-independent), and
+    * mean/variance/z are then a fixed sequence of single double ops on
+    * identical inputs, 6dp-rounded. Days without a full window, or
+    * with a constant window (σ = 0), emit NULL z and flag 0. The only
+    * serial structure is the day-granular window — calendar-bounded,
+    * the [[graft.operators.Relational.openOrders]] precedent. */
+  def gmvAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(Agg.dec(col("o_totalprice")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("g"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val gd = col("g").cast("double")
+    val n = col("cnt").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val mean = s1d / n
+    val variance = greatest((s2d - s1d * s1d / n) / (n - 1), lit(0.0))
+    val std = sqrt(variance)
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("g")).over(w))
+      .withColumn("s2", sum(col("g") * col("g")).over(w))
+      .withColumn("z",
+        when(col("cnt") === 7 && std > 0, round((gd - mean) / std, 6)))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        gd.as("gmv"), col("z"),
+        coalesce((abs(col("z")) > 2).cast("int"), lit(0)).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  val gmvAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS g
+      |  FROM orders GROUP BY 1),
+      |win AS (
+      |  SELECT day, g,
+      |    count(*) OVER w AS cnt,
+      |    sum(g) OVER w AS s1,
+      |    sum(g * g) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |z AS (
+      |  SELECT day, CAST(g AS DOUBLE) AS gmv,
+      |    CASE WHEN cnt = 7 AND sqrt(greatest(
+      |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |          / (CAST(cnt AS DOUBLE) - 1), 0.0)) > 0
+      |      THEN round(
+      |        (CAST(g AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |          / sqrt(greatest(
+      |            (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |              / (CAST(cnt AS DOUBLE) - 1), 0.0)), 6)
+      |    END AS z
+      |  FROM win)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, gmv, z,
+      |  coalesce(CAST(abs(z) > 2 AS INT), 0) AS is_anomaly
+      |FROM z ORDER BY day""".stripMargin
+
   /** One-row exact interpolated quartile cuts of `c` over `df` —
     * the same value-grouped CDF walk as `Relational.quantiles` (whose
     * oracle proves the interp formula bit-matches `quantile_cont`),

@@ -139,6 +139,34 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(incr === full)
   }
 
+  test("gmv anomaly: spike z-score matches hand arithmetic, warmup and flat windows null") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-anom").toFile.getAbsolutePath
+    // days 1-7 flat at 100, day 8 spikes to 1000
+    (1 to 8).map { day =>
+      (day.toLong, 1L, new java.sql.Timestamp(day * 86400L * 1000L),
+        if (day == 8) 1000.0 else 100.0)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = graft.operators.Ads.gmvAnomaly(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(2)) null else r.getDouble(2): Any), r.getInt(3)))
+      .toMap
+    assert(out.size === 8)
+    // warmup days (no full 7-day window) and the flat day-7 window: null z
+    (1 to 7).foreach { day =>
+      val key = f"1970-01-${day + 1}%02d"
+      assert(out(key) === ((null, 0)), s"day $day")
+    }
+    // day 8: window [100x6, 1000] — z from the exact-sums formula
+    val s1 = 1600.0; val s2 = 1060000.0
+    val mean = s1 / 7.0
+    val std = math.sqrt((s2 - s1 * s1 / 7.0) / 6.0)
+    val (z, flag) = out("1970-01-09")
+    assert(math.abs(z.asInstanceOf[Double] - (1000.0 - mean) / std) < 1e-6)
+    assert(flag === 1)
+  }
+
   test("active users: per-day dedup, trailing-7-day WAU, fan-out tail days dropped") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-active").toFile.getAbsolutePath
