@@ -43,6 +43,11 @@ case class VecSumAgg(
 
   override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
 
+  @transient private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
   override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v == null) buffer
@@ -50,12 +55,16 @@ case class VecSumAgg(
       val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       // toDoubleArray would silently read a null slot as 0.0, and a
       // zero-length vector is indistinguishable from the uninitialized
-      // buffer sentinel — reject both loudly
-      require(ad.numElements() > 0, s"$prettyName: empty vector")
-      var j = 0
-      while (j < ad.numElements()) {
-        require(!ad.isNullAt(j), s"$prettyName: null element at index $j")
-        j += 1
+      // buffer sentinel — reject both loudly. The null scan only runs
+      // when the array TYPE admits nulls (one pass per row otherwise).
+      val ne = ad.numElements()
+      require(ne > 0, s"$prettyName: empty vector")
+      if (elementsNullable) {
+        var j = 0
+        while (j < ne) {
+          require(!ad.isNullAt(j), s"$prettyName: null element at index $j")
+          j += 1
+        }
       }
       val arr = ad.toDoubleArray()
       if (buffer.isEmpty) arr

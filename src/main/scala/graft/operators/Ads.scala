@@ -99,7 +99,10 @@ object Ads {
     * serial structure is the day-granular window — calendar-bounded,
     * the [[graft.operators.Relational.openOrders]] precedent. */
   def gmvAnomaly(s: SparkSession, d: String): DataFrame = {
+    // NULL order dates sort NULLS FIRST in Spark windows but NULLS
+    // LAST in DuckDB — exclude them on both sides (openOrders precedent)
     val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(Agg.dec(col("o_totalprice")))
         .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("g"))
@@ -128,7 +131,7 @@ object Ads {
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day,
       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS g
-      |  FROM orders GROUP BY 1),
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
       |win AS (
       |  SELECT day, g,
       |    count(*) OVER w AS cnt,

@@ -127,6 +127,9 @@ object FileSources {
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp)
     val bak = path.stripSuffix("/") + ".pre-compact"
+    require(!Files.exists(Paths.get(bak)),
+      s"compact: stale $bak exists (an earlier compact was interrupted " +
+        "between its renames) — inspect and restore/remove it first")
     def rmRec(p: java.nio.file.Path): Unit = {
       val s = Files.walk(p)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -136,9 +139,12 @@ object FileSources {
     try Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     catch {
       case e: Throwable =>
-        // restore the original layout before surfacing the failure
-        Files.move(Paths.get(bak), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-        rmRec(Paths.get(tmp))
+        // restore the original layout before surfacing the failure; a
+        // failed restore must not mask the original exception
+        try {
+          Files.move(Paths.get(bak), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+          rmRec(Paths.get(tmp))
+        } catch { case restoreFailure: Throwable => e.addSuppressed(restoreFailure) }
         throw e
     }
     rmRec(Paths.get(bak))

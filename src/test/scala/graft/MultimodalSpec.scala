@@ -132,24 +132,20 @@ class MultimodalSpec extends SparkSpec {
     assert(r.peak_block === 100 / 4.0)            // both blocks sum 100
     assert(r.mean_amp === 200 / 8.0)              // first 8 samples only
     // 16-bit signed: negative samples sign-extend through the blocks
-    def wav16(samples: Array[Int]): Array[Byte] =
+    def wav16(samples: Array[Int], channels: Int = 1): Array[Byte] =
       "RIFF".getBytes ++ le(samples.length * 2 + 36, 4) ++ "WAVEfmt ".getBytes ++
-        le(16, 4) ++ le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(16000, 4) ++
-        le(2, 2) ++ le(16, 2) ++ "data".getBytes ++ le(samples.length * 2, 4) ++
+        le(16, 4) ++ le(1, 2) ++ le(channels, 2) ++ le(8000, 4) ++
+        le(8000 * 2 * channels, 4) ++ le(2 * channels, 2) ++ le(16, 2) ++
+        "data".getBytes ++ le(samples.length * 2, 4) ++
         samples.flatMap(v => le(v, 2))
     val r16 = Multimodal.resampleWav(wav16(Array(-100, -100, -100, -100, 400, 0, 0, 0)), 6L).get
     assert(r16.n_out === 2L)
     assert(r16.mean_amp === 0.0)
     assert(r16.peak_block === 100.0)
-    // stereo: a block is 4 FRAMES = 8 values (downmix), sr_out counts frames
-    def wav16st(samples: Array[Int]): Array[Byte] =
-      "RIFF".getBytes ++ le(samples.length * 2 + 36, 4) ++ "WAVEfmt ".getBytes ++
-        le(16, 4) ++ le(1, 2) ++ le(2, 2) ++ le(8000, 4) ++ le(32000, 4) ++
-        le(4, 2) ++ le(16, 2) ++ "data".getBytes ++ le(samples.length * 2, 4) ++
-        samples.flatMap(v => le(v, 2))
+    // stereo: a block is 4 FRAMES = 8 values (downmix), sr_out counts frames;
     // 6 stereo frames = 12 values -> ONE full 4-frame block, 2 frames dropped
     val rs = Multimodal.resampleWav(
-      wav16st(Array(8, -8, 8, -8, 8, -8, 8, -8, 99, 99, 99, 99)), 7L).get
+      wav16(Array(8, -8, 8, -8, 8, -8, 8, -8, 99, 99, 99, 99), channels = 2), 7L).get
     assert(rs.sr_out === 2000)
     assert(rs.n_out === 1L)
     assert(rs.mean_amp === 0.0)   // L/R cancel inside the downmix block
