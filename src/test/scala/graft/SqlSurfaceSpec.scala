@@ -71,5 +71,38 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(arr.length === 128)
       assert(arr.forall(v => v >= 0 && v <= 2147483647L))
     }
+    // vec_sum aggregate over a SQL-built array
+    val vs = spark.sql(
+      "SELECT graft_vec_sum(array(CAST(doc_id AS DOUBLE), 1.0d)) AS s FROM documents")
+      .head().getSeq[Double](0)
+    val n = graft.Tables.documents(spark, sf001).count()
+    assert(vs(1) === n.toDouble)
+  }
+
+  test("gmv anomaly as pure SQL (WINDOW clause + decimal sums) matches the operator") {
+    Graft.registerViews(spark, sf001)
+    val varD = """greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 |  / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1), 0D)""".stripMargin
+    same(
+      s"""WITH daily AS (
+         |  SELECT to_date(o_orderdate) AS day,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS g
+         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         |win AS (
+         |  SELECT day, g,
+         |    count(*) OVER w AS cnt, sum(g) OVER w AS s1, sum(g * g) OVER w AS s2
+         |  FROM daily
+         |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         |z AS (
+         |  SELECT day, CAST(g AS DOUBLE) AS gmv,
+         |    CASE WHEN cnt = 7 AND sqrt($varD) > 0
+         |      THEN round((CAST(g AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE))
+         |                   / sqrt($varD), 6)
+         |    END AS z
+         |  FROM win)
+         |SELECT date_format(day, 'yyyy-MM-dd') AS day, gmv, z,
+         |  coalesce(CAST(abs(z) > 2 AS INT), 0) AS is_anomaly
+         |FROM z ORDER BY day""".stripMargin,
+      graft.operators.Ads.gmvAnomaly(spark, sf001))
   }
 }
