@@ -372,4 +372,72 @@ object TextOps {
        |FROM documents
        |GROUP BY 1, 2
        |ORDER BY source, bucket_lo""".stripMargin
+
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
+  /** Corpus collocation mining: top-[[PmiTopK]] adjacent word pairs by
+    * pointwise mutual information, PMI(a,b) = ln(p(ab) / (p(a)p(b))) —
+    * the phrase detector behind "new york"-style tokenizer merges and
+    * stopword-list induction. All probabilities come from exact
+    * integer counts (one bigram groupBy, one unigram groupBy, two
+    * 1-row totals cross-joined like every bounded scalar here), so the
+    * PMI double is a fixed sequence of IEEE ops on identical inputs —
+    * engine-stable after 6dp rounding, which also makes the top-K
+    * cutoff deterministic (ties inside a rounded score break on the
+    * words). Rare pairs (< [[PmiMinCount]]) are noise-cut BEFORE the
+    * join, so the joined side is the interesting-pair set, not the
+    * long tail. */
+  def pmi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(explode(tokens(col("text"))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uTotal = uni.agg(sum(col("c")).cast("double").as("u"))
+    val biAll = docs.select(explode(shingles(col("text"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+    val bTotal = biAll.agg(sum(col("c_ab")).cast("double").as("b"))
+    val pairs = biAll.filter(col("c_ab") >= PmiMinCount)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(uTotal)).crossJoin(broadcast(bTotal))
+    pairs
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") / col("b")) /
+          ((col("c1").cast("double") / col("u")) *
+            (col("c2").cast("double") / col("u")))), 6))
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  /** Oracle mirrors the probability expression text exactly (ln both
+    * engines; counts CAST off HUGEINT). */
+  val pmiSql: String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS l
+       |  FROM documents),
+       |uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(l) AS w FROM toks) t GROUP BY w),
+       |ut AS (SELECT CAST(sum(c) AS DOUBLE) AS u FROM uni),
+       |biall AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS c_ab FROM (
+       |    SELECT unnest([array_to_string(l[i:i+1], ' ')
+       |                   for i in range(1, len(l))]) AS g
+       |    FROM toks WHERE len(l) >= 2) t
+       |  GROUP BY g),
+       |bt AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS b FROM biall),
+       |pairs AS (
+       |  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+       |    c_ab
+       |  FROM biall WHERE c_ab >= $PmiMinCount)
+       |SELECT p.w1, p.w2, p.c_ab,
+       |  round(ln((CAST(p.c_ab AS DOUBLE) / b) /
+       |    ((CAST(u1.c AS DOUBLE) / u) * (CAST(u2.c AS DOUBLE) / u))), 6) AS pmi
+       |FROM pairs p
+       |JOIN uni u1 ON p.w1 = u1.w
+       |JOIN uni u2 ON p.w2 = u2.w, ut, bt
+       |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
 }

@@ -27,4 +27,34 @@ class ChunkingSpec extends SparkSpec {
     // doc 3 drops (verbatim 8-gram), docs 4 and 5 keep
     assert(kept === Set(2L, 4L, 5L))
   }
+
+  test("pmi: collocation scores recompute from driver-side counts") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-pmi")
+      .toFile.getAbsolutePath
+    val texts =
+      Seq.fill(5)("big apple tour") ++ Seq("big apple", "small apple") ++
+        Seq.fill(5)("big dog runs") ++ Seq("dog sleeps")
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // independent reference with the same probability expression
+    val toks = texts.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, v) => w -> v.size.toDouble }
+    val u = toks.flatten.size.toDouble
+    val bis = toks.flatMap(l => l.zip(l.drop(1)))
+    val b = bis.size.toDouble
+    val expect = bis.groupBy(identity).map { case (p, v) => p -> v.size }
+      .filter(_._2 >= 5)
+      .map { case ((w1, w2), cab) =>
+        val raw = math.log((cab / b) / ((uni(w1) / u) * (uni(w2) / u)))
+        (w1, w2, cab.toLong,
+          BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.sortBy { case (w1, w2, _, p) => (-p, w1, w2) }
+    val got = graft.operators.TextOps.pmi(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(expect.map(t => (t._1, t._2)).toSet ===
+      Set("big" -> "apple", "apple" -> "tour", "big" -> "dog", "dog" -> "runs"))
+    assert(got === expect)
+  }
 }
