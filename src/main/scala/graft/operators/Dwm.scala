@@ -61,7 +61,19 @@ object Dwm {
   def userJumpChunked(s: SparkSession, d: String): DataFrame =
     userJumpChunkedDf(Tables.events(s, d), chunkUs = 86400L * 1000000L)
 
-  def userJumpChunkedDf(events: DataFrame, chunkUs: Long): DataFrame = {
+  def userJumpChunkedDf(events: DataFrame, chunkUs: Long): DataFrame =
+    jumpTail(chunkedNeighbors(events, chunkUs))
+
+  /** The bidirectional hot-key-safe neighbor stitch, shared by every
+    * operator whose predicate needs BOTH the previous and the next
+    * event timestamp ([[userJumpChunked]], `Dws.visitorStatsChunked`):
+    * returns `events` + `prev_us`/`next_us` columns identical to a
+    * plain per-user lag/lead, with per-key serial work O(chunks).
+    * Within (user, chunk) windows give local prev/next; a chunk-first
+    * event's predecessor is the previous non-empty chunk's max and a
+    * chunk-last event's successor is the next non-empty chunk's min —
+    * both from one window over chunk rows, not event rows. */
+  private[operators] def chunkedNeighbors(events: DataFrame, chunkUs: Long): DataFrame = {
     val wLocal = Window.partitionBy(col("user_id"), col("chunk"))
       .orderBy(col("ts_us"), col("event_id"))
     val wChunk = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
@@ -76,9 +88,10 @@ object Dwm {
       .withColumn("prev_cmax", lag(col("cmax"), 1).over(wChunk))
       .withColumn("next_cmin", lead(col("cmin"), 1).over(wChunk))
       .select(col("user_id"), col("chunk"), col("prev_cmax"), col("next_cmin"))
-    jumpTail(ev.join(stats, Seq("user_id", "chunk"))
+    ev.join(stats, Seq("user_id", "chunk"))
       .withColumn("prev_us", coalesce(col("local_prev"), col("prev_cmax")))
-      .withColumn("next_us", coalesce(col("local_next"), col("next_cmin"))))
+      .withColumn("next_us", coalesce(col("local_next"), col("next_cmin")))
+      .drop("local_prev", "local_next", "prev_cmax", "next_cmin")
   }
 
   /** The isolation predicate + output shape shared verbatim by

@@ -14,43 +14,79 @@ object Dws {
 
   /** Visitor stats (VisitorStatsApp.java): the reference unions four
     * derived streams (pv / uv / session-visit / jump), keys by
-    * dimension, tumbles by hour and reduce-sums the metric columns.
-    * Spark-first formulation: ONE scan of events, one window pass
-    * computing prev/next neighbors per user, then every metric as a
-    * conditional column — the 100 TB input is read once instead of
-    * four times, and the four "streams" collapse into flags that feed
-    * a single map-side-partial aggregation. uv (first event of the
-    * user's day) falls out of the same ordered pass: the first event
-    * of a calendar day is exactly where the previous event's date is
-    * older (dates are monotone along the per-user ordering), so no
-    * second window partitioning is needed. `user_id % 10` plays the
-    * channel dimension. */
+    * Tuple4(vc, ch, ar, is_new) (VisitorStatsApp.java:145-150), tumbles
+    * by time and reduce-sums the metric columns. Spark-first
+    * formulation: ONE scan of events, one window pass computing
+    * prev/next neighbors per user, then every metric as a conditional
+    * column — the 100 TB input is read once instead of four times, and
+    * the four "streams" collapse into flags that feed a single
+    * map-side-partial aggregation. uv (first event of the user's day)
+    * falls out of the same ordered pass: the first event of a calendar
+    * day is exactly where the previous event's date is older (dates
+    * are monotone along the per-user ordering).
+    *
+    * Dimension analogs at the reference's full 4-key breadth:
+    * `vc` (version_code) = event_id % 3, `ch` (channel) = user_id % 10,
+    * `ar` (area) = (user_id div 10) % 5, `is_new` = whether the event's
+    * day is the user's FIRST-ever day — computed like
+    * [[Dwd.newUserFlag]], a per-user min hash-aggregation joined back
+    * on user_id (no extra serial window). */
   def visitorStats(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val flagged = Tables.events(s, d)
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+    val ev = Tables.events(s, d)
+    visitorTail(
+      ev.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w)),
+      ev)
+  }
+
+  /** Hot-key-safe visitor stats — identical output to [[visitorStats]]
+    * (same oracle), per-key serial work O(chunks): the uv/sv/uj flags
+    * need BOTH neighbors, so the frame comes from the bidirectional
+    * (user, time-chunk) stitch shared with [[Dwm.userJumpChunked]]
+    * ([[Dwm.chunkedNeighbors]]); the is_new leg is already a hash
+    * aggregation, chunk-safe by construction. One bot user with a
+    * billion events spreads across chunks instead of serializing one
+    * window task. */
+  def visitorStatsChunked(s: SparkSession, d: String): DataFrame =
+    visitorStatsChunkedDf(Tables.events(s, d), chunkUs = 86400L * 1000000L)
+
+  def visitorStatsChunkedDf(events: DataFrame, chunkUs: Long): DataFrame =
+    visitorTail(Dwm.chunkedNeighbors(events, chunkUs), events)
+
+  /** Flags + 4-dim key + aggregate shared verbatim by [[visitorStats]]
+    * and [[visitorStatsChunked]] — one definition, so the chunked
+    * variant cannot drift from the oracle it shares. `withNeighbors`
+    * must carry `prev_us`/`next_us`; `events` is the raw table the
+    * per-user first-day aggregate reads (kept separate so the hash-agg
+    * branch never pays the neighbor windows). */
+  private def visitorTail(withNeighbors: DataFrame, events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id")).agg(min(col("ts_us")).as("first_us"))
     val isPv = col("event_type").isin("view", "click")
     val isUv = col("prev_us").isNull ||
       to_date(expr("timestamp_micros(prev_us)")) < to_date(col("ts"))
     val isSv = col("prev_us").isNull || col("ts_us") - col("prev_us") > Sessions.GapUs
     val isUj = isSv &&
       (col("next_us").isNull || col("next_us") - col("ts_us") > Sessions.GapUs)
-    flagged
+    val isNew = to_date(col("ts")) === to_date(expr("timestamp_micros(first_us)"))
+    withNeighbors.join(first, "user_id")
       .select(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        (col("event_id") % 3).as("vc"),
         (col("user_id") % 10).as("ch"),
+        expr("(user_id div 10) % 5").as("ar"),
+        when(isNew, 1).otherwise(0).as("is_new"),
         when(isPv, 1).otherwise(0).as("pv"),
         when(isUv, 1).otherwise(0).as("uv"),
         when(isSv, 1).otherwise(0).as("sv"),
         when(isUj, 1).otherwise(0).as("uj"),
         when(isPv, col("value")).otherwise(lit(0.0)).as("dur"))
-      .groupBy(col("stt"), col("ch"))
+      .groupBy(col("stt"), col("vc"), col("ch"), col("ar"), col("is_new"))
       .agg(
         sum(col("pv")).as("pv_ct"), sum(col("uv")).as("uv_ct"),
         sum(col("sv")).as("sv_ct"), sum(col("uj")).as("uj_ct"),
         moneySum(col("dur")).as("dur_sum"))
-      .orderBy(col("stt"), col("ch"))
+      .orderBy(col("stt"), col("vc"), col("ch"), col("ar"), col("is_new"))
   }
 
   // CAST(... AS BIGINT) on every integer sum: DuckDB promotes sum(int)
@@ -59,12 +95,16 @@ object Dws {
     s"""WITH ordered AS (
        |  SELECT user_id, ts, event_id, event_type, value,
        |    lag(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
-       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts,
+       |    min(ts)  OVER (PARTITION BY user_id) AS first_ts
        |  FROM events),
        |flagged AS (
        |  SELECT
        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+       |    event_id % 3 AS vc,
        |    user_id % 10 AS ch,
+       |    (user_id // 10) % 5 AS ar,
+       |    CASE WHEN CAST(ts AS DATE) = CAST(first_ts AS DATE) THEN 1 ELSE 0 END AS is_new,
        |    CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END AS pv,
        |    CASE WHEN prev_ts IS NULL
        |           OR CAST(prev_ts AS DATE) < CAST(ts AS DATE) THEN 1 ELSE 0 END AS uv,
@@ -75,13 +115,13 @@ object Dws {
        |         THEN 1 ELSE 0 END AS uj,
        |    CASE WHEN event_type IN ('view','click') THEN value ELSE 0.0 END AS dur
        |  FROM ordered)
-       |SELECT stt, ch,
+       |SELECT stt, vc, ch, ar, is_new,
        |  CAST(sum(pv) AS BIGINT) AS pv_ct, CAST(sum(uv) AS BIGINT) AS uv_ct,
        |  CAST(sum(sv) AS BIGINT) AS sv_ct, CAST(sum(uj) AS BIGINT) AS uj_ct,
        |  ${sqlMoneySum("dur")} AS dur_sum
        |FROM flagged
-       |GROUP BY 1, 2
-       |ORDER BY stt, ch""".stripMargin
+       |GROUP BY 1, 2, 3, 4, 5
+       |ORDER BY stt, vc, ch, ar, is_new""".stripMargin
 
   /** Product stats (ProductStatsApp.java): per-sku metric wide row —
     * order count via COUNT DISTINCT (the reference carries order-id
@@ -122,6 +162,16 @@ object Dws {
         max(col("has_r")).as("has_r"), sum(col("qty")).as("qty"),
         sum(col("amt")).as("amt"), sum(col("ramt")).as("ramt"))
 
+  /** The rollup + dimension enrichment shared by [[productStats]] and
+    * [[productStatsIncr]]. The reference enriches the wide row up a
+    * category HIERARCHY — sku → spu → trademark → category3, each a
+    * DimAsyncFunction lookup (ProductStatsApp.java) — so the part dim
+    * contributes the analog levels, all DERIVED from part attributes
+    * during the same single broadcast-sized join (no extra shuffle):
+    * `spu_name` = the product-family noun of p_name, `tm_name` =
+    * p_brand, `mfgr_name` = the brand-number group ('Brand#17' →
+    * 'MFGR#4', five brands per manufacturer — TPC-H's brand=mfgr+digit
+    * convention), `category3_name` = p_type. */
   private def psRollup(partials: DataFrame, s: SparkSession, d: String): DataFrame =
     partials
       .groupBy(col("l_partkey"))
@@ -133,6 +183,11 @@ object Dws {
         sum(col("ramt")).cast("double").as("refund_amount"))
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("p_name"), col("p_brand"),
+        element_at(split(col("p_name"), " "), 2).as("spu_name"),
+        col("p_brand").as("tm_name"),
+        expr("concat('MFGR#', CAST((CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT) - 1) DIV 5 + 1 AS STRING))")
+          .as("mfgr_name"),
+        col("p_type").as("category3_name"),
         col("order_ct"), col("sku_num"), col("order_amount"),
         col("refund_order_ct"), col("refund_amount"))
       .orderBy(col("l_partkey"))
@@ -154,6 +209,10 @@ object Dws {
 
   val productStatsSql: String =
     s"""SELECT l_partkey, p_name, p_brand,
+       |  string_split(p_name, ' ')[2] AS spu_name,
+       |  p_brand AS tm_name,
+       |  'MFGR#' || CAST((CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER) - 1) // 5 + 1 AS VARCHAR) AS mfgr_name,
+       |  p_type AS category3_name,
        |  count(DISTINCT l_orderkey) AS order_ct,
        |  ${sqlMoneySum("l_quantity")} AS sku_num,
        |  ${sqlMoneySum("l_extendedprice")} AS order_amount,
@@ -161,7 +220,7 @@ object Dws {
        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2))
        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS refund_amount
        |FROM lineitem JOIN part ON l_partkey = p_partkey
-       |GROUP BY l_partkey, p_name, p_brand
+       |GROUP BY l_partkey, p_name, p_brand, p_type
        |ORDER BY l_partkey""".stripMargin
 
   /** Full multi-stream product stats — the reference's complete wide
@@ -327,6 +386,41 @@ object Dws {
       |WHERE length(keyword) > 0
       |GROUP BY keyword
       |ORDER BY keyword""".stripMargin
+
+  /** WINDOWED keyword stats — the reference's exact query shape:
+    * `GROUP BY TUMBLE(rowtime, 10s), keyword`
+    * (KeywordStatsApp.java:68-74). [[keywordStats]] is the global
+    * count; this is the tumble × keyword form, same two-level shape as
+    * [[productStatsWindowed]]. `documents` carries no event time, so
+    * the rowtime is a synthetic arrival clock — doc_id seconds past the
+    * epoch (one document per second, deterministic in both engines) —
+    * and each 10 s tumble covers ten documents' keywords. Explode →
+    * one hash aggregation with map-side partials; the window
+    * assignment is Spark's epoch-aligned `window()`, verified against
+    * the oracle's floor-division arithmetic on the same clock. */
+  def keywordStatsWindowed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(expr("timestamp_seconds(doc_id)").as("rowtime"), col("text"))
+      .select(col("rowtime"), explode(split(col("text"), " ")).as("keyword"))
+      .filter(length(col("keyword")) > 0)
+      .groupBy(window(col("rowtime"), "10 seconds").as("w"), col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("keyword"), col("ct"), lit("SEARCH").as("source"))
+      .orderBy(col("stt"), col("keyword"))
+
+  val keywordStatsWindowedSql: String =
+    """SELECT
+      |  strftime(make_timestamp((doc_id // 10) * 10 * 1000000), '%Y-%m-%d %H:%M:%S') AS stt,
+      |  strftime(make_timestamp(((doc_id // 10) * 10 + 10) * 1000000), '%Y-%m-%d %H:%M:%S') AS edt,
+      |  keyword, count(*) AS ct, 'SEARCH' AS source
+      |FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS keyword FROM documents) t
+      |WHERE length(keyword) > 0
+      |GROUP BY 1, 2, 3
+      |ORDER BY stt, keyword""".stripMargin
 
   /** Keyword stats over the DICTIONARY segmenter — the IK-analyzer
     * path (KeywordStatsApp.java uses IKSegmenter via KeywordUDTF;

@@ -546,6 +546,40 @@ object StreamOps {
         col("refund_amount"))
   }
 
+  /** The streaming order record (order_wide analog) for
+    * [[provinceStatsStream]] specs. */
+  case class ProvinceOrder(order_key: Long, province: String,
+    amount: Double, ts: Timestamp)
+
+  /** ProvinceStatsSqlApp (ProvinceStatsSqlApp.java:52-62) as a STREAM —
+    * the one reference DWS app previously mirrored only in batch
+    * (graft.operators.Dws.provinceStats): tumbling window × province
+    * with `count(distinct order_id)` + `sum(amount)`.
+    *
+    * The Flink SQL keeps per-window distinct-order state internally;
+    * the Spark-native form is the same two-phase CHAINED windowed
+    * aggregation as [[productStatsFullStream]] (Spark 4 multiple
+    * stateful operators): phase 1 groups by (window, province,
+    * order_key) — per-ORDER amount partials, finalized when the
+    * watermark closes the window — and phase 2 re-groups the partials
+    * by (window, province), where `count(*)` IS the exact distinct
+    * order count and the partial sums roll up exactly. No id-set in
+    * state; state is O(open windows × provinces × open orders),
+    * watermark-bounded.
+    * Expected input columns: (order_key, province, amount, ts). */
+  def provinceStatsStream(orders: DataFrame): DataFrame =
+    orders.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("province"),
+        col("order_key"))
+      .agg(sum(col("amount")).as("amt"))
+      .groupBy(col("w"), col("province"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("amt")).as("order_amount"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+        col("province"), col("order_count"), col("order_amount"))
+
   /** Running GMV (the publisher's getGMV served continuously): global
     * per-day sums maintained across micro-batches, emitted in Update
     * mode — the Spark analog of the ClickHouse table the reference

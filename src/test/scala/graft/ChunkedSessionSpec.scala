@@ -97,6 +97,68 @@ class ChunkedSessionSpec extends SparkSpec {
     }
   }
 
+  test("chunked visitor stats == plain at several chunk sizes (corpus)") {
+    import graft.operators.Dws
+    val plain = Dws.visitorStats(spark, sf0001).collect().toSeq
+    // 11-minute chunks put many within-gap neighbor pairs (the sv/uj
+    // flags) and day-boundary prev events (the uv flag) across chunks
+    Seq(3600L * 1000000L, 660L * 1000000L).foreach { chunkUs =>
+      val chunked = Dws.visitorStatsChunkedDf(Tables.events(spark, sf0001), chunkUs)
+        .collect().toSeq
+      assert(chunked === plain, s"mismatch at chunkUs=$chunkUs")
+    }
+  }
+
+  test("chunked visitor stats stitches uv/sv/uj and is_new across boundaries") {
+    import spark.implicits._
+    import graft.operators.Dws
+    val d = Files.createTempDirectory("graft-vs-chunks").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L // ns origin, off epoch-0
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    Seq(
+      // user 1: 499s and 1050s — same session (gap 551 < 600) but with
+      // 500s chunks they sit in chunks 0 and 2 (chunk 1 EMPTY): the
+      // second event must see sv=0 through the stitch; both on the
+      // user's first day so is_new=1
+      (1L, ns(499), 1L, "view", 1.0, """{"k": 1}"""),
+      (2L, ns(1050), 1L, "view", 1.0, """{"k": 2}"""),
+      // user 1 again NEXT day: uv=1 (prev event on an older date,
+      // carried across many empty chunks) but is_new=0 (not first day)
+      (3L, ns(86400 + 10), 1L, "view", 1.0, """{"k": 3}"""),
+      // user 2: 490s/510s straddle a boundary within the gap — the
+      // FIRST event's uj must be 0 because its NEXT neighbor (across
+      // the boundary) is within the gap
+      (4L, ns(490), 2L, "view", 1.0, """{"k": 4}"""),
+      (5L, ns(510), 2L, "view", 1.0, """{"k": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val chunkUs = 500L * 1000000L
+    val chunked = Dws.visitorStatsChunkedDf(Tables.events(spark, d), chunkUs).collect()
+    val plain = Dws.visitorStats(spark, d).collect()
+    assert(chunked.toSeq === plain.toSeq)
+    // hand-check the stitched flags via the aggregates: on day 1 both
+    // pairs sit within the gap (551 s and 20 s < 600 s) so NO event is
+    // isolated → uj=0, and each user's first event is a uv → uv=2 on
+    // is_new=1 rows. User 1's day-2 event has uv=1 (older prev date,
+    // carried across empty chunks), is_new=0 (not the first day), and
+    // uj=1 (gap-isolated on both sides).
+    val byNew = chunked.map(r => r.getAs[Int]("is_new") ->
+      (r.getAs[Long]("uv_ct"), r.getAs[Long]("uj_ct"))).groupBy(_._1)
+    val newRows = byNew(1).map(_._2)
+    val oldRows = byNew(0).map(_._2)
+    assert(newRows.map(_._1).sum === 2L, "one first-day uv per user")
+    assert(newRows.map(_._2).sum === 0L, "no day-1 event is gap-isolated")
+    assert(oldRows.map(_._1).sum === 1L, "user 1's day-2 visit is uv but not new")
+    assert(oldRows.map(_._2).sum === 1L, "user 1's day-2 visit bounces")
+  }
+
+  test("chunked visitor stats windows partition by (user, chunk), not by user alone") {
+    val plan = graft.operators.Dws.visitorStatsChunked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id[^)]*[, ]chunk".r.findFirstIn(plan).isDefined,
+      "expected (user_id, chunk) window partitioning in the chunked visitor stats plan")
+  }
+
   test("path analysis truncates sessions to 8 events and counts identical journeys") {
     import spark.implicits._
     import graft.operators.EventAnalytics

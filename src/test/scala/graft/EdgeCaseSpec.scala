@@ -143,6 +143,54 @@ class EdgeCaseSpec extends SparkSpec {
     assert(iso.toSeq === Seq(9L -> 0))
   }
 
+  test("scd2 pit: versions and tombstones interleaving within ONE microsecond resolve by cdc id") {
+    import spark.implicits._
+    import graft.operators.DimMaintenance
+    val d = Files.createTempDirectory("graft-pit-us").toFile.getAbsolutePath
+    val T = 100L * 1000000000L // 100 s in ns; all same-μs rows live in [T, T+1000ns)
+    // raw nanos DELIBERATELY order opposite to event_id within the
+    // microsecond: ordering on ns instead of (ts_us, event_id) would
+    // flip the winners, and DuckDB (micros read) could never agree
+    def ev(id: Long, ns: Long, typ: String, k: Long): (Long, Long, Long, String, Double, String) =
+      (id, ns, 1L, typ, 1.0, s"""{"k": $k}""")
+    Seq(
+      // k=1 inside one μs: upd(40) → tombstone(41) → upd(42); the
+      // same-μs chain collapses to empty intervals and upd-42 survives
+      ev(40, T + 800, "purchase", 1), ev(41, T + 500, "error", 1),
+      ev(42, T + 100, "purchase", 1),
+      // k=2 inside one μs: upd(50) → upd(51) → tombstone(52): the
+      // tombstone is the max tie, so the key is DELETED at T
+      ev(50, T + 900, "purchase", 2), ev(51, T + 600, "purchase", 2),
+      ev(52, T + 300, "error", 2),
+      // facts: views at the SAME μs as the chains (id above every cdc
+      // id), one before, one after
+      ev(60, T + 950, "view", 1),          // same μs → upd-42
+      ev(61, T - 1000000000L, "view", 1),  // 1 s before → base
+      ev(62, T + 2000000000L, "view", 1),  // 2 s after → upd-42
+      ev(63, T + 50, "view", 2),           // same μs → deleted → NULL
+      ev(64, T - 1000000000L, "view", 2),  // before → base
+      ev(65, T + 2000000000L, "view", 2))  // after → still deleted → NULL
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    Seq((1L, "base-1", "B"), (2L, "base-2", "B"))
+      .toDF("p_partkey", "p_name", "p_brand")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    val out = DimMaintenance.scd2PointInTime(spark, d).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(out === Map(
+      60L -> "upd-42", 61L -> "base-1", 62L -> "upd-42",
+      63L -> null, 64L -> "base-2", 65L -> null))
+    // the SCD2 history view of the same μs: every same-μs predecessor
+    // carries an EMPTY [T, T) validity; only upd-42 stays current
+    val hist = DimMaintenance.dimScd2(spark, d).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getString(1) -> ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getInt(4)))).toMap
+    val tUs = T / 1000
+    assert(hist("upd-40") === ((tUs, tUs, 0)), "same-μs predecessor: empty validity")
+    assert(hist("upd-42") === ((tUs, -1L, 1)), "max cdc id within the μs is current")
+  }
+
   test("pca on a zero-variance corpus: no NaNs, unit start vector, zero var share") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-pca-edge").toFile.getAbsolutePath

@@ -558,6 +558,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("provinceStatsStream: exact windowed distinct orders per province, late rows absorbed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.ProvinceOrder
+    val input = MemoryStream[ProvinceOrder]
+    val q = StreamOps.provinceStatsStream(input.toDF())
+      .writeStream.format("memory").queryName("pvs").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        ProvinceOrder(100, "CHINA", 10.0, ts(5)),
+        ProvinceOrder(100, "CHINA", 20.0, ts(10)), // same order, 2nd detail row
+        ProvinceOrder(101, "CHINA", 30.0, ts(15)),
+        ProvinceOrder(200, "JAPAN", 5.0, ts(20))))
+      q.processAllAvailable()
+      // order 100 keeps arriving in a LATER micro-batch, same window:
+      // the per-order partial in state absorbs it — distinct count
+      // must stay 2 for CHINA, amounts must include it exactly once each
+      input.addData(Seq(ProvinceOrder(100, "CHINA", 40.0, ts(40))))
+      q.processAllAvailable()
+      // advance the watermark past the window end to finalize
+      input.addData(Seq(ProvinceOrder(999, "OTHER", 0.0, ts(5000))))
+      q.processAllAvailable()
+      val rows = spark.table("pvs").collect()
+        .filter(_.getString(0) == "1970-01-02 00:00:00")
+        .map(r => r.getString(2) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      assert(rows === Map(
+        "CHINA" -> ((2L, 100.0)), // orders 100, 101 — NOT 3 rows
+        "JAPAN" -> ((1L, 5.0))))
+    } finally q.stop()
+  }
+
   test("intervalJoin matches details within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
