@@ -31,18 +31,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
-    * a long (spark.sql.legacy.parquet.nanosAsLong). We keep the exact
-    * nanos in `ts_ns`, plus `ts_us = ts_ns div 1000` — the resolution
-    * DuckDB sees after its truncating TIMESTAMP(NANOS) read, so every
-    * oracle-compared ordering / gap comparison runs on `ts_us` (with
-    * unique `event_id` as tie-break) — and a micro-precision `ts`
-    * timestamp for window ops.
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark only reads as a long (spark.sql.legacy.parquet.nanosAsLong)
+    * — or plain TIMESTAMP(MICROS) (isAdjustedToUTC=false → read as
+    * TIMESTAMP_NTZ). The loader normalizes both to the same layout: the
+    * exact stored value in `ts_ns` (nanos; micro-sourced data carries
+    * zero sub-micro digits), `ts_us = ts_ns div 1000` — the resolution
+    * DuckDB sees in either encoding, so every oracle-compared ordering /
+    * gap comparison runs on `ts_us` (with unique `event_id` as
+    * tie-break) — and a micro-precision `ts` timestamp for window ops.
+    * The NTZ branch converts with naive-datetime arithmetic
+    * (`timestampdiff` from the epoch), never a session-timezone cast,
+    * so `ts_us` is the stored value on every host timezone.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
+    val raw = p(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val tsNs = raw.schema("ts").dataType match {
+      case LongType => col("ts") // TIMESTAMP(NANOS): raw nanos long
+      case TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L)
+      case _ => // instant-typed micros (TIMESTAMP_LTZ)
+        unix_micros(col("ts")) * lit(1000L)
+    }
+    raw.select(col("event_id"), tsNs.as("ts_ns"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
   }
