@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, RollingHash64, SimHashAgg, TopKFreqAgg, VecSumAgg}
+import graft.functions.{DotProduct, MinHashSig, RollingHash64, SimHashAgg, TopKFreqAgg, VecSumAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -83,6 +83,13 @@ object GraftExtensions {
     (FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
       unary("graft_vec_sum")(VecSumAgg(_))),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      { children =>
+        require(children.length == 2,
+          s"graft_dot expects exactly 2 arguments, got ${children.length}")
+        DotProduct(children(0), children(1))
+      }),
     (FunctionIdentifier("graft_topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "graft_topk_freq"),
       { children =>

@@ -424,9 +424,13 @@ object Dedup {
       .join(emb.select(col("vec_id").as("i"), col("v").as("vi")), "i")
       .join(emb.select(col("vec_id").as("j"), col("v").as("vj")), "j")
 
-    val dot = aggregate(zip_with(col("vi"), col("vj"), _ * _), lit(0.0), _ + _)
-    val ni = sqrt(aggregate(zip_with(col("vi"), col("vi"), _ * _), lit(0.0), _ + _))
-    val nj = sqrt(aggregate(zip_with(col("vj"), col("vj"), _ * _), lit(0.0), _ + _))
+    // native codegen'd dot (same fold order as the zip_with form it
+    // replaces — see Similarity.dot): the candidate set is pairwise,
+    // so the interpreter cost of a higher-order fold would multiply
+    graft.Graft.registerFunctions(s)
+    val dot = call_function("graft_dot", col("vi"), col("vj"))
+    val ni = sqrt(call_function("graft_dot", col("vi"), col("vi")))
+    val nj = sqrt(call_function("graft_dot", col("vj"), col("vj")))
     pairs
       .withColumn("cosine", dot / (ni * nj))
       .filter(col("cosine") >= threshold)
@@ -566,6 +570,96 @@ object Dedup {
        |  CAST(max(pos) + ${SharedN - 1} AS BIGINT) AS span_end
        |FROM sp GROUP BY doc_id, span
        |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Exact-substring REMOVAL — the rewrite step [[spanExtract]] feeds
+    * (Lee et al. “Deduplicating Training Data Makes Language Models
+    * Better” drop the duplicated bytes, keeping the remainder): every
+    * token inside a duplicated span is cut and the survivors re-joined
+    * into `clean_text`, with before/after token accounting.
+    *
+    * Shape: token positions come from one `posexplode`; the span set is
+    * [[spanExtract]]'s plan (spans per doc ≤ tokens/gram — doc-bounded,
+    * never corpus-bounded); the cut is a doc_id-equi anti-join whose
+    * extra range predicate runs inside the join, so shuffle volume is
+    * tokens + spans hashed on doc_id. The rebuild sorts each doc's
+    * surviving tokens IN-ROW (`array_sort` over a doc-bounded list —
+    * same bounded-collect discipline as the multimodal reassembly),
+    * so no per-token window is paid. */
+  def spanRemoval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toksArr = tokens(col("text"))
+    val toks = docs.select(col("doc_id"), posexplode(toksArr).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"), col("tok"))
+    val spans = spanExtract(s, d)
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("clean_text"))
+    docs.select(col("doc_id"), size(toksArr).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: [[spanExtractSql]]'s span CTEs verbatim, the cut as
+    * NOT EXISTS over the span table, the rebuild as an ordered
+    * string_agg — an independent formulation of the same rewrite. */
+  val spanRemovalSql: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS l
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest([i for i in range(1, len(l) + 1)]) AS pos,
+       |    unnest([l[i] for i in range(1, len(l) + 1)]) AS tok
+       |  FROM toks0),
+       |occ AS (
+       |  SELECT doc_id,
+       |    unnest([i for i in range(1, len(l) - ${SharedN - 2})]) AS pos,
+       |    unnest([array_to_string(l[i:i+${SharedN - 1}], ' ')
+       |            for i in range(1, len(l) - ${SharedN - 2})]) AS g
+       |  FROM toks0 WHERE len(l) >= $SharedN),
+       |shared AS (
+       |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ) t
+       |  GROUP BY g HAVING count(*) > 1),
+       |dup AS (SELECT o.doc_id, o.pos FROM occ o JOIN shared USING (g)),
+       |m AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + ${SharedN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM dup),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    CAST(sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span
+       |  FROM m),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + ${SharedN - 1} AS span_end
+       |  FROM sp GROUP BY doc_id, span),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = t.doc_id
+       |      AND t.pos BETWEEN s.span_start AND s.span_end)),
+       |ka AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t0.doc_id, CAST(len(t0.l) AS BIGINT) AS n_tokens,
+       |  coalesce(n_kept, 0) AS n_kept,
+       |  CAST(len(t0.l) AS BIGINT) - coalesce(n_kept, 0) AS n_removed,
+       |  coalesce(clean_text, '') AS clean_text
+       |FROM toks0 t0 LEFT JOIN ka USING (doc_id)
+       |ORDER BY t0.doc_id""".stripMargin
 
   // ---- shared sketch plumbing ---------------------------------------
 }

@@ -575,4 +575,63 @@ object Relational {
        |  coalesce(order_ct, 0) AS order_ct, coalesce(gmv, 0.0) AS gmv
        |FROM cal LEFT JOIN daily ON cal.day = daily.day
        |ORDER BY day""".stripMargin
+
+  /** 2-D skyline (Pareto frontier) over customers — maximize
+    * (total spend, order count): a customer point survives iff no
+    * other point is ≥ in both dimensions and > in one (Börzsönyi
+    * et al., “The Skyline Operator”, ICDE 2001). The classic engine
+    * op Spark has no native node for.
+    *
+    * Shape — the distributed two-phase sweep instead of the O(n²)
+    * self-join: (1) distinct (spend, n) points, each with its customer
+    * multiplicity; (2) LOCAL skyline per hash bucket — one window
+    * partitioned by bucket, a point dies when a predecessor in
+    * (spend DESC, n DESC) order already showed an ≥ order count
+    * (the running-max test is exactly dominance under that sort);
+    * (3) the same sweep once more, globally, over only the local
+    * survivors. Skyline-of-union = skyline-of-local-skylines, and a
+    * random bucketing leaves O(skyline · buckets) expected survivors —
+    * the single-partition final window sees thousands of rows at
+    * 100 TB, never the corpus. Spend stays DECIMAL through both
+    * sweeps so the frontier set is engine-exact. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"), count(lit(1)).as("n_orders"))
+      .groupBy(col("spend"), col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+    def sweep(df: DataFrame, part: Option[Column]): DataFrame = {
+      val base = part.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+      val w = base.orderBy(col("spend").desc, col("n_orders").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("pm", max(col("n_orders")).over(w))
+        .filter(col("pm").isNull || col("pm") < col("n_orders"))
+        .drop("pm")
+    }
+    val local = sweep(pairs.withColumn("bkt", pmod(hash(col("spend"), col("n_orders")), lit(32))),
+      Some(col("bkt"))).drop("bkt")
+    sweep(local, None)
+      .select(col("spend").cast("double").as("total_spend"),
+        col("n_orders"), col("n_custs"))
+      .orderBy(col("total_spend").desc)
+  }
+
+  /** Oracle: the textbook NOT EXISTS dominance formulation — an
+    * independent algorithm agreeing on the exact frontier. */
+  val skylineSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_custkey),
+      |pairs AS (
+      |  SELECT spend, n_orders, CAST(count(*) AS BIGINT) AS n_custs
+      |  FROM pc GROUP BY spend, n_orders),
+      |sky AS (
+      |  SELECT * FROM pairs p WHERE NOT EXISTS (
+      |    SELECT 1 FROM pairs q
+      |    WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+      |      AND (q.spend > p.spend OR q.n_orders > p.n_orders)))
+      |SELECT CAST(spend AS DOUBLE) AS total_spend, n_orders, n_custs
+      |FROM sky ORDER BY total_spend DESC""".stripMargin
 }

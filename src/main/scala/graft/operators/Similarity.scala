@@ -18,13 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Pairwise dot product via the native codegen'd expression
+    * (graft.functions.DotProduct) — same ascending-index fold as the
+    * `aggregate(zip_with(...))` form and DuckDB's `list_dot_product`,
+    * so cosines stay bit-identical to every oracle, ~100× cheaper per
+    * pair (the kNN graph is millions of pairs). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    call_function("graft_dot", a, b)
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.registerFunctions(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
 
   /** Exact top-k cosine neighbors for the first `nQueries` vectors.
     * The query side is broadcast; ranking is a per-query window with a
@@ -67,18 +74,20 @@ object Similarity {
     * are isotropic Gaussians — the hardest case for any sublinear ANN;
     * on real (clustered) embedding corpora the same sketch gives far
     * better recall at far lower probe fractions. */
+  /** Random-hyperplane sign sketch as ONE 2-D literal + transform
+    * (see Dedup sketch note): bit i set iff v · plane_i ≥ 0. */
+  private[graft] def hyperplaneSketch(v: Column, planes: Array[Array[Double]]): Column =
+    aggregate(
+      transform(typedLit(planes.zipWithIndex.map { case (p, i) =>
+        (p.toSeq, 1L << i)
+      }.toSeq), pw =>
+        when(aggregate(zip_with(v, pw("_1"), (x, c) => x * c),
+          lit(0.0), (a, x) => a + x) >= 0, pw("_2")).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+
   def annLsh(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val nBits = 8
-    val planes = Hyperplanes.make(nBits, dim = 64, seed = 11)
-    // one 2-D literal + transform for all bits (see Dedup sketch note)
-    def sketch(v: Column): Column =
-      aggregate(
-        transform(typedLit(planes.zipWithIndex.map { case (p, i) =>
-          (p.toSeq, 1L << i)
-        }.toSeq), pw =>
-          when(aggregate(zip_with(v, pw("_1"), (x, c) => x * c),
-            lit(0.0), (a, x) => a + x) >= 0, pw("_2")).otherwise(0L)),
-        lit(0L), (a, x) => a + x)
+    val planes = Hyperplanes.make(8, dim = 64, seed = 11)
+    def sketch(v: Column): Column = hyperplaneSketch(v, planes)
 
     val c = corpus(s, d).withColumn("bucket", sketch(col("v")))
     val q = c.filter(col("vec_id") < nQueries)
@@ -94,6 +103,76 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Exact k-nearest-neighbor GRAPH — every vector gets its top-k
+    * cosine neighbors (the structure behind kNN-classification,
+    * graph-based ANN indexes, and embedding-cluster diagnostics).
+    * All-pairs by construction (the exactness oracle, like
+    * [[annBruteforce]]); one side rides as a broadcast so the corpus
+    * is scanned once, and ranking is the per-query window. At corpus
+    * scale the quadratic pair set is the point of [[knnGraphLsh]] —
+    * this op is the small-side / recall-reference baseline. */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    // norms are computed ONCE per vector before the pair join (the
+    // pair set is quadratic; a per-pair norm would triple its cost)
+    val c = corpus(s, d).withColumn("nrm", norm(col("v")))
+    val q = c.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("nbr_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** DuckDB oracle — same fold order as Spark's `aggregate(zip_with)`,
+    * so cosines are bit-identical (see [[annBruteforceSql]]). */
+  val knnGraphSql: String =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS nbr_id,
+      |    list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      |  FROM c a CROSS JOIN c b WHERE a.vec_id <> b.vec_id),
+      |ranked AS (SELECT q_id, nbr_id, cosine,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nbr_id) AS rnk
+      |  FROM scored)
+      |SELECT q_id, rnk, nbr_id, cosine FROM ranked WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin
+
+  /** LSH-bucketed k-NN graph — the 100 TB construction: no broadcast,
+    * no all-pairs. Every vector lands in its 8-bit hyperplane bucket;
+    * the probe side fans out to its own bucket plus the 8 one-bit
+    * flips (9× — constant), and candidates come from ONE bucket
+    * equi-join (both sides hash-partitioned on the bucket key), i.e.
+    * all pairs within Hamming distance ≤ 1. Expected pair volume is
+    * Σ|bucket|²·9/256 — linear-ish under spread buckets; a hot bucket
+    * (clustered corpora) is a skew-join salting/AQE case, not a plan
+    * change. Recall vs [[knnGraph]] is spec-checked; isotropic
+    * Gaussian test vectors are the worst case (see [[annLsh]] note).
+    * Declared rows-only for the driver (bucket recall is not
+    * SQL-expressible); every emitted cosine is exact. */
+  def knnGraphLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val planes = Hyperplanes.make(8, dim = 64, seed = 11)
+    val c = corpus(s, d)
+      .withColumn("bucket", hyperplaneSketch(col("v"), planes))
+      .withColumn("nrm", norm(col("v")))
+    val probes = c.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qn"),
+      explode(array((lit(0L) +: (0 until 8).map(b => lit(1L << b))).map(m =>
+        col("bucket").bitwiseXOR(m)): _*)).as("probe"))
+    val scored = probes.join(c,
+        col("probe") === col("bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("nbr_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
 

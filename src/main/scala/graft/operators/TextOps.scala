@@ -440,4 +440,83 @@ object TextOps {
        |JOIN uni u1 ON p.w1 = u1.w
        |JOIN uni u2 ON p.w2 = u2.w, ut, bt
        |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
+  /** Hashing-trick dimensionality for [[classifierScore]]. */
+  private val ClsBuckets = 64
+
+  /** Deterministic integer weight table (seeded LCG; values in
+    * [-500, 500]) — stands in for a trained model's coefficient
+    * vector and is embedded as a plan literal in BOTH engines. */
+  private val ClsWeights: Array[Int] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(ClsBuckets)(rnd.nextInt(1001) - 500)
+  }
+
+  /** Linear text-classifier scoring — the fastText-shaped quality /
+    * topic gate (Joulin et al. 2017; the GPT-3 and LLaMA pipelines
+    * score every document against a linear classifier and keep by
+    * threshold). Features are hashed unigrams: bucket(token) =
+    * polyhash₃₁(chars) mod 2²⁰ mod [[ClsBuckets]], weight = the model
+    * coefficient for that bucket, doc score = mean weight normalized
+    * to [-1, 1].
+    *
+    * Scale shape: the whole model rides inside the plan as a literal
+    * array (the broadcast-a-small-model pattern — a real 2M-bucket
+    * fastText table would broadcast the same way), the hash is pure
+    * in-row integer arithmetic inside whole-stage codegen (no UDF, no
+    * libm), and the only shuffle is the final per-doc rollup of
+    * (sum, count) — partial-aggregable, so 100 TB of text costs one
+    * map-side-combined pass. Cross-engine exactness: every per-token
+    * value is an INTEGER (fold-mod hash, integer weight); the one
+    * double division happens once per doc on exact integer inputs. */
+  def classifierScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    val codes = transform(sequence(lit(1), length(col("term"))),
+      i => ascii(col("term").substr(i, lit(1))).cast("long"))
+    val h = aggregate(codes, lit(0L), (a, x) => (a * 31L + x) % 1048573L)
+    val w = element_at(typedLit(ClsWeights.toSeq), (h % ClsBuckets).cast("int") + 1)
+    val scored = terms.withColumn("w", w)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w").cast("long")).as("sw"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        round(coalesce(col("sw").cast("double") / (col("n_terms") * 500.0), lit(0.0)), 6)
+          .as("score"))
+      .withColumn("keep",
+        (col("n_terms") > 0 && col("score") >= 0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the identical fold-mod hash via `list_reduce` (prepended
+    * 0 matches Spark's explicit init), the weight table inlined as a
+    * list literal, sums CAST off HUGEINT before the one division. */
+  val classifierScoreSql: String = {
+    val wlist = ClsWeights.mkString("[", ", ", "]")
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      [0] || [CAST(unicode(term[i]) AS BIGINT)
+       |              for i in range(1, len(term) + 1)],
+       |      (a, x) -> (a * 31 + x) % 1048573) AS h
+       |  FROM terms),
+       |scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(($wlist)[CAST(h % $ClsBuckets AS INTEGER) + 1]) AS BIGINT) AS sw
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_terms, 0) AS n_terms,
+       |  coalesce(round(CAST(sw AS DOUBLE) / (n_terms * 500.0), 6), 0.0) AS score,
+       |  CAST((coalesce(n_terms, 0) > 0 AND
+       |        coalesce(round(CAST(sw AS DOUBLE) / (n_terms * 500.0), 6), 0.0) >= 0)
+       |    AS INTEGER) AS keep
+       |FROM documents d LEFT JOIN scored USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

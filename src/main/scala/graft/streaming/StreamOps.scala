@@ -580,6 +580,25 @@ object StreamOps {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
         col("province"), col("order_count"), col("order_amount"))
 
+  /** DAU served continuously — the streaming mirror of
+    * `Ads.activeUsers` (the publisher's getDauTotal/hour split served
+    * from a live table instead of a nightly batch). Exact distinct
+    * visitors per day WITHOUT a per-window id-set in state: phase 1
+    * groups by (day window, user) — one tiny partial per active user,
+    * finalized when the watermark closes the day — and phase 2's
+    * `count(*)` over those partials IS the exact distinct count
+    * (the same Spark 4 chained-stateful-aggregation shape as
+    * [[provinceStatsStream]]). State is O(open windows × active
+    * users), watermark-bounded; nothing ever collects an id list. */
+  def dauStream(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("ev_ct"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("dau"), sum(col("ev_ct")).as("ev_ct"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("dt"),
+        col("dau"), col("ev_ct"))
+
   /** Running GMV (the publisher's getGMV served continuously): global
     * per-day sums maintained across micro-batches, emitted in Update
     * mode — the Spark analog of the ClickHouse table the reference

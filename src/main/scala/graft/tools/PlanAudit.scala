@@ -81,7 +81,15 @@ object PlanAudit {
       ("q_open_orders", "sweep-line: intervals collapse to a partial-aggregable per-day delta table BEFORE the calendar join; the only Window walks the bounded day spine — the O(days x intervals) containment join exists solely in the oracle",
         Relational.openOrders(spark, d)),
       ("dedup_span_extract", "one posexplode keeps gram positions; the shared-gram set is the same distinct+groupBy rollup as gram_frac; the interval-merge fold is one per-doc window over duplicated positions only",
-        Dedup.spanExtract(spark, d)))
+        Dedup.spanExtract(spark, d)),
+      ("dedup_span_removal", "token stream anti-joins the span set on the doc_id equi key (range predicate rides inside the join); the rebuild is one per-doc aggregate with an IN-ROW array_sort — no per-token window, shuffle volume is tokens+spans on doc_id",
+        Dedup.spanRemoval(spark, d)),
+      ("q_skyline", "local dominance sweep per hash bucket (windows partitioned by bkt), THEN the single-partition global window sees only local-skyline survivors — the unpartitioned sort never touches the full point set",
+        Relational.skyline(spark, d)),
+      ("text_classifier_score", "hash + weight lookup are one narrow codegen'd Project (the weight table is a plan literal); the only exchange is the per-doc (sum, count) rollup with map-side combine",
+        TextOps.classifierScore(spark, d)),
+      ("emb_knn_graph_lsh", "the scale-path kNN graph: sketch is a narrow Project, 9x probe fan-out via ONE explode, candidates from a bucket EQUI-join (no broadcast nested loop, no all-pairs), per-query window ranks",
+        Similarity.knnGraphLsh(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>

@@ -152,6 +152,27 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 10L), (4L, 21L, 30L)))
   }
 
+  test("span removal: cut text drops exactly the extracted spans, order kept") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-spanrm")
+      .toFile.getAbsolutePath
+    val A = (1 to 10).map(i => s"s$i").mkString(" ")
+    Seq(
+      (1L, A, "en", "s0"),                                    // fully duplicated
+      (2L, s"x1 x2 $A", "en", "s0"),                          // head survives
+      (3L, s"$A ${(1 to 10).map(i => s"w$i").mkString(" ")} $A", "en", "s0"),
+      (4L, (1 to 12).map(i => s"z$i").mkString(" "), "en", "s0")) // untouched
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.spanRemoval(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((10L, 0L, 10L, "")))
+    assert(out(2L) === ((12L, 2L, 10L, "x1 x2")))
+    assert(out(3L) === ((30L, 10L, 20L, (1 to 10).map(i => s"w$i").mkString(" "))))
+    assert(out(4L) === ((12L, 12L, 0L, (1 to 12).map(i => s"z$i").mkString(" "))))
+  }
+
   test("simhash pairs are genuinely similar (jaccard >= 0.3) with high recall") {
     val exact = exactPairs(sf0001)
     val sh = Dedup.simhash(spark, sf0001).collect()

@@ -150,4 +150,71 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(!plan.split("Sort").head.contains("Exchange"),
       "unpivot should be an in-place Expand, not a shuffle")
   }
+
+  test("skyline: two-phase sweep equals the brute-force dominance filter") {
+    // brute force over the REAL per-customer points at sf0.001
+    val pts = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getDecimal(1), r.getLong(2)))
+    val pairs = pts.groupBy(identity).map { case ((s, n), g) =>
+      (s, n, g.length.toLong)
+    }.toSeq
+    val expected = pairs.filter { case (s, n, _) =>
+      !pairs.exists { case (s2, n2, _) =>
+        s2.compareTo(s) >= 0 && n2 >= n &&
+          (s2.compareTo(s) > 0 || n2 > n)
+      }
+    }.map { case (s, n, c) => (s.doubleValue, n, c) }
+      .sortBy { case (s, _, _) => -s }
+    val got = Relational.skyline(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // frontier is strictly monotone: spend desc ⇒ order count asc
+    assert(got.map(_._2) === got.map(_._2).sorted,
+      "frontier must trade spend for order count monotonically")
+  }
+
+  test("skyline: a dominated point never survives a planted corner case") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-sky").toFile.getAbsolutePath
+    def t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // cust 1: (300, 1)  cust 2: (200, 2)  cust 3: (200, 1) dominated by 2
+    // cust 4: (100, 2) dominated by 2     cust 5: (200, 2) ties cust 2
+    val rows = Seq(
+      (1L, 1L, 300.0), (2L, 2L, 100.0), (3L, 2L, 100.0),
+      (4L, 3L, 200.0), (5L, 4L, 50.0), (6L, 4L, 50.0),
+      (7L, 5L, 100.0), (8L, 5L, 100.0))
+    rows.map { case (ok, ck, p) => (ok, ck, "O", p, t, "p") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = Relational.skyline(spark, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((300.0, 1L, 1L), (200.0, 2L, 2L)))
+  }
+
+  test("classifier score: plan hash equals the driver-side fold on real tokens") {
+    // recompute bucket + weight for every token of a sample doc in
+    // plain Scala; the doc score must match the engine's to the 6dp
+    // the op rounds to
+    val doc = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 3L).collect()(0).getAs[String]("text")
+    val toks = "[a-z0-9]+".r.findAllIn(doc.toLowerCase).toSeq
+    val weights = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(64)(rnd.nextInt(1001) - 500)
+    }
+    def bucket(t: String): Int =
+      (t.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % 1048573L) % 64L).toInt
+    val sw = toks.map(t => weights(bucket(t)).toLong).sum
+    val expected = BigDecimal(sw.toDouble / (toks.length * 500.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = TextOps.classifierScore(spark, sf0001)
+      .filter(col("doc_id") === 3L).collect()(0)
+    assert(row.getLong(1) === toks.length.toLong)
+    assert(row.getDouble(2) === expected)
+    assert(row.getInt(3) === (if (expected >= 0) 1 else 0))
+  }
 }

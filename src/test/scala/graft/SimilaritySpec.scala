@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import org.apache.spark.sql.functions.{col, element_at}
+import org.apache.spark.sql.functions.{aggregate, call_function, col, element_at, lit, zip_with}
 
 /** ANN correctness: brute force against a driver-side exact
   * computation; LSH recall against brute force. */
@@ -234,5 +234,77 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(math.abs(l3(1L)) - r2) < 1e-6 && math.abs(math.abs(l3(2L)) - r2) < 1e-6)
     assert(l3(1L) * l3(2L) < 0, "components must oppose")
     assert(s3 === 1.0)
+  }
+
+  test("graft_dot: native codegen bit-matches the declarative fold and handles edges") {
+    graft.Graft.registerFunctions(spark)
+    // bit-exact vs aggregate(zip_with) on the real corpus — same fold
+    // order is the invariant every oracle compare rests on
+    val c = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = c.crossJoin(c.select(col("vec_id").as("id2"), col("v").as("v2"))
+        .filter(col("id2") < 5))
+      .select(
+        call_function("graft_dot", col("v"), col("v2")).as("native"),
+        aggregate(zip_with(col("v"), col("v2"), _ * _), lit(0.0), _ + _).as("decl"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // edges: length mismatch folds over the shorter; null array → null
+    val edge = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 20.0d)) AS a,
+        |       graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS b""".stripMargin)
+      .collect()(0)
+    assert(edge.getDouble(0) === 50.0)
+    assert(edge.isNullAt(1))
+  }
+
+  test("exact kNN graph: every vector's neighbor list matches driver-side truth") {
+    val k = 3
+    val vecs = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1).toSeq
+    }.toMap
+    val got = Similarity.knnGraph(spark, sf0001, k = k).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got === expected)
+  }
+
+  test("LSH kNN graph: bounded rows, exact cosines, recall above the probe floor") {
+    val k = 3
+    val exact = Similarity.knnGraph(spark, sf0001, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.knnGraphLsh(spark, sf0001, k = k).collect()
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(lsh.length <= n * k)
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length)) }
+    // every emitted cosine is the true cosine for that pair (the
+    // sketch only prunes candidates, it never perturbs scores)
+    val vecs = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray.map(_.toDouble))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    lsh.foreach { r =>
+      assert(math.abs(r.getDouble(3) - cos(vecs(r.getLong(0)), vecs(r.getLong(2)))) < 1e-9)
+    }
+    val got = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    // Hamming ≤ 1 probing scans ~9/256 of an isotropic corpus (the
+    // worst case — see the annLsh note); require clear signal over
+    // that random-scan floor
+    assert(recall >= 0.15, s"LSH kNN-graph recall $recall below floor")
   }
 }

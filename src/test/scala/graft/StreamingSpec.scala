@@ -589,6 +589,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dauStream: chained agg counts each user once per day across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.dauStream(input.toDF())
+      .writeStream.format("memory").queryName("dau").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1L, 10L, "view", 1.0, ts(5)),
+        Evt(2L, 10L, "click", 1.0, ts(10)),   // same user, same day
+        Evt(3L, 20L, "view", 1.0, ts(15))))
+      q.processAllAvailable()
+      // user 10 returns in a LATER micro-batch, same day: the per-user
+      // partial in state absorbs it — DAU must stay 2
+      input.addData(Seq(Evt(4L, 10L, "view", 1.0, ts(30))))
+      q.processAllAvailable()
+      // advance the watermark past the day end to finalize the window
+      input.addData(Seq(Evt(9L, 99L, "view", 0.0, ts(3 * 24 * 60))))
+      q.processAllAvailable()
+      val rows = spark.table("dau").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rows === Map("1970-01-02" -> ((2L, 4L))))
+    } finally q.stop()
+  }
+
   test("intervalJoin matches details within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
