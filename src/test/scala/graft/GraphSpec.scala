@@ -90,6 +90,50 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  test("triangles: K4 baskets count 3 per node, triangle-free parts absent") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-tri")
+      .toFile.getAbsolutePath
+    // baskets building K4 on parts 1-4 (4 triangles, 3 per node) plus
+    // a triangle-free pair {5,6}; duplicate part rows must not double
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 3L), // dup part in one order
+      (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 4L),
+      (4L, 1L), (4L, 2L), (4L, 4L),
+      (5L, 5L), (5L, 6L))
+    rows.map { case (ok, pk) => (ok, pk, 1L, 1.0, 1.0, 0.0, "N", "O",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Graph.triangles(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangles: degree-ordered closure matches the naive driver count at sf0.001") {
+    val edges = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+      .flatMap { g =>
+        val ps = g.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+      }.toSet
+    val triPerNode = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    for ((u, v) <- edges; w <- adj.getOrElse(v, Set.empty) if edges((u, w))) {
+      // u < v < w by construction of the value-ordered edge set
+      triPerNode(u) += 1; triPerNode(v) += 1; triPerNode(w) += 1
+    }
+    val expected = triPerNode.toSeq.sortBy { case (k, c) => (-c, k) }.take(20)
+    val got = Graph.triangles(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("rounded supplier scores are identical across repartitionings") {
     val a = Graph.pageRank(spark, sf0001).collect().toSeq
     val old = spark.conf.get("spark.sql.shuffle.partitions")

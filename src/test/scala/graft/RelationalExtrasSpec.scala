@@ -195,6 +195,26 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(got === Seq((300.0, 1L, 1L), (200.0, 2L, 2L)))
   }
 
+  test("corpus report: per-source card stats recount by hand on a planted corpus") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-report").toFile.getAbsolutePath
+    Seq(
+      (1L, "alpha beta", "en", "web"),
+      (2L, "alpha  beta", "en", "web"),   // whitespace-normalized dup of 1
+      (3L, "gamma", "de", "web"),
+      (4L, "uno dos tres", "es", "books"),
+      (5L, "cuatro", "es", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.corpusReport(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    // web: 3 docs, 2+2+1 tokens, langs {en,de}, docs 1+2 are dup mass
+    assert(got === Map(
+      "web" -> ((3L, 5L, 1.666667, 2L, 2L)),
+      "books" -> ((2L, 4L, 2.0, 1L, 0L))))
+  }
+
   test("classifier score: plan hash equals the driver-side fold on real tokens") {
     // recompute bucket + weight for every token of a sample doc in
     // plain Scala; the doc score must match the engine's to the 6dp
