@@ -211,4 +211,48 @@ class EdgeCaseSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$e/embeddings.parquet")
     assert(graft.operators.Similarity.embPca(spark, e).count() === 0L)
   }
+
+  test("events loader: nanos-long, NTZ-micros and instant-micros encodings normalize identically") {
+    // the testdata generator has shipped events.ts as int64
+    // TIMESTAMP(NANOS) (read as long under nanosAsLong) and as plain
+    // TIMESTAMP_NTZ(MICROS); Tables.events must normalize every
+    // encoding to the same (ts_ns, ts_us, ts) — this pins the
+    // contract against the next regeneration
+    import spark.implicits._
+    val usVals = Seq(86400000000L, 86400000001L, 86399999999L) // around day 1
+    def load(d: String) = Tables.events(spark, d).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("ts_ns"),
+        r.getAs[Long]("ts_us"), r.getAs[java.sql.Timestamp]("ts").getTime))
+      .sortBy(_._1).toSeq
+
+    val dNanos = Files.createTempDirectory("graft-ev-ns").toFile.getAbsolutePath
+    usVals.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us * 1000L, i.toLong, "view", 1.0, """{"k":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dNanos/events.parquet")
+
+    val dNtz = Files.createTempDirectory("graft-ev-ntz").toFile.getAbsolutePath
+    usVals.zipWithIndex.map { case (us, i) =>
+      (i.toLong, java.time.LocalDateTime.ofEpochSecond(
+        us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC),
+        i.toLong, "view", 1.0, """{"k":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dNtz/events.parquet")
+
+    val dLtz = Files.createTempDirectory("graft-ev-ltz").toFile.getAbsolutePath
+    usVals.zipWithIndex.map { case (us, i) =>
+      // Timestamp(ms) truncates to millis; sub-ms rides in the nanos field
+      val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      (i.toLong, t, i.toLong, "view", 1.0, """{"k":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dLtz/events.parquet")
+
+    val expected = usVals.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us * 1000L, us, us / 1000L)
+    }.sortBy(_._1).toSeq
+    assert(load(dNanos) === expected, "nanos-long encoding")
+    assert(load(dNtz) === expected, "TIMESTAMP_NTZ(MICROS) encoding")
+    assert(load(dLtz) === expected, "instant TIMESTAMP(MICROS) encoding")
+  }
 }
