@@ -307,4 +307,27 @@ class SimilaritySpec extends SparkSpec {
     // that random-scan floor
     assert(recall >= 0.15, s"LSH kNN-graph recall $recall below floor")
   }
+
+  test("LSH kNN graph: a fully-clustered corpus (one hot bucket) stays correct") {
+    // every vector points the same way → ALL land in one bucket; the
+    // equi-join degenerates to within-bucket all-pairs, which must
+    // then equal the exact graph (perf skew is AQE's job, correctness
+    // is ours)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-hotbucket")
+      .toFile.getAbsolutePath
+    // exactly co-directional (different magnitudes): one bucket by
+    // construction, every pairwise cosine exactly 1.0, ranks resolve
+    // purely by the nbr_id tie-break in BOTH formulations
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.fill(64)((i + 1).toFloat), 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val exact = Similarity.knnGraph(spark, d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val lsh = Similarity.knnGraphLsh(spark, d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(lsh === exact, "hot-bucket LSH graph must equal the exact graph")
+  }
 }
