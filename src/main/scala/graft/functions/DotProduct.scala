@@ -22,13 +22,13 @@ import org.apache.spark.sql.types._
   * The accumulation order is ascending-index, exactly the fold order
   * of both the `aggregate(zip_with(...))` form it replaces and
   * DuckDB's `list_dot_product` — every oracle hash compare stays
-  * bit-identical. Null ELEMENTS contribute 0.0 (the embeddings
-  * contract is dense vectors; a null element is never produced by our
-  * sources). Lengths may differ: the loop runs over the shorter —
-  * same as `zip_with` would after its null-pad, where the padded tail
-  * multiplies to null and is here simply not added. A null ARRAY on
-  * either side yields null (standard binary-expression null
-  * semantics). */
+  * bit-identical. Null ELEMENTS contribute 0.0 and mismatched lengths
+  * fold over the shorter prefix — both are contract violations for
+  * the dense equal-length embedding columns this serves (the
+  * `zip_with` form would instead null-poison the whole sum), chosen
+  * so a malformed row degrades to a finite score instead of a
+  * null that silently drops it from a top-k. A null ARRAY on either
+  * side yields null (standard binary-expression null semantics). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

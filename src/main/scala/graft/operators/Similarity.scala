@@ -67,13 +67,6 @@ object Similarity {
       |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= 5
       |ORDER BY q_id, rnk""".stripMargin
 
-  /** LSH-bucketed ANN: 8-bit random-hyperplane sketch partitions the
-    * corpus; each query only scans buckets within Hamming distance ≤ 3
-    * of its own sketch (multi-probe ≈ 36 % of buckets). Recall vs
-    * `annBruteforce` is spec-checked. NOTE: the synthetic embeddings
-    * are isotropic Gaussians — the hardest case for any sublinear ANN;
-    * on real (clustered) embedding corpora the same sketch gives far
-    * better recall at far lower probe fractions. */
   /** Random-hyperplane sign sketch as ONE 2-D literal + transform
     * (see Dedup sketch note): bit i set iff v · plane_i ≥ 0. */
   private[graft] def hyperplaneSketch(v: Column, planes: Array[Array[Double]]): Column =
@@ -85,6 +78,13 @@ object Similarity {
           lit(0.0), (a, x) => a + x) >= 0, pw("_2")).otherwise(0L)),
       lit(0L), (a, x) => a + x)
 
+  /** LSH-bucketed ANN: 8-bit random-hyperplane sketch partitions the
+    * corpus; each query only scans buckets within Hamming distance ≤ 3
+    * of its own sketch (multi-probe ≈ 36 % of buckets). Recall vs
+    * `annBruteforce` is spec-checked. NOTE: the synthetic embeddings
+    * are isotropic Gaussians — the hardest case for any sublinear ANN;
+    * on real (clustered) embedding corpora the same sketch gives far
+    * better recall at far lower probe fractions. */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
     val planes = Hyperplanes.make(8, dim = 64, seed = 11)
     def sketch(v: Column): Column = hyperplaneSketch(v, planes)
