@@ -661,6 +661,98 @@ object Dedup {
        |FROM toks0 t0 LEFT JOIN ka USING (doc_id)
        |ORDER BY t0.doc_id""".stripMargin
 
+  /** Sources treated as the incoming crawl by [[incremental]]. */
+  private[graft] val DeltaSources = Seq("src0", "src1")
+
+  /** INCREMENTAL near-dup admission — the production dedup shape: a
+    * new crawl batch is admitted against the standing corpus (and
+    * against its own earlier rows) without ever re-comparing
+    * corpus × corpus. Every pair the committed corpus forms
+    * internally is already settled; only pairs touching the delta
+    * matter, so the inverted-index join probes with DELTA grams
+    * only — candidate volume is Σ_g df_delta(g)·df_all(g), linear in
+    * the batch for any corpus size. Verdict per new doc: dropped if
+    * some corpus doc, or an EARLIER doc of the same batch (min-id
+    * survivor convention, matching [[Clusters.dedupSurvivors]]),
+    * clears the Jaccard threshold; the reported partner prefers
+    * corpus over batch, then smallest id. The streaming twin is
+    * `StreamOps.nearDupGate`; a boilerplate-heavy corpus would swap
+    * the plain gram join for [[ngramJaccardDocs]]'s skew-adaptive
+    * capped/prefix candidate machinery — the verdict logic is
+    * unchanged. */
+  def incremental(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isDelta = col("source").isin(DeltaSources: _*)
+    val tagged = docs.select(col("doc_id"), isDelta.as("is_new"))
+    val sh = shingleRows(s, d)
+    val shTagged = sh.join(tagged, "doc_id")
+    val deltaSh = shTagged.filter(col("is_new")).select(col("doc_id"), col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // the gram join output IS the intersection stream (the cRare
+    // lesson): one row per shared gram, counted straight into c
+    val inter = deltaSh.as("a")
+      .join(shTagged.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("nid"), col("b.doc_id").as("pid"),
+        col("b.is_new").as("p_new"))
+      .agg(count(lit(1)).as("c"))
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("nid"), col("sz").as("sa")), "nid")
+      .join(sizes.select(col("doc_id").as("pid"), col("sz").as("sb")), "pid")
+      .withColumn("jac", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
+      .filter(col("jac") >= threshold)
+      // a same-batch partner only disqualifies if it came earlier
+      .filter(!col("p_new") || col("pid") < col("nid"))
+    val w = Window.partitionBy(col("nid"))
+      .orderBy(col("p_new").cast("int"), col("pid"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("nid").as("doc_id"), col("pid").as("dup_of"), col("jac").as("dup_jac"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("dup_of").isNull.cast("int").as("keep"),
+        col("dup_of"), col("dup_jac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the identical asymmetric join + verdict windows. */
+  val incrementalSql: String = {
+    val srcs = DeltaSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), t -> len(t) > 0) AS l
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l)-1)]) AS shingle
+       |       FROM toks WHERE len(l) >= 3),
+       |tags AS (SELECT doc_id, source IN ($srcs) AS is_new FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS nid, b.doc_id AS pid, tb.is_new AS p_new, count(*) AS c
+       |  FROM sh a
+       |  JOIN tags ta ON ta.doc_id = a.doc_id AND ta.is_new
+       |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  JOIN tags tb ON tb.doc_id = b.doc_id
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT nid, pid, p_new, CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) AS jac
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = nid
+       |  JOIN sizes sb ON sb.doc_id = pid
+       |  WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.5
+       |    AND (NOT p_new OR pid < nid)),
+       |best AS (
+       |  SELECT nid, pid, jac,
+       |    row_number() OVER (PARTITION BY nid
+       |      ORDER BY CAST(p_new AS INT), pid) AS rn
+       |  FROM scored)
+       |SELECT d.doc_id,
+       |  CAST(b.pid IS NULL AS INT) AS keep,
+       |  b.pid AS dup_of, b.jac AS dup_jac
+       |FROM (SELECT doc_id FROM documents WHERE source IN ($srcs)) d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.nid = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- shared sketch plumbing ---------------------------------------
 }
 

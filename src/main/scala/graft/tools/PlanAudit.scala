@@ -93,7 +93,9 @@ object PlanAudit {
       ("graph_triangles", "degree-ordered adjacency intersection: in-row basket pair fan-out (no lineitem self-join), cached oriented edges + out-lists, triangles close inside array_intersect — no wedge rows anywhere in the plan; credit projections union into one partial-aggregated count",
         Graph.triangles(spark, d)),
       ("pipeline_corpus_report", "ONE documents scan derives token count + fingerprint in-row; dup mass and source totals are two partial-aggregable rollups joined on the bounded source key",
-        TextOps.corpusReport(spark, d)))
+        TextOps.corpusReport(spark, d)),
+      ("dedup_incremental", "asymmetric inverted-index admission: the gram join probes with DELTA grams only (corpus x corpus pairs never enumerate); the join output is the intersection stream, verdicts are one per-new-doc window",
+        Dedup.incremental(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>

@@ -173,6 +173,40 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((12L, 12L, 0L, (1 to 12).map(i => s"z$i").mkString(" "))))
   }
 
+  test("incremental: delta admits vs corpus and earlier batch rows, corpus pairs unreported") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-incr")
+      .toFile.getAbsolutePath
+    val A = (1 to 12).map(i => s"a$i").mkString(" ")
+    val B = (1 to 12).map(i => s"b$i").mkString(" ")
+    Seq(
+      // standing corpus (src5+): two internal verbatim dups — settled,
+      // must NOT appear in the output
+      (10L, A, "en", "src5"),
+      (11L, A, "en", "src6"),
+      (12L, B, "en", "src5"),
+      (13L, (1 to 12).map(i => s"c$i").mkString(" "), "en", "src7"),
+      // the new batch (src0/src1)
+      (20L, A, "en", "src0"),                      // dup of corpus 10 AND 11
+      (21L, s"$B extra", "en", "src0"),            // near-dup of corpus 12
+      (22L, (1 to 12).map(i => s"d$i").mkString(" "), "en", "src1"), // novel
+      (23L, (1 to 12).map(i => s"d$i").mkString(" "), "en", "src1"), // dup of 22 (same batch)
+      (24L, (1 to 12).map(i => s"e$i").mkString(" "), "en", "src1")) // novel
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.incremental(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got === Seq(
+      (20L, 0, 10L),   // corpus partner, smallest corpus id preferred
+      (21L, 0, 12L),   // near-dup caught (10 of 13 grams shared)
+      (22L, 1, -1L),   // earlier batch row: 23 does not disqualify 22
+      (23L, 0, 22L),   // same-batch dup drops the LATER row
+      (24L, 1, -1L)))
+    // the corpus-internal dup pair (10, 11) is nowhere in the output
+    assert(!got.exists(g => g._1 == 10L || g._1 == 11L))
+  }
+
   test("simhash pairs are genuinely similar (jaccard >= 0.3) with high recall") {
     val exact = exactPairs(sf0001)
     val sh = Dedup.simhash(spark, sf0001).collect()
