@@ -456,6 +456,82 @@ object Similarity {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
+  /** Per-label embedding OUTLIER flags — the corrupted-vector /
+    * mislabeled-row filter every embedding pipeline runs before
+    * training: distance of each vector to its label centroid,
+    * standardized within the label, |z| > 2 flagged.
+    *
+    * Engine-exactness: the centroid is [[embCentroids]]'s 6-dp ROUNDED
+    * mean (both engines share exact inputs); each distance is one
+    * in-row ascending-dim fold, then quantized to integer MICRO-UNITS,
+    * so the per-label moment sums are exact integers under any
+    * partitioning and z = (n·d − s) / √(n·ss − s²) is a fixed IEEE
+    * sequence on exact operands (the variance arithmetic rides
+    * DECIMAL(38,0) — n·ss overflows a long at corpus scale).
+    * Shuffle profile: one (label, dim) rollup, one label rollup, one
+    * broadcast-sized join back — the corpus is scanned twice. */
+  def embOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cents = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p("m")).as("c"))
+    val dist = sqrt(aggregate(
+      zip_with(col("v"), col("c"), (x, m) => (x - m) * (x - m)),
+      lit(0.0), (a, x) => a + x))
+    val withD = emb.join(cents, "label")
+      .select(col("vec_id"), col("label"),
+        round(dist * 1000000.0, 0).cast("long").as("du"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val moments = withD.groupBy(col("label")).agg(
+      count(lit(1)).as("n"), sum(col("du")).as("s"),
+      sum(dec(col("du")) * dec(col("du"))).as("ss"))
+    withD.join(moments, "label")
+      .select(col("vec_id"), col("label"),
+        round(col("du").cast("double") / 1000000.0, 6).as("dist"),
+        round((dec(col("n")) * dec(col("du")) - dec(col("s"))).cast("double") /
+          sqrt((dec(col("n")) * col("ss") - dec(col("s")) * dec(col("s"))).cast("double")), 6)
+          .as("z"))
+      .withColumn("is_outlier", (abs(col("z")) > 2.0).cast("int"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the same rounded centroid, micro-unit quantization and
+    * integer moments (HUGEINT natively exact in DuckDB). */
+  val embOutliersSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cm AS (
+      |  SELECT label, i AS pos, round(avg(x), 6) AS m
+      |  FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e)
+      |  GROUP BY label, i),
+      |cents AS (
+      |  SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY label),
+      |wd AS (
+      |  SELECT vec_id, e.label,
+      |    CAST(round(sqrt(list_reduce(
+      |      [0.0] || [(v[i] - c[i]) * (v[i] - c[i]) for i in range(1, len(v) + 1)],
+      |      (a, x) -> a + x
+      |    )) * 1000000, 0) AS BIGINT) AS du
+      |  FROM e JOIN cents ON e.label = cents.label),
+      |mo AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(du) AS HUGEINT) AS s,
+      |    sum(CAST(du AS HUGEINT) * CAST(du AS HUGEINT)) AS ss
+      |  FROM wd GROUP BY label)
+      |SELECT vec_id, wd.label,
+      |  round(CAST(du AS DOUBLE) / 1000000.0, 6) AS dist,
+      |  round(CAST(n * CAST(du AS HUGEINT) - s AS DOUBLE) /
+      |        sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS z,
+      |  CAST(abs(round(CAST(n * CAST(du AS HUGEINT) - s AS DOUBLE) /
+      |        sqrt(CAST(n * ss - s * s AS DOUBLE)), 6)) > 2.0 AS INTEGER) AS is_outlier
+      |FROM wd JOIN mo ON wd.label = mo.label
+      |ORDER BY vec_id""".stripMargin
+
   /** Top principal component of the embedding corpus — the whitening /
     * all-but-the-top (Mu & Viswanath, ICLR'18) / drift-monitoring
     * primitive. The distributed part is ONE scan aggregating two

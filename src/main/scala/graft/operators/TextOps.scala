@@ -490,6 +490,46 @@ object TextOps {
       |GROUP BY b.source, dup_docs
       |ORDER BY b.source""".stripMargin
 
+  /** Deterministic train/validation/test split — keyed on the CONTENT
+    * fingerprint, not the row id, so every copy of a duplicated
+    * document lands in the SAME split (the split-leakage guard:
+    * id-keyed splits put near-copies of one page on both sides of the
+    * train/test wall). 80/10/10 by hash bucket; pure in-row integer
+    * arithmetic (the [[classifierScore]] fold over the md5 hex
+    * chars), zero shuffle beyond the presentation sort — at 100 TB
+    * this is a free column stamped during any other pass. */
+  def hashSplit(s: SparkSession, d: String): DataFrame = {
+    val codes = transform(sequence(lit(1), length(col("fp"))),
+      i => ascii(col("fp").substr(i, lit(1))).cast("long"))
+    val h = aggregate(codes, lit(0L), (a, x) => (a * 31L + x) % 1048573L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("bucket", (h % 100L).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("validation"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical md5 + fold (the [[classifierScoreSql]] idiom). */
+  val hashSplitSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |hashed AS (
+      |  SELECT doc_id, fp,
+      |    CAST(list_reduce(
+      |      [0] || [CAST(unicode(fp[i]) AS BIGINT) for i in range(1, len(fp) + 1)],
+      |      (a, x) -> (a * 31 + x) % 1048573) % 100 AS INTEGER) AS bucket
+      |  FROM base)
+      |SELECT doc_id, fp, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM hashed ORDER BY doc_id""".stripMargin
+
   /** Hashing-trick dimensionality for [[classifierScore]]. */
   private val ClsBuckets = 64
 

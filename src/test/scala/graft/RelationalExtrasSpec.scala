@@ -195,6 +195,27 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(got === Seq((300.0, 1L, 1L), (200.0, 2L, 2L)))
   }
 
+  test("hash split: duplicates share a split, buckets in range, ratios roughly 80/10/10") {
+    val rows = TextOps.hashSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(rows.length === 500)
+    // content-keyed: same fingerprint → same split, every time
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._4).distinct.length === 1, "dup docs split apart")
+    }
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 100))
+    val bySplit = rows.groupBy(_._4).map { case (k, v) => k -> v.size }
+    // hash noise at n=500: just require the ordering and presence
+    assert(bySplit("train") > bySplit.getOrElse("validation", 0))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0))
+    assert(bySplit("train") > 300)
+    // bucket recomputes from the fingerprint by the same fold
+    rows.take(20).foreach { case (_, fp, bucket, _) =>
+      val h = fp.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % 1048573L)
+      assert((h % 100L).toInt === bucket)
+    }
+  }
+
   test("corpus report: per-source card stats recount by hand on a planted corpus") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-report").toFile.getAbsolutePath

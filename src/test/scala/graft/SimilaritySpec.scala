@@ -259,6 +259,36 @@ class SimilaritySpec extends SparkSpec {
     assert(edge.isNullAt(1))
   }
 
+  test("emb outliers: a planted far vector flags, the tight cluster does not") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-outlier")
+      .toFile.getAbsolutePath
+    // label 0: 20 vectors near the origin + one far outlier;
+    // label 1: a tight pair (degenerate: both distances equal → z=NaN
+    // guard is not needed because n*ss = s² gives ±0/0 → NULL in both
+    // engines; keep n=3 with distinct dists instead)
+    val cluster = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 0.1f else 0f), 0)
+    }
+    val far = Seq((20L, Array.fill(4)(10f), 0))
+    val other = Seq(
+      (30L, Array(1f, 0f, 0f, 0f), 1),
+      (31L, Array(0f, 1f, 0f, 0f), 1),
+      (32L, Array(3f, 3f, 0f, 0f), 1))
+    (cluster ++ far ++ other)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.embOutliers(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getInt(4)))).toMap
+    assert(out(20L)._2 === 1, s"far vector must flag, z=${out(20L)._1}")
+    assert((0 until 20).forall(i => out(i.toLong)._2 === 0),
+      "cluster members must not flag")
+    assert(out(20L)._1 > 2.0)
+    // z-scores within a label sum to ~0 (standardization sanity)
+    val zsum = (0 to 20).map(i => out(i.toLong)._1).sum
+    assert(math.abs(zsum) < 1e-3)
+  }
+
   test("exact kNN graph: every vector's neighbor list matches driver-side truth") {
     val k = 3
     val vecs = Tables.embeddings(spark, sf0001).collect()
