@@ -385,4 +385,104 @@ object EventAnalytics {
       |WHERE prev_type IS NOT NULL
       |GROUP BY prev_type, next_type
       |ORDER BY prev_type, next_type""".stripMargin
+
+  /** Touch event types credited by [[attribution]]. */
+  private[graft] val TouchTypes = Seq("view", "click", "signup")
+
+  /** Multi-touch marketing ATTRIBUTION — first- and last-touch credit
+    * per conversion (the serving query behind every "which channel
+    * drove this purchase" dashboard). A touch credits the NEXT
+    * conversion of the same user within the lookback window; per
+    * conversion, the earliest credited touch takes first-touch
+    * credit, the latest takes last-touch, and credits + conversion
+    * GMV roll up per touch type.
+    *
+    * Shape — the MERGE-form discipline (the as-of join lesson): no
+    * touch⋈conversion inequality join anywhere. Touches and
+    * conversions ride ONE user-keyed descending window pass where a
+    * running `last(conversion struct, ignoreNulls)` hands every touch
+    * its next conversion; the first/last pick is a per-conversion
+    * row_number (bounded by touches-per-window, never corpus-wide);
+    * the rollup is partial-aggregable. Everything orders on the
+    * (ts_us, event_id) composite — the tie-break contract. GMV sums
+    * ride DECIMAL. */
+  def attribution(s: SparkSession, d: String, windowUs: Long = 86400000000L): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin((TouchTypes :+ "purchase").map(x => x: Any): _*))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        (col("event_type") === "purchase").as("is_conv"),
+        col("event_type"), col("value"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val convStruct = when(col("is_conv"),
+      struct(col("ts_us").as("cts"), col("event_id").as("cid"), col("value").as("cval")))
+    val credited = ev
+      .withColumn("nc", last(convStruct, ignoreNulls = true).over(wDesc))
+      .filter(!col("is_conv") && col("nc").isNotNull &&
+        col("nc.cts") - col("ts_us") <= windowUs)
+      .select(col("nc.cid").as("conv_id"), col("nc.cval").as("conv_value"),
+        col("ts_us"), col("event_id"), col("event_type").as("touch_type"))
+    val wf = Window.partitionBy(col("conv_id")).orderBy(col("ts_us"), col("event_id"))
+    val wl = Window.partitionBy(col("conv_id")).orderBy(col("ts_us").desc, col("event_id").desc)
+    val marked = credited
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rl", row_number().over(wl))
+    val firstC = marked.filter(col("rf") === 1).groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("first_credits"), moneySum(col("conv_value")).as("first_gmv"))
+    val lastC = marked.filter(col("rl") === 1).groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("last_credits"), moneySum(col("conv_value")).as("last_gmv"))
+    firstC.join(lastC, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("first_credits"), lit(0L)).as("first_credits"),
+        coalesce(col("last_credits"), lit(0L)).as("last_credits"),
+        coalesce(col("first_gmv"), lit(0.0)).as("first_gmv"),
+        coalesce(col("last_gmv"), lit(0.0)).as("last_gmv"))
+      .orderBy(col("touch_type"))
+  }
+
+  /** Oracle: identical descending carry (IGNORE NULLS struct), micro
+    * timestamps compare as INTERVAL — same ≤ window bound. */
+  val attributionSql: String = {
+    val touches = TouchTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, ts, event_type, value,
+       |    event_type = 'purchase' AS is_conv
+       |  FROM events
+       |  WHERE event_type IN ($touches, 'purchase')),
+       |tagged AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN is_conv
+       |        THEN struct_pack(cts := ts, cid := event_id, cval := value) END
+       |      IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nc
+       |  FROM ev),
+       |credited AS (
+       |  SELECT nc.cid AS conv_id, nc.cval AS conv_value,
+       |    ts, event_id, event_type AS touch_type
+       |  FROM tagged
+       |  WHERE NOT is_conv AND nc IS NOT NULL
+       |    AND nc.cts - ts <= INTERVAL 1 DAY),
+       |marked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS rf,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, event_id DESC) AS rl
+       |  FROM credited),
+       |f AS (
+       |  SELECT touch_type, CAST(count(*) AS BIGINT) AS first_credits,
+       |    ${Agg.sqlMoneySum("conv_value")} AS first_gmv
+       |  FROM marked WHERE rf = 1 GROUP BY touch_type),
+       |l AS (
+       |  SELECT touch_type, CAST(count(*) AS BIGINT) AS last_credits,
+       |    ${Agg.sqlMoneySum("conv_value")} AS last_gmv
+       |  FROM marked WHERE rl = 1 GROUP BY touch_type)
+       |SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+       |  coalesce(first_credits, 0) AS first_credits,
+       |  coalesce(last_credits, 0) AS last_credits,
+       |  coalesce(first_gmv, 0.0) AS first_gmv,
+       |  coalesce(last_gmv, 0.0) AS last_gmv
+       |FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
+       |ORDER BY touch_type""".stripMargin
+  }
 }

@@ -301,4 +301,33 @@ class ChunkedSessionSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id[^)]*[, ]chunk".r.findFirstIn(plan).isDefined,
       "expected (user_id, chunk) window partitioning")
   }
+
+  test("attribution: first/last-touch credit, lookback cut, unattributed conversions dropped") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-attr").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    Seq(
+      // user 1: view → click → purchase(100): first=view, last=click
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(600), 1L, "click", 1.0, "{}"),
+      (3L, ns(1200), 1L, "purchase", 100.0, "{}"),
+      // signup 30 min after conv1; next purchase 25 h later → outside
+      // the 1-day lookback, conversion 5 goes unattributed
+      (4L, ns(1800), 1L, "signup", 1.0, "{}"),
+      (5L, ns(1800 + 88200 + 3600), 1L, "purchase", 50.0, "{}"),
+      // user 2: click → purchase(10): first=last=click
+      (6L, ns(0), 2L, "click", 1.0, "{}"),
+      (7L, ns(600), 2L, "purchase", 10.0, "{}"),
+      // error events never credit
+      (8L, ns(300), 2L, "error", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventAnalytics.attribution(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "click" -> ((1L, 2L, 10.0, 110.0)),
+      "view" -> ((1L, 0L, 100.0, 0.0))))
+  }
 }
