@@ -95,7 +95,9 @@ object PlanAudit {
       ("pipeline_corpus_report", "ONE documents scan derives token count + fingerprint in-row; dup mass and source totals are two partial-aggregable rollups joined on the bounded source key",
         TextOps.corpusReport(spark, d)),
       ("dedup_incremental", "asymmetric inverted-index admission: the gram join probes with DELTA grams only (corpus x corpus pairs never enumerate); the join output is the intersection stream, verdicts are one per-new-doc window",
-        Dedup.incremental(spark, d)))
+        Dedup.incremental(spark, d)),
+      ("ea_attribution", "MERGE-form attribution: ONE user-keyed descending window carries the next conversion to every touch (no inequality join); per-conversion row_numbers pick first/last; the rollup is partial-aggregated",
+        EventAnalytics.attribution(spark, d)))
     val md = new StringBuilder("# PLANS — formatted physical plans of headline queries\n\n")
     md.append("Regenerate with `sbt \"runMain graft.tools.PlanAudit\"`.\n")
     notes.foreach { case (name, note, df) =>
