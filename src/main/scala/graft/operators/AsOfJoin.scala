@@ -168,6 +168,83 @@ object AsOfJoin {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** NEAREST-event join — the bidirectional as-of (sensor alignment /
+    * "closest reading to this timestamp" shape engines ship as ASOF
+    * NEAREST): each purchase picks the view of the same user closest
+    * in time, in EITHER direction, ties to the earlier side.
+    *
+    * Same MERGE-form discipline as [[asOf]], run twice over ONE
+    * shuffled union: an ascending carry hands every purchase its
+    * latest prior view, a descending carry its earliest later view
+    * (both windows share the (user) partitioning → one Exchange), and
+    * a codegen'd CASE picks the nearer. Tie conventions are explicit
+    * and engine-mirrored: equal-ts views count for BOTH directions
+    * (Δ = 0 wins outright); among equal-ts views prev resolves to the
+    * largest view id, next to the smallest; Δprev = Δnext resolves to
+    * 'prev'. Purchases with no view at all keep null columns (left
+    * semantics). */
+  def purchaseNearestView(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val u = ev.filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        (col("event_type") === "purchase").as("is_p"),
+        when(col("event_type") === "view",
+          struct(col("ts_us").as("vts"), col("event_id").as("vid"))).as("v"))
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_p").cast("int"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("is_p").cast("int"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val picked = u
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
+      .filter(col("is_p"))
+      .withColumn("dp", col("ts_us") - col("pv.vts"))
+      .withColumn("dn", col("nv.vts") - col("ts_us"))
+    val prevWins = col("pv").isNotNull && (col("nv").isNull || col("dp") <= col("dn"))
+    picked.select(col("event_id").as("purchase_id"), col("user_id"),
+        when(prevWins, col("pv.vid")).otherwise(col("nv.vid")).as("view_id"),
+        when(prevWins, col("dp")).otherwise(col("dn")).as("delta_us"),
+        when(col("pv").isNull && col("nv").isNull, lit(null).cast("string"))
+          .when(prevWins, lit("prev")).otherwise(lit("next")).as("direction"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Oracle: the identical two IGNORE-NULLS carries and tie rules —
+    * micro deltas via epoch_us, so both engines compare the same
+    * integers. */
+  val purchaseNearestViewSql: String =
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id,
+      |    event_type = 'purchase' AS is_p,
+      |    CASE WHEN event_type = 'view'
+      |      THEN struct_pack(vts := ts, vid := event_id) END AS v
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |c AS (
+      |  SELECT *,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts, CAST(is_p AS INT), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, CAST(is_p AS INT), event_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nv
+      |  FROM u),
+      |p AS (
+      |  SELECT event_id, user_id, pv, nv,
+      |    epoch_us(ts) - epoch_us(pv.vts) AS dp,
+      |    epoch_us(nv.vts) - epoch_us(ts) AS dn
+      |  FROM c WHERE is_p)
+      |SELECT event_id AS purchase_id, user_id,
+      |  CASE WHEN pv IS NOT NULL AND (nv IS NULL OR dp <= dn)
+      |    THEN pv.vid ELSE nv.vid END AS view_id,
+      |  CASE WHEN pv IS NOT NULL AND (nv IS NULL OR dp <= dn)
+      |    THEN dp ELSE dn END AS delta_us,
+      |  CASE WHEN pv IS NULL AND nv IS NULL THEN NULL
+      |       WHEN pv IS NOT NULL AND (nv IS NULL OR dp <= dn) THEN 'prev'
+      |       ELSE 'next' END AS direction
+      |FROM p ORDER BY purchase_id""".stripMargin
+
   /** Range join: band each event's value into configured [lo, hi)
     * ranges. With a small range table the right plan is a broadcast
     * nested-loop join (each row tests a handful of bands); were the

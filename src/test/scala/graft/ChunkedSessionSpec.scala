@@ -302,6 +302,44 @@ class ChunkedSessionSpec extends SparkSpec {
       "expected (user_id, chunk) window partitioning")
   }
 
+  test("nearest view: direction pick, exact tie to prev, equal-ts view wins at zero") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val d = Files.createTempDirectory("graft-nearest").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    Seq(
+      // user 1: views at 0 and 100; purchase at 30 → prev (Δ30) beats next (Δ70)
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(100), 1L, "view", 1.0, "{}"),
+      (3L, ns(30), 1L, "purchase", 9.0, "{}"),
+      // user 2: views at 0 and 200; purchase at 100 → exact tie → prev
+      (4L, ns(0), 2L, "view", 1.0, "{}"),
+      (5L, ns(200), 2L, "view", 1.0, "{}"),
+      (6L, ns(100), 2L, "purchase", 9.0, "{}"),
+      // user 3: only a LATER view → next
+      (7L, ns(500), 3L, "view", 1.0, "{}"),
+      (8L, ns(400), 3L, "purchase", 9.0, "{}"),
+      // user 4: view exactly AT the purchase ts → Δ=0, prev
+      (9L, ns(700), 4L, "view", 1.0, "{}"),
+      (10L, ns(700), 4L, "purchase", 9.0, "{}"),
+      // user 5: no views at all → null columns
+      (11L, ns(900), 5L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = AsOfJoin.purchaseNearestView(spark, d).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "none" else r.getString(4)))).toMap
+    assert(got === Map(
+      3L -> ((1L, 30000000L, "prev")),
+      6L -> ((4L, 100000000L, "prev")),
+      8L -> ((7L, 100000000L, "next")),
+      10L -> ((9L, 0L, "prev")),
+      11L -> ((-1L, -1L, "none"))))
+  }
+
   test("attribution: first/last-touch credit, lookback cut, unattributed conversions dropped") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-attr").toFile.getAbsolutePath
