@@ -21,6 +21,18 @@ import org.apache.spark.sql.types.MapType
 object Bench {
   private val Iters = 3
 
+  /** The host-load control query. Its frozen budget (BenchBudgets) was
+    * measured on a quiet host; the ratio of its in-sweep median to that
+    * budget estimates how loaded THIS run's host is, and every
+    * violation cut is scaled by that factor (floored at 1 — a fast
+    * host never tightens the gate). Rounds 3 and 4 both produced false
+    * violations from a uniformly ~10x-contended host that an exclusive
+    * judge re-run dismissed; a uniform slowdown moves the control by
+    * the same factor as the suspects, so it can no longer manufacture
+    * violations, while a genuine single-query plan regression leaves
+    * the control untouched and still trips the gate. */
+  private val ControlQuery = "q1_pricing_summary"
+
   /** Forces evaluation of every column: hash each row's full width,
     * xor-fold to one long. Map columns are serialized first (Spark
     * forbids hashing MapType — key order is undefined). Shared with
@@ -93,8 +105,15 @@ object Bench {
     // Budgets are pinned at sf0.1/local[32]; any other configuration
     // gets timings but no gate.
     val gated = sfDir.endsWith("sf0.1") && cpus == "32"
+    // host-load factor from the control query's in-sweep median
+    val controlBudget = BenchBudgets.budgets(ControlQuery)
+    val controlMedian = results.collectFirst {
+      case (ControlQuery, v, true) => v
+    }.getOrElse(controlBudget)
+    val hostFactor = math.max(1.0, controlMedian / controlBudget)
     val suspects = results.collect {
-      case (k, v, true) if gated && BenchBudgets.budgets.get(k).exists(v > 2 * _) =>
+      case (k, v, true) if gated &&
+        BenchBudgets.budgets.get(k).exists(v > 2 * hostFactor * _) =>
         (k, v)
     }
     // Contention guard: the full ~110-query sweep shares the host with
@@ -106,26 +125,34 @@ object Bench {
     // queueing) and only stays a violation if the re-run median still
     // exceeds the gate. Both numbers are recorded so the judge can see
     // the first capture was the artifact.
+    // the re-measure phase gets its own control capture: a host that is
+    // STILL loaded when the re-run happens (round 4: a 24.7 s "remeasure"
+    // of a 2.7 s query) must scale the re-measure cut too
+    def medianOf(fn: (SparkSession, String) => DataFrame): Double =
+      (1 to Iters).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        forceEval(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(Iters / 2)
+    val reControl =
+      if (suspects.isEmpty) controlMedian
+      else try medianOf(SparkEntry.queries(ControlQuery))
+      catch { case _: Throwable => controlMedian }
+    val reFactor = math.max(1.0, reControl / controlBudget)
     val confirmed = suspects.map { case (k, firstMedian) =>
       val fn = SparkEntry.queries(k)
       // the query already ran clean three times in the sweep; if the
       // re-run still throws, keep the first capture (stay a violation)
-      val re = try {
-        (1 to Iters).map { _ =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          forceEval(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        }.sorted.apply(Iters / 2)
-      } catch { case _: Throwable => firstMedian }
+      val re = try medianOf(fn) catch { case _: Throwable => firstMedian }
       val budget = BenchBudgets.budgets(k)
-      val stillOver = re > 2 * budget
+      val stillOver = re > 2 * reFactor * budget
       if (stillOver)
         System.err.println(f"[bench] BUDGET VIOLATION: $k%s first ${firstMedian}%.2fs, " +
-          f"re-measured ${re}%.2fs > 2x budget ${budget}%.2fs (BASELINE.md)")
+          f"re-measured ${re}%.2fs > 2x budget ${budget}%.2fs x host factor ${reFactor}%.2f (BASELINE.md)")
       else
         System.err.println(f"[bench] contention artifact dismissed: $k%s first " +
-          f"${firstMedian}%.2fs, re-measured ${re}%.2fs <= 2x budget ${budget}%.2fs")
+          f"${firstMedian}%.2fs, re-measured ${re}%.2fs <= 2x budget ${budget}%.2fs x host factor ${reFactor}%.2f")
       (k, firstMedian, re, stillOver)
     }
     val violations = confirmed.collect { case (k, _, re, true) =>
@@ -139,7 +166,18 @@ object Bench {
     val unbudgeted = results.collect {
       case (k, _, true) if !BenchBudgets.budgets.contains(k) => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"budget_violations":$violations,"remeasured":$remeasured,"unbudgeted":$unbudgeted,"sf":"$sfDir","iters":$Iters,"stat":"median","sink":"bit_xor(xxhash64(*))"}""")
+    val control = s"""{"query":"$ControlQuery","budget":$controlBudget,"sweep_median":$controlMedian,"sweep_factor":$hostFactor,"remeasure_median":$reControl,"remeasure_factor":$reFactor}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"budget_violations":$violations,"remeasured":$remeasured,"unbudgeted":$unbudgeted,"control":$control,"sf":"$sfDir","iters":$Iters,"stat":"median","sink":"bit_xor(xxhash64(*))"}"""
+    println(line)
+    // BENCH_r03/r04 both arrived with "parsed": null — the stdout line
+    // drowned in sbt noise. The file copy is the canonical artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -44,4 +44,21 @@ class ContractSpec extends SparkSpec {
   test("entry() returns rows (driver smoke check)") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }
+
+  test("BASELINE.md budget table matches BenchBudgets.budgets exactly") {
+    // The repo rule is "update BOTH files in the same commit"; round 4
+    // shipped with 12 rows missing and 5 stale values in the markdown.
+    // This makes the rule mechanical: parse the table, diff the map.
+    val rowRe = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|""".r
+    val lines = scala.io.Source.fromFile("BASELINE.md", "UTF-8").getLines().toSeq
+    val table = lines.collect { case rowRe(q, b) => q -> b.toDouble }.toMap
+    val missing = BenchBudgets.budgets.keySet -- table.keySet
+    val extra = table.keySet -- BenchBudgets.budgets.keySet
+    assert(missing.isEmpty, s"in BenchBudgets but not BASELINE.md: $missing")
+    assert(extra.isEmpty, s"in BASELINE.md but not BenchBudgets: $extra")
+    val stale = BenchBudgets.budgets.collect {
+      case (q, b) if math.abs(table(q) - b) > 0.005 => s"$q md=${table(q)} scala=$b"
+    }
+    assert(stale.isEmpty, s"stale values: ${stale.mkString(", ")}")
+  }
 }
