@@ -183,22 +183,38 @@ object AsOfJoin {
     * largest view id, next to the smallest; Δprev = Δnext resolves to
     * 'prev'. Purchases with no view at all keep null columns (left
     * semantics). */
-  def purchaseNearestView(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val u = ev.filter(col("event_type").isin("purchase", "view"))
+  def purchaseNearestView(s: SparkSession, d: String): DataFrame =
+    nearestTail(nearestCarries(nearestPrep(Tables.events(s, d))))
+
+  /** Shared projection for the nearest-view family: purchases and
+    * views only, with the view payload riding in ONE nullable struct
+    * (non-null ⇔ view row), so both carry directions and both the
+    * plain and chunked forms see identical inputs. */
+  private[operators] def nearestPrep(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isin("purchase", "view"))
       .select(col("user_id"), col("ts_us"), col("event_id"),
         (col("event_type") === "purchase").as("is_p"),
         when(col("event_type") === "view",
           struct(col("ts_us").as("vts"), col("event_id").as("vid"))).as("v"))
+
+  /** The plain dual carry: latest prior view ascending, earliest later
+    * view descending, both windows sharing one (user) Exchange. */
+  private[operators] def nearestCarries(u: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("is_p").cast("int"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wNext = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("is_p").cast("int"), col("event_id").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val picked = u
-      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+    u.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
       .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
+  }
+
+  /** Verdict + output shape shared verbatim by [[purchaseNearestView]]
+    * and [[purchaseNearestViewChunked]] — one definition, so the
+    * chunked variant cannot drift from the oracle it shares. */
+  private def nearestTail(carried: DataFrame): DataFrame = {
+    val picked = carried
       .filter(col("is_p"))
       .withColumn("dp", col("ts_us") - col("pv.vts"))
       .withColumn("dn", col("nv.vts") - col("ts_us"))
@@ -209,6 +225,52 @@ object AsOfJoin {
         when(col("pv").isNull && col("nv").isNull, lit(null).cast("string"))
           .when(prevWins, lit("prev")).otherwise(lit("next")).as("direction"))
       .orderBy(col("purchase_id"))
+  }
+
+  /** Hot-key-safe nearest-view join — identical output to
+    * [[purchaseNearestView]] (same oracle), per-key serial work
+    * O(time-chunks): the [[Dwm.chunkedNeighbors]] bidirectional stitch
+    * applied to the dual IGNORE-NULLS carries. Within (user, chunk)
+    * windows give the local prev/next view; the prev carry entering a
+    * chunk is the max (vts, vid) view struct among EARLIER non-empty
+    * chunks and the next carry the min view struct among LATER ones —
+    * both from windows over chunk rows, not event rows (struct min/max
+    * ignore nulls and compare (vts, vid) lexicographically, which is
+    * exactly each direction's tie rule). A billion-event user spreads
+    * across chunk partitions instead of serializing one task. */
+  def purchaseNearestViewChunked(s: SparkSession, d: String): DataFrame =
+    purchaseNearestViewChunkedDf(Tables.events(s, d), chunkUs = 86400L * 1000000L)
+
+  def purchaseNearestViewChunkedDf(events: DataFrame, chunkUs: Long): DataFrame =
+    nearestTail(nearestCarriesChunked(nearestPrep(events), chunkUs))
+
+  private[operators] def nearestCarriesChunked(u0: DataFrame, chunkUs: Long): DataFrame = {
+    val u = u0.withColumn("_chunk", expr(s"ts_us div $chunkUs"))
+    val wLp = Window.partitionBy(col("user_id"), col("_chunk"))
+      .orderBy(col("ts_us"), col("is_p").cast("int"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLn = Window.partitionBy(col("user_id"), col("_chunk"))
+      .orderBy(col("ts_us").desc, col("is_p").cast("int"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = u
+      .withColumn("lpv", last(col("v"), ignoreNulls = true).over(wLp))
+      .withColumn("lnv", last(col("v"), ignoreNulls = true).over(wLn))
+    // one row per (user, chunk): the view carry leaving the chunk in
+    // each direction; runs of view-free chunks stitch because the
+    // chunk-level carries skip nulls
+    val wPrevChunk = Window.partitionBy(col("user_id")).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextChunk = Window.partitionBy(col("user_id")).orderBy(col("_chunk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = u.groupBy(col("user_id"), col("_chunk"))
+      .agg(max(col("v")).as("cmax_v"), min(col("v")).as("cmin_v"))
+      .withColumn("pin", last(col("cmax_v"), ignoreNulls = true).over(wPrevChunk))
+      .withColumn("nin", last(col("cmin_v"), ignoreNulls = true).over(wNextChunk))
+      .select(col("user_id"), col("_chunk"), col("pin"), col("nin"))
+    local.join(stats, Seq("user_id", "_chunk"))
+      .withColumn("pv", coalesce(col("lpv"), col("pin")))
+      .withColumn("nv", coalesce(col("lnv"), col("nin")))
+      .drop("lpv", "lnv", "pin", "nin", "_chunk")
   }
 
   /** Oracle: the identical two IGNORE-NULLS carries and tie rules —

@@ -340,6 +340,78 @@ class ChunkedSessionSpec extends SparkSpec {
       11L -> ((-1L, -1L, "none"))))
   }
 
+  test("chunked nearest view == plain at several chunk sizes (corpus)") {
+    import graft.operators.AsOfJoin
+    val plain = AsOfJoin.purchaseNearestView(spark, sf0001).collect().toSeq
+    // 11-minute chunks put many nearest pairs across chunk boundaries
+    Seq(3600L * 1000000L, 660L * 1000000L).foreach { chunkUs =>
+      val chunked = AsOfJoin.purchaseNearestViewChunkedDf(
+        Tables.events(spark, sf0001), chunkUs).collect().toSeq
+      assert(chunked === plain, s"mismatch at chunkUs=$chunkUs")
+    }
+  }
+
+  test("chunked nearest view stitches boundary straddles, equal-Δ at a chunk edge, empty chunks") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val d = Files.createTempDirectory("graft-nearest-chunks").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    Seq(
+      // user 1: purchase at 150 (chunk 1, view-free); prev view at 90
+      // (chunk 0), next view at 210 (chunk 2) → EQUAL Δ=60 across two
+      // boundaries: ties must resolve to prev, exactly as plain
+      (1L, ns(90), 1L, "view", 1.0, "{}"),
+      (2L, ns(210), 1L, "view", 1.0, "{}"),
+      (3L, ns(150), 1L, "purchase", 9.0, "{}"),
+      // user 2: purchase at 450 (chunk 4); nearest view at 120 (chunk 1)
+      // — the prev carry must cross chunks 2-3, which are EMPTY
+      (4L, ns(120), 2L, "view", 1.0, "{}"),
+      (5L, ns(450), 2L, "purchase", 9.0, "{}"),
+      // user 3: TWO equal-ts views at 700 (chunk 7); purchase at 810
+      // (chunk 8) → prev across the boundary picks the LARGEST vid
+      (6L, ns(700), 3L, "view", 1.0, "{}"),
+      (7L, ns(700), 3L, "view", 1.0, "{}"),
+      (8L, ns(810), 3L, "purchase", 9.0, "{}"),
+      // user 4: purchase at 890 (chunk 8); TWO equal-ts views at 950
+      // (chunk 9) → next across the boundary picks the SMALLEST vid
+      (9L, ns(890), 4L, "purchase", 9.0, "{}"),
+      (10L, ns(950), 4L, "view", 1.0, "{}"),
+      (11L, ns(950), 4L, "view", 1.0, "{}"),
+      // user 5: view exactly AT a chunk boundary (1000 = chunk 10
+      // start), purchase in the PREVIOUS chunk at 990 → next, Δ=10
+      (12L, ns(990), 5L, "purchase", 9.0, "{}"),
+      (13L, ns(1000), 5L, "view", 1.0, "{}"),
+      // user 6: no views → null columns survive the stitch
+      (14L, ns(1100), 6L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val chunkUs = 100L * 1000000L
+    val chunked = AsOfJoin.purchaseNearestViewChunkedDf(
+      Tables.events(spark, d), chunkUs).collect()
+    val got = chunked.map(r => r.getLong(0) -> ((
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) "none" else r.getString(4)))).toMap
+    assert(got === Map(
+      3L -> ((1L, 60000000L, "prev")),
+      5L -> ((4L, 330000000L, "prev")),
+      8L -> ((7L, 110000000L, "prev")),
+      9L -> ((10L, 60000000L, "next")),
+      12L -> ((13L, 10000000L, "next")),
+      14L -> ((-1L, -1L, "none"))))
+    // and identical to the plain formulation on the planted data
+    val plain = AsOfJoin.purchaseNearestView(spark, d).collect().toSeq
+    assert(chunked.toSeq === plain)
+  }
+
+  test("chunked nearest windows partition by (user, _chunk), not by user alone") {
+    val plan = graft.operators.AsOfJoin.purchaseNearestViewChunked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id[^)]*_chunk".r.findFirstIn(plan).isDefined,
+      "expected (user_id, _chunk) window partitioning in the chunked nearest plan")
+  }
+
   test("attribution: first/last-touch credit, lookback cut, unattributed conversions dropped") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-attr").toFile.getAbsolutePath
