@@ -22,13 +22,15 @@ import org.apache.spark.sql.types._
   * The accumulation order is ascending-index, exactly the fold order
   * of both the `aggregate(zip_with(...))` form it replaces and
   * DuckDB's `list_dot_product` — every oracle hash compare stays
-  * bit-identical. Null ELEMENTS contribute 0.0 and mismatched lengths
-  * fold over the shorter prefix — both are contract violations for
-  * the dense equal-length embedding columns this serves (the
-  * `zip_with` form would instead null-poison the whole sum), chosen
-  * so a malformed row degrades to a finite score instead of a
-  * null that silently drops it from a top-k. A null ARRAY on either
-  * side yields null (standard binary-expression null semantics). */
+  * bit-identical. Mismatched lengths RAISE (matching DuckDB's
+  * `list_dot_product`): for the dense equal-length embedding columns
+  * this serves, a length mismatch is a corrupt row, and folding the
+  * shorter prefix would let any future oracle-compared op drift
+  * silently to a wrong-but-finite score instead of failing loudly.
+  * Null ELEMENTS contribute 0.0 (the `zip_with` form would instead
+  * null-poison the whole sum — a null that silently drops the row
+  * from a top-k). A null ARRAY on either side yields null (standard
+  * binary-expression null semantics). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -45,7 +47,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) DotProduct.lengthMismatch(n, y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -61,7 +64,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  graft.functions.DotProduct.lengthMismatch($n, $b.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
@@ -75,4 +81,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(
     newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Called from both the interpreted and the generated path. */
+  def lengthMismatch(l: Int, r: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"graft_dot: array length mismatch ($l vs $r) — embedding columns " +
+        "must be dense and equal-length; a mismatch is a corrupt row")
 }

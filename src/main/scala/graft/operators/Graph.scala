@@ -253,11 +253,13 @@ object Graph {
       .select(col("u"), explode(slice(col("ps"), col("i") + 2,
         greatest(size(col("ps")) - col("i") - 1, lit(0)))).as("v"))
       .distinct()
-    // rank = degree-then-id packed into one long so the orientation
-    // test stays a primitive comparison
+    // rank = (degree, id) compared as a struct — lexicographic struct
+    // ordering gives degree-then-id directly, with no packing constant
+    // to overflow once node ids pass 1e10 (TPC-H partkey does around
+    // sf~50000, squarely inside this op's 100 TB design envelope)
     val deg = pairs.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val rk = (col("deg") * lit(10000000000L) + col("node")).as("rk")
+    val rk = struct(col("deg"), col("node")).as("rk")
     val ranked = pairs
       .join(deg.select(col("node").as("u"), rk.as("rku")), "u")
       .join(deg.select(col("node").as("v"), rk.as("rkv")), "v")
@@ -280,12 +282,18 @@ object Graph {
     // the per-edge closure count, every z one — three narrow
     // projections, partial-aggregated before the one count shuffle
     val n = size(col("zs")).cast("long")
-    withCommon.select(col("x").as("part_key"), n.as("ct"))
+    val top = withCommon.select(col("x").as("part_key"), n.as("ct"))
       .unionAll(withCommon.select(col("y").as("part_key"), n.as("ct")))
       .unionAll(withCommon.select(explode(col("zs")).as("part_key"), lit(1L).as("ct")))
       .groupBy(col("part_key")).agg(sum(col("ct")).as("tri_ct"))
       .orderBy(col("tri_ct").desc, col("part_key"))
       .limit(20)
+    // materialize the 20-row result so the three cache pins release
+    // immediately (the pageRank discipline) instead of accumulating
+    // for the lifetime of the shared session
+    val result = top.localCheckpoint(true)
+    Seq(oriented, adj, withCommon).foreach(_.unpersist())
+    result
   }
 
   /** Oracle: the naive value-ordered closure — DISTINCT u<v edges,

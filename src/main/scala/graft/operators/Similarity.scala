@@ -491,12 +491,18 @@ object Similarity {
     val moments = withD.groupBy(col("label")).agg(
       count(lit(1)).as("n"), sum(col("du")).as("s"),
       sum(dec(col("du")) * dec(col("du"))).as("ss"))
+    // a degenerate label (one vector, or all distances equal) has zero
+    // variance: guard the division explicitly so z is NULL by RULE in
+    // both engines — unguarded, Spark's non-ANSI Divide gives NULL but
+    // recent DuckDB (ieee_floating_point_ops) gives NaN/±inf, and the
+    // hash compare would break on the first degenerate label
+    val variance = dec(col("n")) * col("ss") - dec(col("s")) * dec(col("s"))
     withD.join(moments, "label")
       .select(col("vec_id"), col("label"),
         round(col("du").cast("double") / 1000000.0, 6).as("dist"),
-        round((dec(col("n")) * dec(col("du")) - dec(col("s"))).cast("double") /
-          sqrt((dec(col("n")) * col("ss") - dec(col("s")) * dec(col("s"))).cast("double")), 6)
-          .as("z"))
+        when(variance > 0,
+          round((dec(col("n")) * dec(col("du")) - dec(col("s"))).cast("double") /
+            sqrt(variance.cast("double")), 6)).as("z"))
       .withColumn("is_outlier", (abs(col("z")) > 2.0).cast("int"))
       .orderBy(col("vec_id"))
   }
@@ -525,10 +531,12 @@ object Similarity {
       |  FROM wd GROUP BY label)
       |SELECT vec_id, wd.label,
       |  round(CAST(du AS DOUBLE) / 1000000.0, 6) AS dist,
-      |  round(CAST(n * CAST(du AS HUGEINT) - s AS DOUBLE) /
-      |        sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS z,
-      |  CAST(abs(round(CAST(n * CAST(du AS HUGEINT) - s AS DOUBLE) /
-      |        sqrt(CAST(n * ss - s * s AS DOUBLE)), 6)) > 2.0 AS INTEGER) AS is_outlier
+      |  CASE WHEN n * ss - s * s > 0 THEN
+      |    round(CAST(n * CAST(du AS HUGEINT) - s AS DOUBLE) /
+      |          sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) END AS z,
+      |  CAST(abs(CASE WHEN n * ss - s * s > 0 THEN
+      |    round(CAST(n * CAST(du AS HUGEINT) - s AS DOUBLE) /
+      |          sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) END) > 2.0 AS INTEGER) AS is_outlier
       |FROM wd JOIN mo ON wd.label = mo.label
       |ORDER BY vec_id""".stripMargin
 
@@ -562,7 +570,7 @@ object Similarity {
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "dim BIGINT, loading DOUBLE, var_share DOUBLE"))
+          "component BIGINT, dim BIGINT, loading DOUBLE, var_share DOUBLE"))
     }
     val mu = sv.map(_ / n)
     val cov = Array.tabulate(dim, dim)((i, j) => so(i * dim + j) / n - mu(i) * mu(j))
@@ -570,32 +578,68 @@ object Similarity {
     // any eigenvector whose components sum to zero (e.g. anti-correlated
     // dim pairs), stalling the iteration at the start vector; a fixed
     // pseudo-random direction has nonzero overlap with any eigenvector
-    // that isn't adversarially tuned to this seed
-    var x = Array.tabulate(dim) { i =>
-      (((i + 1) * 6364136223846793005L + 1442695040888963407L) >>> 11).toDouble
-    }
-    val x0n = math.sqrt(x.map(v => v * v).sum)
-    x = x.map(_ / x0n)
-    for (_ <- 1 to 200) {
-      val y = Array.tabulate(dim) { i =>
-        var t = 0.0; var j = 0
-        while (j < dim) { t += cov(i)(j) * x(j); j += 1 }
-        t
+    // that isn't adversarially tuned to this seed. Each component gets
+    // its own seed so the deflated iteration does not start parallel to
+    // the component it must be orthogonal to.
+    def lcgStart(seed: Long): Array[Double] = {
+      val x = Array.tabulate(dim) { i =>
+        (((i + 1) * 6364136223846793005L + seed) >>> 11).toDouble
       }
-      val nrm = math.sqrt(y.map(v => v * v).sum)
-      if (nrm > 0) x = y.map(_ / nrm)
+      val nrm = math.sqrt(x.map(v => v * v).sum)
+      x.map(_ / nrm)
     }
-    val lambda = (0 until dim).map { i =>
-      x(i) * (0 until dim).map(j => cov(i)(j) * x(j)).sum
-    }.sum
+    // power iteration on `m`, re-orthogonalized against `against` every
+    // step (belt over the deflation's braces: floating-point drift back
+    // toward the dominant direction is projected out before it grows)
+    def powerIter(m: Array[Array[Double]], start: Array[Double],
+        against: Seq[Array[Double]]): Array[Double] = {
+      def orth(v: Array[Double]): Array[Double] = {
+        var r = v
+        against.foreach { u =>
+          val p = r.zip(u).map { case (a, b) => a * b }.sum
+          r = r.zip(u).map { case (a, b) => a - p * b }
+        }
+        r
+      }
+      var x = orth(start)
+      val n0 = math.sqrt(x.map(v => v * v).sum)
+      if (n0 > 0) x = x.map(_ / n0)
+      for (_ <- 1 to 200) {
+        val y = orth(Array.tabulate(dim) { i =>
+          var t = 0.0; var j = 0
+          while (j < dim) { t += m(i)(j) * x(j); j += 1 }
+          t
+        })
+        val nrm = math.sqrt(y.map(v => v * v).sum)
+        if (nrm > 0) x = y.map(_ / nrm)
+      }
+      x
+    }
+    def rayleigh(m: Array[Array[Double]], x: Array[Double]): Double =
+      (0 until dim).map { i =>
+        x(i) * (0 until dim).map(j => m(i)(j) * x(j)).sum
+      }.sum
     val trace = (0 until dim).map(i => cov(i)(i)).sum
-    val k = x.indices.maxBy(i => math.abs(x(i)))
-    val signed = if (x(k) < 0) x.map(v => -v) else x
-    val share = if (trace > 0) lambda / trace else 0.0
-    signed.zipWithIndex
-      .map { case (l, i) =>
-        ((i + 1).toLong, math.rint(l * 1e6) / 1e6, math.rint(share * 1e6) / 1e6) }
-      .toSeq.toDF("dim", "loading", "var_share")
-      .orderBy(col("dim"))
+    val v1 = powerIter(cov, lcgStart(1442695040888963407L), Nil)
+    val lambda1 = rayleigh(cov, v1)
+    // one deflation step: component 2 is the dominant direction of
+    // cov − λ₁·v₁v₁ᵀ (the all-but-the-top recipe removes the top D
+    // components; this is the same single-scan Σx/Σxxᵀ — no new
+    // distributed work, just O(dim²) more driver arithmetic)
+    val deflated = Array.tabulate(dim, dim)((i, j) => cov(i)(j) - lambda1 * v1(i) * v1(j))
+    val v2 = powerIter(deflated, lcgStart(-8723657262896443283L), Seq(v1))
+    val lambda2 = rayleigh(cov, v2)
+    def emit(component: Long, x: Array[Double], lambda: Double) = {
+      val k = x.indices.maxBy(i => math.abs(x(i)))
+      val signed = if (x(k) < 0) x.map(v => -v) else x
+      val share = if (trace > 0) lambda / trace else 0.0
+      signed.zipWithIndex.map { case (l, i) =>
+        (component, (i + 1).toLong, math.rint(l * 1e6) / 1e6,
+          math.rint(share * 1e6) / 1e6)
+      }.toSeq
+    }
+    (emit(1L, v1, lambda1) ++ emit(2L, v2, lambda2))
+      .toDF("component", "dim", "loading", "var_share")
+      .orderBy(col("component"), col("dim"))
   }
 }

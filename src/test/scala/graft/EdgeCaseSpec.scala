@@ -198,13 +198,20 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     val rows = graft.operators.Similarity.embPca(spark, d).collect()
-    assert(rows.length === 8)
+    assert(rows.length === 16, "8 dims x 2 components")
     rows.foreach { r =>
-      assert(!r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
-      assert(r.getDouble(2) === 0.0)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+      assert(r.getDouble(3) === 0.0)
     }
-    // the (arbitrary but deterministic) start direction stays a unit vector
-    assert(math.abs(rows.map(r => r.getDouble(1) * r.getDouble(1)).sum - 1.0) < 1e-4)
+    // each component's (arbitrary but deterministic) start direction
+    // stays a unit vector, and the pair stays orthogonal
+    val byComp = rows.groupBy(_.getLong(0))
+      .map { case (c, rs) => c -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    byComp.values.foreach { v =>
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+    }
+    val dot12 = byComp(1L).zip(byComp(2L)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot12) < 1e-4, "components must stay orthogonal")
     // and an empty corpus returns an empty frame, not a crash
     val e = Files.createTempDirectory("graft-pca-empty").toFile.getAbsolutePath
     Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")

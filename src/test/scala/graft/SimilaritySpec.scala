@@ -201,39 +201,66 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("emb_pca recovers planted principal directions") {
+  test("emb_pca recovers planted principal directions (components 1 AND 2)") {
     import spark.implicits._
-    def pca(vecs: Seq[Array[Float]]): (Map[Long, Double], Double) = {
+    // per component: (loading by 1-based dim, var_share)
+    def pca(vecs: Seq[Array[Float]]): Map[Long, (Map[Long, Double], Double)] = {
       val d = java.nio.file.Files.createTempDirectory("graft-pca")
         .toFile.getAbsolutePath
       vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
         .toDF("vec_id", "embedding", "label")
         .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-      val rows = Similarity.embPca(spark, d).collect()
-      (rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap, rows.head.getDouble(2))
+      Similarity.embPca(spark, d).collect()
+        .groupBy(_.getLong(0)).map { case (c, rs) =>
+          c -> ((rs.map(r => r.getLong(1) -> r.getDouble(2)).toMap,
+            rs.head.getDouble(3)))
+        }
     }
     val dim = 8
     def axis(k: Int, t: Float): Array[Float] =
       Array.tabulate(dim)(i => if (i == k) t else 0f)
-    // variance entirely along dim 3 (1-based: 4): loading e4, share 1
-    val (l1, s1) = pca((1 to 10).map(t => axis(3, t.toFloat)))
+    // variance entirely along dim 3 (1-based: 4): loading e4, share 1;
+    // component 2 of a rank-1 covariance carries ZERO variance share
+    val c1 = pca((1 to 10).map(t => axis(3, t.toFloat)))
+    val (l1, s1) = c1(1L)
     assert(math.abs(l1(4L) - 1.0) < 1e-6 && s1 === 1.0)
     assert((1 to dim).filter(_ != 4).forall(i => math.abs(l1(i.toLong)) < 1e-6))
+    assert(c1(2L)._2 === 0.0, "rank-1 data: component 2 share must be 0")
     // variance along the (3,4)/5 line in dims 1-2: loadings 0.6 / 0.8,
     // sign normalized to the largest-|loading| component
     val (l2, s2) = pca((1 to 10).map(t => Array.tabulate(dim)(i =>
-      if (i == 0) 3f * t else if (i == 1) 4f * t else 0f)))
+      if (i == 0) 3f * t else if (i == 1) 4f * t else 0f)))(1L)
     assert(math.abs(l2(1L) - 0.6) < 1e-6 && math.abs(l2(2L) - 0.8) < 1e-6)
     assert(s2 === 1.0)
     // anti-correlated dims: the PC's components sum to zero, which a
     // UNIFORM power-iteration start is exactly orthogonal to — the LCG
     // start must still converge to (1,-1)/sqrt(2)
     val (l3, s3) = pca((1 to 10).map(t => Array.tabulate(dim)(i =>
-      if (i == 0) t.toFloat else if (i == 1) -t.toFloat else 0f)))
+      if (i == 0) t.toFloat else if (i == 1) -t.toFloat else 0f)))(1L)
     val r2 = 1.0 / math.sqrt(2)
     assert(math.abs(math.abs(l3(1L)) - r2) < 1e-6 && math.abs(math.abs(l3(2L)) - r2) < 1e-6)
     assert(l3(1L) * l3(2L) < 0, "components must oppose")
     assert(s3 === 1.0)
+    // TWO planted axes (independent factor grid): the dominant factor
+    // runs along (0.6, 0.8) in dims 1-2, the second along dim 3 with
+    // far smaller spread — the deflated iteration must recover e3 with
+    // the exact residual variance share
+    val twoAxis = for (t <- 1 to 10; u <- -2 to 2) yield
+      Array.tabulate(dim)(i =>
+        if (i == 0) 3f * t else if (i == 1) 4f * t else if (i == 2) u.toFloat else 0f)
+    val both = pca(twoAxis)
+    val (p1, ps1) = both(1L)
+    val (p2, ps2) = both(2L)
+    assert(math.abs(p1(1L) - 0.6) < 1e-5 && math.abs(p1(2L) - 0.8) < 1e-5)
+    assert(math.abs(p1(3L)) < 1e-5, "PC1 must not leak into the minor axis")
+    assert(math.abs(p2(3L) - 1.0) < 1e-5, "PC2 must be the planted minor axis")
+    assert((1 to dim).filter(_ != 3).forall(i => math.abs(p2(i.toLong)) < 1e-5))
+    // var(5t) = 25·8.25 = 206.25, var(u) = 2 → shares over 208.25
+    assert(math.abs(ps1 - 206.25 / 208.25) < 1e-5)
+    assert(math.abs(ps2 - 2.0 / 208.25) < 1e-5)
+    // determinism across runs (the driver-side iteration is a fixed
+    // IEEE sequence on exact aggregate inputs)
+    assert(pca(twoAxis) === both)
   }
 
   test("graft_dot: native codegen bit-matches the declarative fold and handles edges") {
@@ -250,13 +277,23 @@ class SimilaritySpec extends SparkSpec {
       .collect()
     assert(both.nonEmpty)
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
-    // edges: length mismatch folds over the shorter; null array → null
+    // edges: null array → null; a length mismatch RAISES (a corrupt
+    // row must fail loudly, not fold to a wrong-but-finite score —
+    // matching DuckDB's list_dot_product)
     val edge = spark.sql(
-      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 20.0d)) AS a,
-        |       graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS b""".stripMargin)
+      "SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS b")
       .collect()(0)
-    assert(edge.getDouble(0) === 50.0)
-    assert(edge.isNullAt(1))
+    assert(edge.isNullAt(0))
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 20.0d)) AS a")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => String.valueOf(c.getMessage).contains("length mismatch")),
+      s"expected a length-mismatch failure, got: $err")
   }
 
   test("emb outliers: a planted far vector flags, the tight cluster does not") {
@@ -264,9 +301,12 @@ class SimilaritySpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("graft-outlier")
       .toFile.getAbsolutePath
     // label 0: 20 vectors near the origin + one far outlier;
-    // label 1: a tight pair (degenerate: both distances equal → z=NaN
-    // guard is not needed because n*ss = s² gives ±0/0 → NULL in both
-    // engines; keep n=3 with distinct dists instead)
+    // label 1: n=3 with distinct dists (healthy variance);
+    // label 2: DEGENERATE — a symmetric pair whose two distances to
+    // the centroid are equal, so n·ss − s² = 0 and the explicit
+    // when(variance > 0) guard must emit NULL z (unguarded, Spark
+    // gives NULL but recent DuckDB gives NaN/inf — version-dependent);
+    // label 3: DEGENERATE — a single vector (n=1, dist 0)
     val cluster = (0 until 20).map { i =>
       (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 0.1f else 0f), 0)
     }
@@ -275,10 +315,15 @@ class SimilaritySpec extends SparkSpec {
       (30L, Array(1f, 0f, 0f, 0f), 1),
       (31L, Array(0f, 1f, 0f, 0f), 1),
       (32L, Array(3f, 3f, 0f, 0f), 1))
-    (cluster ++ far ++ other)
+    val degenerate = Seq(
+      (40L, Array(2f, 0f, 0f, 0f), 2),
+      (41L, Array(0f, 2f, 0f, 0f), 2),
+      (50L, Array(5f, 5f, 5f, 5f), 3))
+    (cluster ++ far ++ other ++ degenerate)
       .toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-    val out = Similarity.embOutliers(spark, d).collect()
+    val rows = Similarity.embOutliers(spark, d).collect()
+    val out = rows.filterNot(_.isNullAt(3))
       .map(r => r.getLong(0) -> ((r.getDouble(3), r.getInt(4)))).toMap
     assert(out(20L)._2 === 1, s"far vector must flag, z=${out(20L)._1}")
     assert((0 until 20).forall(i => out(i.toLong)._2 === 0),
@@ -287,6 +332,13 @@ class SimilaritySpec extends SparkSpec {
     // z-scores within a label sum to ~0 (standardization sanity)
     val zsum = (0 to 20).map(i => out(i.toLong)._1).sum
     assert(math.abs(zsum) < 1e-3)
+    // degenerate labels: z and is_outlier are NULL by rule, dist survives
+    val degRows = rows.filter(r => Set(40L, 41L, 50L).contains(r.getLong(0)))
+    assert(degRows.length === 3)
+    degRows.foreach { r =>
+      assert(r.isNullAt(3), s"z must be NULL for degenerate vec ${r.getLong(0)}")
+      assert(r.isNullAt(4), s"is_outlier must be NULL for degenerate vec ${r.getLong(0)}")
+    }
   }
 
   test("exact kNN graph: every vector's neighbor list matches driver-side truth") {
@@ -359,5 +411,53 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.knnGraphLsh(spark, d, k = 3).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(lsh === exact, "hot-bucket LSH graph must equal the exact graph")
+  }
+
+  test("LSH kNN graph: a hot bucket takes AQE's skew-join split AND stays exact") {
+    // substantiates the op's scale note (Similarity.scala: "a hot
+    // bucket is a skew-join salting/AQE case, not a plan change"):
+    // with every vector in ONE bucket the corpus side of the bucket
+    // equi-join collapses into a single shuffle partition; under
+    // sort-merge (no broadcast — the 100 TB condition) AQE must split
+    // that partition (skew=true) and the output must still equal the
+    // exact graph row-for-row
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-skewbucket")
+      .toFile.getAbsolutePath
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, Array.fill(64)((i + 1).toFloat), 0)
+    }
+    // 8 parquet files: a skewed partition can only be SPLIT at
+    // map-output granularity, so the scan must run as several map
+    // tasks (with one mapper AQE cannot split anything); the tiny
+    // maxPartitionBytes below keeps the 8 files from packing back
+    // into one scan task
+    vecs.toDF("vec_id", "embedding", "label")
+      .repartition(8).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // thresholds sized to the planted corpus: the co-directional
+    // vectors compress very well in shuffle blocks, so the hot
+    // partition is small in BYTES even though it holds every row
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.files.maxPartitionBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val lshDf = Similarity.knnGraphLsh(spark, d, k = 3)
+      val lsh = lshDf.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val plan = lshDf.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew split on the hot bucket:\n${plan.take(2000)}")
+      val exact = Similarity.knnGraph(spark, d, k = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(lsh.toSeq === exact.toSeq,
+        "skew-split LSH graph must equal the exact graph")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
