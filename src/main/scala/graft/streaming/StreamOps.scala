@@ -199,6 +199,84 @@ object StreamOps {
       }
   }
 
+  case class TouchEvt(eventId: Long, tsUs: Long, tpe: String, isConv: Boolean, value: Double)
+  case class AttrState(pending: Seq[TouchEvt], buf: Seq[TouchEvt])
+  case class ConvCredit(conv_id: Long, user_id: Long, first_touch: String,
+    last_touch: String, conv_value: Double)
+
+  /** Streaming multi-touch ATTRIBUTION — the continuous twin of
+    * `EventAnalytics.attribution` (first/last-touch credit per
+    * conversion; `groupBy(first_touch)` / `groupBy(last_touch)`
+    * rollups downstream are the batch op's output): per-user
+    * event-time state on the buffer-until-watermark skeleton shared
+    * with [[funnelStream]]/[[jumpDetectStrict]]. Ripe events replay in
+    * (ts, event_id) order; a touch joins the pending set; a conversion
+    * consumes the WHOLE pending set (a touch credits only its NEXT
+    * conversion — later touches belong to later conversions), crediting
+    * those within the lookback window: earliest = first-touch, latest =
+    * last-touch, emitted as one ConvCredit the moment the watermark
+    * passes the conversion (every crediting touch sorts BEFORE the
+    * conversion, so nothing later can change the verdict — no need to
+    * hold until conversion+lookback). Conversions with no in-window
+    * touch emit nothing, exactly the batch semantics.
+    *
+    * State per key = the pending touch set, PRUNED to the lookback
+    * horizon (a touch whose window the watermark has closed can never
+    * credit a future ripe conversion), plus the unripe buffer the
+    * watermark bounds — both O(window), never O(history). */
+  def attributionStream(ds: Dataset[Evt],
+      windowUs: Long = 86400000000L): Dataset[ConvCredit] = {
+    import ds.sparkSession.implicits._
+    val touchTypes = graft.operators.EventAnalytics.TouchTypes.toSet
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    ds.filter(e => touchTypes(e.event_type) || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, ConvCredit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, events, state: GroupState[AttrState]) =>
+          val prev = state.getOption.getOrElse(AttrState(Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = events.map(e =>
+            TouchEvt(e.event_id, usOf(e.ts), e.event_type,
+              e.event_type == "purchase", e.value)).toSeq
+          val all = (prev.buf ++ incoming).sortBy(e => (e.tsUs, e.eventId))
+          val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+          var pending = prev.pending
+          val out = Seq.newBuilder[ConvCredit]
+          ripe.foreach { e =>
+            if (e.isConv) {
+              // equal-ts tie: a touch with the same ts but a SMALLER
+              // event_id sorted before this conversion → credits it
+              // (the batch op's strict (ts, event_id) composite)
+              val credited = pending.filter(t => e.tsUs - t.tsUs <= windowUs)
+              if (credited.nonEmpty) {
+                val first = credited.minBy(t => (t.tsUs, t.eventId))
+                val last = credited.maxBy(t => (t.tsUs, t.eventId))
+                out += ConvCredit(e.eventId, uid, first.tpe, last.tpe, e.value)
+              }
+              pending = Nil // consumed: their next conversion was this one
+            } else {
+              pending = pending :+ e
+            }
+          }
+          // horizon prune: touches that can no longer credit anything
+          pending = pending.filter(t => t.tsUs + windowUs >= wmUs)
+          if (pending.isEmpty && unripe.isEmpty) state.remove()
+          else {
+            state.update(AttrState(pending, unripe))
+            // unripe events need a wake-up even if the key goes quiet;
+            // a quiet key with only pending touches wakes at its prune
+            // horizon so state cannot linger past the lookback
+            val wake = unripe.headOption.map(_.tsUs)
+              .getOrElse(pending.map(_.tsUs + windowUs).max)
+            state.setTimeoutTimestamp(wake / 1000L + 1)
+          }
+          out.result().iterator
+      }
+  }
+
   /** The reference's EXACT CEP bounce pattern as a stream
     * (UserJumpDetailApp.java:84-95: session-entry `.times(2)
     * .consecutive().within(10 s)` plus the timeout side output):

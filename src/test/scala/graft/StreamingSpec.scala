@@ -399,6 +399,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream: first/last credit per conversion, lookback cut, batch-equal rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.attributionStream(input.toDS()).writeStream.format("memory")
+      .queryName("attr").outputMode("append").start()
+    try {
+      // the batch ChunkedSessionSpec attribution scenario, streamed:
+      // user 1: view → click → purchase(100): first=view, last=click;
+      //   then signup, and a purchase(50) OUTSIDE the 1-day lookback
+      //   → conversion 5 goes unattributed (emits nothing);
+      // user 2: click → purchase(10): first=last=click; error events
+      //   never credit. The purchase arrives BEFORE its touches in
+      //   batch-arrival order — the watermark replay must fix it.
+      input.addData(Seq(
+        Evt(3, 1, "purchase", 100.0, ts(20)),
+        Evt(1, 1, "view", 1.0, ts(0)),
+        Evt(2, 1, "click", 1.0, ts(10)),
+        Evt(4, 1, "signup", 1.0, ts(30)),
+        Evt(6, 2, "click", 1.0, ts(0)),
+        Evt(8, 2, "error", 1.0, ts(5)),
+        Evt(7, 2, "purchase", 10.0, ts(10))))
+      q.processAllAvailable()
+      // sentinel user advances the watermark past both conversions
+      input.addData(Seq(Evt(20, 9, "view", 1.0, ts(60))))
+      q.processAllAvailable()
+      // the out-of-lookback conversion (signup at +30 min, purchase
+      // 25 h later), then two sentinels to ripen it via the timeout
+      input.addData(Seq(Evt(5, 1, "purchase", 50.0, ts(30 + 1440 + 60))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(21, 9, "view", 1.0, ts(1600))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(22, 9, "view", 1.0, ts(1620))))
+      q.processAllAvailable()
+      val credits = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+      assert(credits.toSet === Set(
+        (3L, 1L, "view", "click", 100.0),
+        (7L, 2L, "click", "click", 10.0)),
+        s"got ${credits.toSeq}")
+      assert(credits.length === 2, "each conversion credits exactly once")
+
+      // scenario-for-scenario: the batch operator on the same events
+      // produces the rollup the ConvCredit stream aggregates to
+      val d = java.nio.file.Files.createTempDirectory("graft-attr-stream")
+        .toFile.getAbsolutePath
+      val allEvts = Seq(
+        (3L, 20L, 1L, "purchase", 100.0), (1L, 0L, 1L, "view", 1.0),
+        (2L, 10L, 1L, "click", 1.0), (4L, 30L, 1L, "signup", 1.0),
+        (5L, (30 + 1440 + 60).toLong, 1L, "purchase", 50.0),
+        (6L, 0L, 2L, "click", 1.0), (8L, 5L, 2L, "error", 1.0),
+        (7L, 10L, 2L, "purchase", 10.0),
+        (20L, 60L, 9L, "view", 1.0), (21L, 1600L, 9L, "view", 1.0),
+        (22L, 1620L, 9L, "view", 1.0))
+      allEvts.map { case (id, min, uid, tpe, v) =>
+        (id, (24 * 60 + min) * 60L * 1000000000L, uid, tpe, v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+      val batch = graft.operators.EventAnalytics.attribution(spark, d).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val streamRollup = {
+        val f = credits.groupBy(_._3).view.mapValues(cs => (cs.length.toLong, cs.map(_._5).sum))
+        val l = credits.groupBy(_._4).view.mapValues(cs => (cs.length.toLong, cs.map(_._5).sum))
+        (f.keySet ++ l.keySet).map { t =>
+          val (fc, fg) = f.getOrElse(t, (0L, 0.0))
+          val (lc, lg) = l.getOrElse(t, (0L, 0.0))
+          t -> ((fc, lc, fg, lg))
+        }.toMap
+      }
+      assert(streamRollup === batch,
+        s"stream rollup $streamRollup != batch verdicts $batch")
+    } finally q.stop()
+  }
+
   test("jumpDetectStrict: exact CEP pairs, strict-consecutive kills, timeout fires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
