@@ -79,6 +79,103 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(vs(1) === n.toDouble)
   }
 
+  test("skyline as pure SQL (bucketed two-phase sweep) matches the operator") {
+    Graft.registerViews(spark, sf001)
+    same(
+      """WITH pc AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |pairs AS (
+        |  SELECT spend, n_orders, count(*) AS n_custs
+        |  FROM pc GROUP BY spend, n_orders),
+        |local AS (
+        |  SELECT spend, n_orders, n_custs FROM (
+        |    SELECT *, max(n_orders) OVER (
+        |      PARTITION BY pmod(hash(spend, n_orders), 32)
+        |      ORDER BY spend DESC, n_orders DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM pairs) t
+        |  WHERE pm IS NULL OR pm < n_orders),
+        |sky AS (
+        |  SELECT spend, n_orders, n_custs FROM (
+        |    SELECT *, max(n_orders) OVER (
+        |      ORDER BY spend DESC, n_orders DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM local) t
+        |  WHERE pm IS NULL OR pm < n_orders)
+        |SELECT CAST(spend AS DOUBLE) AS total_spend, n_orders, n_custs
+        |FROM sky ORDER BY total_spend DESC""".stripMargin,
+      Relational.skyline(spark, sf001))
+  }
+
+  test("attribution as pure SQL (IGNORE NULLS carry) matches the operator") {
+    Graft.registerViews(spark, sf001)
+    same(
+      """WITH ev AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    event_type = 'purchase' AS is_conv, event_type, value
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+        |tagged AS (
+        |  SELECT *,
+        |    last(CASE WHEN is_conv
+        |        THEN named_struct('cts', ts_us, 'cid', event_id, 'cval', value) END)
+        |      IGNORE NULLS
+        |      OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nc
+        |  FROM ev),
+        |credited AS (
+        |  SELECT nc.cid AS conv_id, nc.cval AS conv_value,
+        |    ts_us, event_id, event_type AS touch_type
+        |  FROM tagged
+        |  WHERE NOT is_conv AND nc IS NOT NULL
+        |    AND nc.cts - ts_us <= 86400000000),
+        |marked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY ts_us, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY ts_us DESC, event_id DESC) AS rl
+        |  FROM credited),
+        |f AS (
+        |  SELECT touch_type, count(*) AS first_credits,
+        |    CAST(sum(CAST(conv_value AS DECIMAL(18,2))) AS DOUBLE) AS first_gmv
+        |  FROM marked WHERE rf = 1 GROUP BY touch_type),
+        |l AS (
+        |  SELECT touch_type, count(*) AS last_credits,
+        |    CAST(sum(CAST(conv_value AS DECIMAL(18,2))) AS DOUBLE) AS last_gmv
+        |  FROM marked WHERE rl = 1 GROUP BY touch_type)
+        |SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+        |  coalesce(first_credits, 0L) AS first_credits,
+        |  coalesce(last_credits, 0L) AS last_credits,
+        |  coalesce(first_gmv, CAST(0.0 AS DOUBLE)) AS first_gmv,
+        |  coalesce(last_gmv, CAST(0.0 AS DOUBLE)) AS last_gmv
+        |FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
+        |ORDER BY touch_type""".stripMargin,
+      graft.operators.EventAnalytics.attribution(spark, sf001))
+  }
+
+  test("hash split as pure SQL (md5 + integer fold) matches the operator") {
+    Graft.registerViews(spark, sf001)
+    same(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\\s+', ' ')))) AS fp
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, fp,
+        |    CAST(aggregate(
+        |      transform(sequence(1, length(fp)),
+        |        i -> CAST(ascii(substring(fp, i, 1)) AS BIGINT)),
+        |      0L, (a, x) -> (a * 31L + x) % 1048573L) % 100L AS INT) AS bucket
+        |  FROM base)
+        |SELECT doc_id, fp, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM hashed ORDER BY doc_id""".stripMargin,
+      graft.operators.TextOps.hashSplit(spark, sf001))
+  }
+
   test("gmv anomaly as pure SQL (WINDOW clause + decimal sums) matches the operator") {
     Graft.registerViews(spark, sf001)
     val varD = """greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
