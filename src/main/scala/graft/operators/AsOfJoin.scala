@@ -168,6 +168,50 @@ object AsOfJoin {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY purchase_id""".stripMargin
 
+  /** Tolerance-bounded as-of join — the `merge_asof(tolerance=...)` /
+    * ASOF-with-TOLERANCE shape engines ship for sensor alignment: the
+    * match must not only be the latest prior right row, it must be
+    * RECENT (left.ts − right.ts ≤ tolerance), else the left row keeps
+    * nulls. Same MERGE-form carry as [[asOf]] — the right row's ts
+    * rides inside the carried struct, and one codegen'd predicate
+    * nulls out stale matches AFTER the carry (the bound cannot be a
+    * pre-filter: which right row is "the" match depends on the carry
+    * itself). Adds zero shuffles over the unbounded form. */
+  def purchaseAsOfViewTol(s: SparkSession, d: String,
+      toleranceUs: Long = 1800L * 1000000L): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"),
+        col("ts_us").as("view_ts_us"))
+    asOf(purchases, views, key = "user_id", ts = "ts_us",
+      payloadCols = Seq("view_id", "view_ts_us"))
+      .withColumn("fresh", col("ts_us") - col("view_ts_us") <= toleranceUs)
+      .select(col("purchase_id"), col("user_id"),
+        when(col("fresh"), col("view_id")).as("view_id"),
+        when(col("fresh"), col("ts_us") - col("view_ts_us")).as("age_us"),
+        col("purchase_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Oracle: DuckDB's native ASOF JOIN has no TOLERANCE clause, so the
+    * bound is applied the same way — after the match, as a CASE. */
+  val purchaseAsOfViewTolSql: String =
+    """SELECT purchase_id, user_id,
+      |  CASE WHEN age_us <= 1800000000 THEN view_id END AS view_id,
+      |  CASE WHEN age_us <= 1800000000 THEN age_us END AS age_us,
+      |  purchase_value
+      |FROM (
+      |  SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+      |    epoch_us(p.ts) - epoch_us(v.ts) AS age_us,
+      |    p.value AS purchase_value
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |    ON p.user_id = v.user_id AND p.ts >= v.ts) t
+      |ORDER BY purchase_id""".stripMargin
+
   /** NEAREST-event join — the bidirectional as-of (sensor alignment /
     * "closest reading to this timestamp" shape engines ship as ASOF
     * NEAREST): each purchase picks the view of the same user closest

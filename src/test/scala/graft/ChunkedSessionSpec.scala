@@ -340,6 +340,44 @@ class ChunkedSessionSpec extends SparkSpec {
       11L -> ((-1L, -1L, "none"))))
   }
 
+  test("tolerance as-of: fresh matches keep ids+age, stale and absent matches null out") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val d = Files.createTempDirectory("graft-asof-tol").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    Seq(
+      // user 1: view 100 s before the purchase → fresh (≤ 1800 s)
+      (1L, ns(0), 1L, "view", 1.0, "{}"),
+      (2L, ns(100), 1L, "purchase", 9.0, "{}"),
+      // user 2: view 1801 s before → STALE, nulls (the latest prior
+      // view is the match candidate, then the bound rejects it)
+      (3L, ns(0), 2L, "view", 1.0, "{}"),
+      (4L, ns(1801), 2L, "purchase", 9.0, "{}"),
+      // user 3: stale old view AND a fresh later one: the fresh one is
+      // the latest prior → match, age from IT
+      (5L, ns(0), 3L, "view", 1.0, "{}"),
+      (6L, ns(3000), 3L, "view", 1.0, "{}"),
+      (7L, ns(3100), 3L, "purchase", 9.0, "{}"),
+      // user 4: view exactly AT the tolerance bound (1800 s) → fresh
+      (8L, ns(0), 4L, "view", 1.0, "{}"),
+      (9L, ns(1800), 4L, "purchase", 9.0, "{}"),
+      // user 5: no views at all → nulls
+      (10L, ns(500), 5L, "purchase", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = AsOfJoin.purchaseAsOfViewTol(spark, d).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got === Map(
+      2L -> ((1L, 100000000L)),
+      4L -> ((-1L, -1L)),
+      7L -> ((6L, 100000000L)),
+      9L -> ((8L, 1800000000L)),
+      10L -> ((-1L, -1L))))
+  }
+
   test("chunked nearest view == plain at several chunk sizes (corpus)") {
     import graft.operators.AsOfJoin
     val plain = AsOfJoin.purchaseNearestView(spark, sf0001).collect().toSeq
