@@ -1,0 +1,91 @@
+package graft
+
+/** Global scale-anti-pattern audit: the physical plan of EVERY
+  * registered query is checked for the three shapes that silently stop
+  * scaling — cartesian products, nested-loop fallback joins, and
+  * windows with no partition spec (all rows through one task). Each
+  * exception is WHITELISTED by name with the design reason, so a
+  * future formulation change that regresses a query into one of these
+  * shapes turns the suite red instead of waiting for a 100× corpus.
+  *
+  * Plans are inspected at sf0.001 via `sparkPlan` (pre-AQE): join
+  * strategy and window partitioning are planning-time choices; AQE
+  * re-plans exchanges, never introduces these shapes.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Broadcast nested-loop joins: legitimate ONLY where the join
+    * predicate is genuinely non-equi AND one side is bounded by
+    * design (a literal band table, a capped query set, a declared
+    * all-pairs exactness baseline). */
+  private val bnlAllowed: Map[String, String] = Map(
+    "q_range_join" -> "10-row literal band table broadcast against the fact side",
+    "ann_bruteforce" -> "capped query set (8 rows) broadcast; exact baseline by design",
+    "ann_lsh" -> "capped query set broadcast; Hamming<=3 bucket predicate is non-equi",
+    "ann_ivf" -> "capped query set broadcast; probe-list membership is non-equi",
+    "ann_ivf_pq" -> "capped query set broadcast; probe-list membership is non-equi",
+    "emb_knn_graph" -> "declared all-pairs exactness baseline; the scale twin emb_knn_graph_lsh is a bucket equi-join",
+    // explicit crossJoin(broadcast(<1-row aggregate>)): a corpus-total
+    // scalar attached to every row — one row ships, nothing loops
+    "ads_rfm" -> "single-row quartile-cut / max-day scalars broadcast to the customer rollup",
+    "text_lm_score" -> "single-row corpus-total scalars broadcast to per-doc scores",
+    "text_pmi" -> "single-row unigram/bigram total scalars broadcast to pair scores",
+    "text_tfidf" -> "single-row doc-count scalar broadcast to per-(doc, term) tf-df rows")
+
+  /** Windows with an empty partition spec: legitimate ONLY where the
+    * windowed row set is already reduced to a bounded size (daily
+    * grain, local-sweep survivors, distinct value spines). */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q_rolling_window" -> "daily-grain input: one row per day before the 7-day frame",
+    "ads_gmv_anomaly" -> "daily-grain input: one row per day before the 7-day stats frame",
+    "q_skyline" -> "global sweep sees only per-bucket local-skyline survivors (O(skyline x buckets))",
+    "q_gapfill" -> "day spine construction: one row per distinct day",
+    "q_open_orders" -> "sweep-line running sum over the day spine: one row per day after the delta rollup",
+    "ads_rfm" -> "quartile cuts over per-customer rollups via the bounded CDF walk",
+    "q_quantile" -> "global CDF walk over distinct values of a bounded metric domain",
+    "ads_active_users" -> "daily-grain activity spine",
+    "q_full_outer" -> "daily-grain spine on both sides",
+    "dedup_gram_frac" -> "corpus-level gram-df rollup reduced before the window",
+    "emb_pca" -> "no window at all in the distributed part; flagged only if one appears")
+
+  test("no registered query plans a cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.sparkPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("nested-loop joins appear only in whitelisted non-equi designs") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.sparkPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnlAllowed.contains(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unwhitelisted nested-loop join in: ${offenders.mkString(", ")} — " +
+        "either fix the join to an equi form or whitelist it with the design reason")
+  }
+
+  test("unpartitioned windows appear only where the row set is bounded by design") {
+    // detect via the physical WindowExec node: an empty partitionSpec
+    // means every row flows through ONE task
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    def hasGlobalWindow(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      plan.collect { case w: WindowExecBase if w.partitionSpec.isEmpty => w }.nonEmpty
+    val detected = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (hasGlobalWindow(fn(spark, sf0001).queryExecution.sparkPlan)) Some(name)
+      else None
+    }
+    // the detector must actually detect: these two are KNOWN deliberate
+    // global windows (daily grain / local-sweep survivors)
+    assert(detected.contains("ads_gmv_anomaly") && detected.contains("q_skyline"),
+      s"detector failed its own sentinels; detected only: $detected")
+    val offenders = detected.filterNot(globalWindowAllowed.contains)
+    assert(offenders.isEmpty,
+      s"unwhitelisted global window in: ${offenders.mkString(", ")} — " +
+        "either partition the window or whitelist it with the boundedness argument")
+  }
+}
