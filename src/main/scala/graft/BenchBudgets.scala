@@ -86,6 +86,8 @@ object BenchBudgets {
     "dedup_span_extract" -> 5.1,
     "dedup_span_removal" -> 3.8,
     "dedup_incremental" -> 2.95,
+    "dedup_bloom_gate" -> 1.9,  // frozen r5 (quiet-host median 1.47)
+    "emb_whiten" -> 1.2,        // frozen r5 (quiet-host median 0.93)
     "ea_transitions" -> 1.39,
     "ea_transitions_chunked" -> 1.07,
     "emb_pca" -> 2.0,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSig, RollingHash64, SimHashAgg, TopKFreqAgg, VecSumAgg}
+import graft.functions.{BloomContains, BloomFilterAgg, DotProduct, MinHashSig, RollingHash64, SimHashAgg, TopKFreqAgg, VecSumAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -89,6 +89,33 @@ object GraftExtensions {
         require(children.length == 2,
           s"graft_dot expects exactly 2 arguments, got ${children.length}")
         DotProduct(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom_agg"),
+      { children =>
+        require(children.length == 3,
+          "graft_bloom_agg expects (hash, expectedItems, fpp)")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType => LT}
+        val items = children(1) match {
+          case Literal(v: Long, LT) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg: expectedItems must be an integral literal, got $other")
+        }
+        val fpp = children(2) match {
+          case Literal(v: Double, DoubleType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg: fpp must be a DOUBLE literal, got $other")
+        }
+        BloomFilterAgg(children.head, items, fpp)
+      }),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      { children =>
+        require(children.length == 2,
+          s"graft_bloom_contains expects exactly 2 arguments, got ${children.length}")
+        BloomContains(children(0), children(1))
       }),
     (FunctionIdentifier("graft_topk_freq"),
       new ExpressionInfo(classOf[TopKFreqAgg].getName, "graft_topk_freq"),

@@ -715,6 +715,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter ADMISSION PRE-GATE — the cheapest first stage of the
+    * [[incremental]] pipeline at 100 TB: build ONE compact Bloom
+    * filter over the standing corpus's content fingerprints (native
+    * `graft_bloom_agg`, partial filters OR together map-side; the
+    * serialized image for 10⁵ items at 1 % fpp is ~120 KB), pull that
+    * single bounded row to the driver (the classifier-weights /
+    * kmeans-seed contract), and probe every incoming batch row IN-ROW
+    * via `graft_bloom_contains` — the filter rides into generated code
+    * as a reference object, so the probe is k bit-tests inside
+    * whole-stage codegen. Only probe HITS (|batch|·fpp + true
+    * duplicates) reach the exact fingerprint join; misses are admitted
+    * with zero join work. Bloom guarantee: no false negatives — every
+    * true duplicate has bloom_hit = 1 — so `is_dup ⇒ bloom_hit` is an
+    * invariant, spec-pinned.
+    *
+    * Output per batch row: (doc_id, fp, bloom_hit, is_dup). Declared
+    * rows-only (a Bloom probe is not SQL-expressible in the oracle);
+    * the EXACT component (is_dup) is spec-checked against planted
+    * ground truth and the false-positive rate against the sized fpp. */
+  def bloomGate(s: SparkSession, d: String,
+      expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+    val isDelta = col("source").isin(DeltaSources: _*)
+    val corpus = docs.filter(!isDelta)
+    val batch = docs.filter(isDelta)
+    val bloomBytes = corpus.agg(call_function("graft_bloom_agg",
+      xxhash64(col("fp")), lit(expectedItems), lit(fpp))).head().getAs[Array[Byte]](0)
+    val probed = batch.withColumn("bloom_hit",
+      call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))
+    // exact verify: only the hits pay the join; the corpus side is a
+    // distinct-fingerprint projection
+    val verified = probed.filter(col("bloom_hit"))
+      .join(corpus.select(col("fp")).distinct().withColumn("m", lit(1)),
+        Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("m"), lit(0)).as("is_dup"))
+    probed
+      .select(col("doc_id"), col("fp"), col("bloom_hit").cast("int").as("bloom_hit"))
+      .join(verified, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle: the identical asymmetric join + verdict windows. */
   val incrementalSql: String = {
     val srcs = DeltaSources.map(x => s"'$x'").mkString(", ")

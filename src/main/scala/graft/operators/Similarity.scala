@@ -554,6 +554,36 @@ object Similarity {
     * convention: the largest-|loading| component is positive. */
   def embPca(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    pcaBasis(s, d) match {
+      case None =>
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "component BIGINT, dim BIGINT, loading DOUBLE, var_share DOUBLE"))
+      case Some(basis) =>
+        def emit(component: Long, x: Array[Double], lambda: Double) = {
+          val k = x.indices.maxBy(i => math.abs(x(i)))
+          val signed = if (x(k) < 0) x.map(v => -v) else x
+          val share = if (basis.trace > 0) lambda / basis.trace else 0.0
+          signed.zipWithIndex.map { case (l, i) =>
+            (component, (i + 1).toLong, math.rint(l * 1e6) / 1e6,
+              math.rint(share * 1e6) / 1e6)
+          }.toSeq
+        }
+        basis.components.zipWithIndex
+          .flatMap { case ((v, lambda), i) => emit(i + 1L, v, lambda) }
+          .toDF("component", "dim", "loading", "var_share")
+          .orderBy(col("component"), col("dim"))
+    }
+  }
+
+  /** The driver-side PCA basis shared by [[embPca]] and [[embWhiten]]:
+    * corpus mean, the top two (component, Rayleigh λ) pairs, and the
+    * covariance trace. None on an empty corpus. */
+  private[operators] final case class PcaBasis(mu: Array[Double],
+    components: Seq[(Array[Double], Double)], trace: Double)
+
+  private[operators] def pcaBasis(s: SparkSession, d: String): Option[PcaBasis] = {
     graft.Graft.registerFunctions(s)
     val emb = Tables.embeddings(s, d)
       .select(col("embedding").cast("array<double>").as("v"))
@@ -566,12 +596,7 @@ object Similarity {
     val so = row.getSeq[Double](1).toArray
     val n = row.getLong(2).toDouble
     val dim = sv.length
-    if (dim == 0) {
-      return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "component BIGINT, dim BIGINT, loading DOUBLE, var_share DOUBLE"))
-    }
+    if (dim == 0) return None
     val mu = sv.map(_ / n)
     val cov = Array.tabulate(dim, dim)((i, j) => so(i * dim + j) / n - mu(i) * mu(j))
     // deterministic LCG start: a UNIFORM start is exactly orthogonal to
@@ -629,17 +654,47 @@ object Similarity {
     val deflated = Array.tabulate(dim, dim)((i, j) => cov(i)(j) - lambda1 * v1(i) * v1(j))
     val v2 = powerIter(deflated, lcgStart(-8723657262896443283L), Seq(v1))
     val lambda2 = rayleigh(cov, v2)
-    def emit(component: Long, x: Array[Double], lambda: Double) = {
-      val k = x.indices.maxBy(i => math.abs(x(i)))
-      val signed = if (x(k) < 0) x.map(v => -v) else x
-      val share = if (trace > 0) lambda / trace else 0.0
-      signed.zipWithIndex.map { case (l, i) =>
-        (component, (i + 1).toLong, math.rint(l * 1e6) / 1e6,
-          math.rint(share * 1e6) / 1e6)
-      }.toSeq
+    Some(PcaBasis(mu, Seq((v1, lambda1), (v2, lambda2)), trace))
+  }
+
+  /** All-but-the-top WHITENING (Mu & Viswanath, ICLR'18) — the
+    * embedding post-processing step the [[embPca]] doc cites: subtract
+    * the corpus mean and remove the projection onto the top two
+    * principal components, which concentrates similarity signal by
+    * deleting the dominant common directions. The basis comes from the
+    * shared single-scan [[pcaBasis]]; the projection pass is ONE more
+    * corpus scan with μ and the components riding as PLAN LITERALS —
+    * per-row in-row arithmetic (native graft_dot for each projection
+    * coefficient, zip_with for the subtraction), zero shuffles, so the
+    * 100 TB cost is two scans total. Because v₁ ⊥ v₂, both
+    * coefficients project the SAME centered vector — no sequential
+    * dependency between the removals. Elements round to 6dp (the
+    * centroid determinism contract); declared rows-only (a power
+    * iteration is not SQL-expressible), spec-verified against planted
+    * ground truth. */
+  def embWhiten(s: SparkSession, d: String): DataFrame = {
+    pcaBasis(s, d) match {
+      case None =>
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id BIGINT, whitened ARRAY<DOUBLE>"))
+      case Some(basis) =>
+        val Seq((v1, _), (v2, _)) = basis.components
+        val muL = typedLit(basis.mu.toSeq)
+        val u1L = typedLit(v1.toSeq)
+        val u2L = typedLit(v2.toSeq)
+        corpus(s, d)
+          .withColumn("c", zip_with(col("v"), muL, (x, m) => x - m))
+          .withColumn("p1", call_function("graft_dot", col("c"), u1L))
+          .withColumn("p2", call_function("graft_dot", col("c"), u2L))
+          .select(col("vec_id"),
+            transform(
+              zip_with(
+                zip_with(col("c"), u1L, (x, u) => x - col("p1") * u),
+                u2L, (x, u) => x - col("p2") * u),
+              x => round(x, 6)).as("whitened"))
+          .orderBy(col("vec_id"))
     }
-    (emit(1L, v1, lambda1) ++ emit(2L, v2, lambda2))
-      .toDF("component", "dim", "loading", "var_share")
-      .orderBy(col("component"), col("dim"))
   }
 }

@@ -225,6 +225,46 @@ class DedupSpec extends SparkSpec {
       s"simhash recall too low: ${sh.intersect(exact).size}/${exact.size}")
   }
 
+  test("bloom gate: no false negatives, exact verdicts, bounded FPs, partitioning-independent") {
+    import spark.implicits._
+    def plant(dir: String, parts: Int): Unit = {
+      val corpus = (0 until 200).map(i =>
+        (i.toLong, s"corpus document number $i with unique alpha content stream", "en", "web"))
+      // 20 batch docs duplicate corpus texts with case/whitespace noise
+      // (same normalized fingerprint), 300 are genuinely new
+      val dups = (0 until 20).map(i =>
+        (1000L + i, s"  CORPUS   document NUMBER $i with unique ALPHA content stream ", "en", "src0"))
+      val fresh = (0 until 300).map(i =>
+        (2000L + i, s"fresh crawl page $i bearing beta content nobody saw before", "en", "src0"))
+      val df = (corpus ++ dups ++ fresh)
+        .toDF("doc_id", "text", "lang", "source")
+      (if (parts == 1) df.coalesce(1) else df.repartition(parts))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("graft-bloom").toFile.getAbsolutePath
+    plant(d1, 1)
+    val rows = Dedup.bloomGate(spark, d1).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(rows.size === 320, "one verdict per batch row")
+    // exact verdicts: the 20 planted duplicates and nothing else
+    val dupIds = rows.filter(_._2._2 == 1).keySet
+    assert(dupIds === (0 until 20).map(i => 1000L + i).toSet)
+    // the Bloom guarantee: is_dup == 1 implies bloom_hit == 1 (never a
+    // false negative), and every planted dup was hit
+    rows.values.foreach { case (hit, dup) => if (dup == 1) assert(hit === 1) }
+    // false positives among the 300 fresh docs bounded well above the
+    // 1% sizing (5% leaves margin for hash-collision luck)
+    val fp = rows.filter { case (id, (hit, dup)) => id >= 2000L && hit == 1 && dup == 0 }
+    assert(fp.size <= 15, s"false-positive rate too high: ${fp.size}/300")
+    // partial filters OR together: a 7-way partitioned corpus builds
+    // the identical verdict set (merge path exercised)
+    val d2 = java.nio.file.Files.createTempDirectory("graft-bloom7").toFile.getAbsolutePath
+    plant(d2, 7)
+    val again = Dedup.bloomGate(spark, d2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(again === rows, "bloom verdicts must not depend on partitioning")
+  }
+
   test("embedding near-dup pairs report correct cosine and respect threshold") {
     val rows: Array[Row] = Dedup.embeddingNearDup(spark, sf0001, threshold = 0.3).collect()
     val vecs = Tables.embeddings(spark, sf0001).collect()

@@ -263,6 +263,45 @@ class SimilaritySpec extends SparkSpec {
     assert(pca(twoAxis) === both)
   }
 
+  test("emb_whiten removes the top-2 directions, keeps the minor axis, and is deterministic") {
+    import spark.implicits._
+    val dim = 8
+    val d = java.nio.file.Files.createTempDirectory("graft-whiten")
+      .toFile.getAbsolutePath
+    // three orthogonal planted factors with strictly ordered spreads:
+    // major along (0.6, 0.8) in dims 1-2, middle along dim 3, minor
+    // along dim 4 — whitening must delete the first two and keep the
+    // minor axis (centered) intact
+    val rows = for (t <- 1 to 10; u <- -2 to 2; w <- 0 to 1) yield
+      Array.tabulate(dim)(i =>
+        if (i == 0) 3f * t else if (i == 1) 4f * t
+        else if (i == 2) 2f * u else if (i == 3) 0.5f * w else 0f)
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = Similarity.embWhiten(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(got.size === rows.length)
+    rows.zipWithIndex.foreach { case (v, i) =>
+      val wv = got(i.toLong)
+      // components along the removed directions are gone
+      val alongMajor = 0.6 * wv(0) + 0.8 * wv(1)
+      assert(math.abs(alongMajor) < 1e-4, s"major residue $alongMajor")
+      assert(math.abs(wv(2)) < 1e-4, s"middle residue ${wv(2)}")
+      // the minor axis survives, centered: w ∈ {0, 1} with mean 0.5
+      val expectMinor = 0.5 * (v(3) / 0.5f - 0.5)
+      assert(math.abs(wv(3) - expectMinor) < 1e-4,
+        s"minor axis must survive centered: ${wv(3)} vs $expectMinor")
+      // untouched dims stay (centered) zero
+      (4 until dim).foreach(j => assert(math.abs(wv(j)) < 1e-4))
+    }
+    // determinism: the basis is a fixed IEEE sequence on exact inputs
+    val again = Similarity.embWhiten(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(got.keySet === again.keySet)
+    got.keySet.foreach(k => assert(got(k).toSeq === again(k).toSeq))
+  }
+
   test("graft_dot: native codegen bit-matches the declarative fold and handles edges") {
     graft.Graft.registerFunctions(spark)
     // bit-exact vs aggregate(zip_with) on the real corpus — same fold

@@ -77,6 +77,20 @@ class SqlSurfaceSpec extends SparkSpec {
       .head().getSeq[Double](0)
     val n = graft.Tables.documents(spark, sf001).count()
     assert(vs(1) === n.toDouble)
+    // bloom aggregate from SQL text; the probe side takes the built
+    // filter back as a LITERAL (graft_bloom_contains requires a
+    // foldable filter by design — build once, attach, probe in-row)
+    val bloom = spark.sql(
+      "SELECT graft_bloom_agg(xxhash64(text), 10000, 0.01d) AS bf FROM documents")
+      .head().getAs[Array[Byte]](0)
+    assert(bloom.nonEmpty)
+    val probes = graft.Tables.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.call_function("graft_bloom_contains",
+        org.apache.spark.sql.functions.lit(bloom),
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("text"))).as("hit"))
+      .collect()
+    assert(probes.forall(_.getBoolean(0)), "members always hit (no false negatives)")
   }
 
   test("skyline as pure SQL (bucketed two-phase sweep) matches the operator") {
