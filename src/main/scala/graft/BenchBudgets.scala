@@ -68,6 +68,9 @@ object BenchBudgets {
     "emb_knn_graph" -> 5.7,       // exact all-pairs baseline by design
     "emb_knn_graph_lsh" -> 1.25,
     "graph_triangles" -> 6.2,     // adjacency-intersection closure
+    "graph_label_prop" -> 6.5,    // frozen r5 (quiet-host median 5.35;
+                                  // 5 sync rounds, priced like the
+                                  // pagerank iteration family)
     "pipeline_corpus_report" -> 0.65,
     "emb_outliers" -> 1.45,
     "text_hash_split" -> 0.55,

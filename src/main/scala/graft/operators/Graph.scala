@@ -224,6 +224,88 @@ object Graph {
        |ORDER BY score DESC, s_suppkey LIMIT 20""".stripMargin
   }
 
+  /** Community detection by synchronous LABEL PROPAGATION (Raghavan
+    * et al. 2007; the GraphX/GraphFrames `labelPropagation` shape)
+    * over the undirected customer⋈supplier trade graph — the third
+    * member of the iterative-graph family ([[pageRank]], [[bfs]]).
+    * Every node starts labeled with its own id; each synchronous round
+    * every node adopts its neighbors' MOST FREQUENT label, ties to the
+    * smallest — a fully deterministic update, so the DuckDB oracle
+    * (the same rounds unrolled as CTEs) matches hash-exactly.
+    *
+    * Scale shape — the pageRank discipline: per round exactly one
+    * (dst-label join) + one (node, label) count + one per-node arg-min
+    * pick, all partial-aggregable equi-shuffles keyed on 8-byte longs;
+    * labels are one row per node (never adjacency lists);
+    * `localCheckpoint` per round truncates the iterative lineage; the
+    * edge pin is released before returning. Top-20 communities by
+    * size. */
+  def labelProp(s: SparkSession, d: String, rounds: Int = 5): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    // the core already checkpointed the final label table and released
+    // its pins; the rollup below is plain partial-aggregable work
+    labelPropEdges(pairs, rounds)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("community"))
+      .limit(20)
+  }
+
+  /** Core synchronous rounds over an undirected (a, b) pair set;
+    * returns the final (node, lbl) assignment. */
+  def labelPropEdges(pairs: DataFrame, rounds: Int): DataFrame = {
+    val pinned = pairs.cache()
+    val edges = pinned
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = counts.groupBy(col("src"))
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    Seq(edges, pinned).foreach(_.unpersist())
+    labels
+  }
+
+  /** Oracle: the identical synchronous rounds unrolled as CTEs with
+    * the identical (count DESC, label ASC) pick. */
+  def labelPropSql(rounds: Int = 5): String = {
+    val base =
+      """WITH p AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS (
+         |  SELECT src AS node, lbl FROM (
+         |    SELECT src, lbl, row_number() OVER (
+         |      PARTITION BY src ORDER BY c DESC, lbl) AS rn
+         |    FROM (
+         |      SELECT e.src, l.lbl, count(*) AS c
+         |      FROM e JOIN l${r - 1} l ON e.dst = l.node
+         |      GROUP BY e.src, l.lbl) t) q
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"""
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS sz
+         |FROM l$rounds GROUP BY lbl
+         |ORDER BY sz DESC, community LIMIT 20""".stripMargin
+  }
+
   /** Triangle participation over the part CO-PURCHASE graph (parts
     * sharing an order — the "bought together" network; triangle
     * density is the classic community-strength signal and the standard

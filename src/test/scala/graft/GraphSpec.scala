@@ -134,6 +134,35 @@ class GraphSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("label propagation: two planted communities converge, min-label ties, deterministic") {
+    import spark.implicits._
+    // two 4-cliques bridged by ONE weak edge: sync LPA with the
+    // (count DESC, label ASC) pick must settle each clique on its own
+    // minimum node id, and the bridge must not bleed labels across
+    val cliqueA = for (i <- 0 to 3; j <- (i + 1) to 3) yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 10 to 13; j <- (i + 1) to 13) yield (i.toLong, j.toLong)
+    val pairs = (cliqueA ++ cliqueB ++ Seq((3L, 10L))).toDF("a", "b")
+    val got = Graph.labelPropEdges(pairs, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 to 3).forall(i => got(i.toLong) === 0L),
+      s"clique A must settle on label 0: $got")
+    assert((10 to 13).forall(i => got(i.toLong) === 10L),
+      s"clique B must settle on label 10: $got")
+    // a lone edge between two isolated nodes: each adopts the OTHER's
+    // label every round (sync oscillation is the documented semantics);
+    // after an odd round count both carry the partner's start label —
+    // pinning this keeps the operator honest about synchronous updates
+    val lone = Seq((100L, 101L)).toDF("a", "b")
+    val pair = Graph.labelPropEdges(lone, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pair === Map(100L -> 101L, 101L -> 100L))
+    // deterministic across repartitionings (the oracle replays the
+    // same rounds in DuckDB)
+    val again = Graph.labelPropEdges(pairs.repartition(7), rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("rounded supplier scores are identical across repartitionings") {
     val a = Graph.pageRank(spark, sf0001).collect().toSeq
     val old = spark.conf.get("spark.sql.shuffle.partitions")
