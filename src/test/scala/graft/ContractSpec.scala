@@ -29,6 +29,38 @@ class ContractSpec extends SparkSpec {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
+  /** Ops whose OUTPUT legitimately depends on partition merge order —
+    * approximation sketches whose merge is not exactly associative on
+    * doubles/summaries. Each is rows-only (never hash-compared) and
+    * its spec checks error bounds instead of exact values. */
+  private val mergeOrderSensitive = Set(
+    "q_quantile_approx", // GK/t-digest style summary: merge order shifts cut points
+    "q_heavy_hitters")   // Misra–Gries: counter decrements depend on partial order
+
+  test("every query is partitioning-invariant at sf0.001 (the oracle-compare premise)") {
+    // the DuckDB hash compare only works because results do not depend
+    // on HOW Spark partitioned the work: decimal money sums, struct
+    // tie-breaks, integer quantization everywhere. Prove it wholesale:
+    // re-run every query under a different shuffle partitioning and
+    // demand identical collected output.
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => mergeOrderSensitive(n) }
+      .map { case (name, fn) => name -> fn(spark, sf0001).collect().map(_.toString).toSeq }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val drifted = baseline.flatMap { case (name, expect) =>
+        try {
+          val got = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toString).toSeq
+          if (got != expect) Some(s"$name: differs under 7 shuffle partitions") else None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(100)}")
+        }
+      }
+      assert(drifted.isEmpty, drifted.mkString("\n"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("corpus invariant the props-explode oracle depends on: props is exactly {\"k\": digits}") {
     import org.apache.spark.sql.functions._
     // dwd_props_explode's DuckDB oracle enumerates the single key 'k'
