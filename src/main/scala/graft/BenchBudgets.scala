@@ -127,6 +127,8 @@ object BenchBudgets {
     // level (driver r4 flagged 0.614 s vs the 0.60 cut on a loaded
     // host); raised to clear merely-average-host jitter
     "q_rolling_window" -> 0.45,
+    "q_listagg" -> 0.85,  // frozen r5 (quiet-host median 0.66)
+    "q_mode" -> 0.85,     // frozen r5 (quiet-host median 0.62)
     "q_scd2_pit" -> 1.0,
     "q_rollup" -> 0.7,
     "q_semi_anti" -> 0.42,

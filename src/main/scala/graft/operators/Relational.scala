@@ -617,6 +617,64 @@ object Relational {
       .orderBy(col("total_spend").desc)
   }
 
+  /** Ordered string aggregation (LISTAGG / string_agg / group_concat —
+    * the SQL-surface staple): per nation, the alphabetically sorted
+    * distinct market segments of its customers as one CSV. Spark 4
+    * ships a native `listagg`, but its WITHIN GROUP ordering is not
+    * expressible from the DataFrame API and unordered listagg is
+    * nondeterministic — so the engine formulation is
+    * `concat_ws(array_sort(collect_set(...)))`: same result, fully
+    * deterministic under any partitioning (collect_set's order never
+    * survives the sort), partial-aggregable, and the per-group state is
+    * bounded by segment cardinality, not customer count. */
+  def listAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("c_mktsegment")))).as("segments"),
+        count(lit(1)).as("cust_ct"))
+      .orderBy(col("n_name"))
+
+  val listAggSql: String =
+    """SELECT n_name,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  CAST(count(*) AS BIGINT) AS cust_ct
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Per-group statistical MODE with an explicit deterministic tie rule
+    * (most frequent, tie → alphabetically smallest). Neither engine's
+    * native `mode()` pins tie-breaks portably (Spark 4's does only
+    * with its `deterministic` flag, DuckDB's not at all), so both
+    * sides run the same explicit (count, value) arg-min — the
+    * formulation that stays hash-comparable. Two partial-aggregable
+    * rollups, no window over the fact table. */
+  def modeAgg(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("ct"))
+    counts.groupBy(col("n_name"))
+      .agg(min_by(
+        struct(col("c_mktsegment").as("m"), col("ct").as("ct")),
+        struct((-col("ct")).as("nc"), col("c_mktsegment"))).as("top"))
+      .select(col("n_name"), col("top.m").as("mode_segment"),
+        col("top.ct").as("mode_ct"))
+      .orderBy(col("n_name"))
+  }
+
+  val modeAggSql: String =
+    """SELECT n_name, mode_segment, mode_ct FROM (
+      |  SELECT n_name, c_mktsegment AS mode_segment, ct AS mode_ct,
+      |    row_number() OVER (PARTITION BY n_name
+      |      ORDER BY ct DESC, c_mktsegment) AS rn
+      |  FROM (
+      |    SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS ct
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |    GROUP BY n_name, c_mktsegment) t) q
+      |WHERE rn = 1 ORDER BY n_name""".stripMargin
+
   /** Oracle: the textbook NOT EXISTS dominance formulation — an
     * independent algorithm agreeing on the exact frontier. */
   val skylineSql: String =
