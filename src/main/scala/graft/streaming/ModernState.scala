@@ -231,4 +231,97 @@ object ModernState {
       .transformWithState(new StrictCepProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Multi-touch attribution on the modern API — the
+    * `StreamOps.attributionStream` semantics with typed state: the
+    * pending touch set and the unripe buffer become ListStates, the
+    * classic GroupStateTimeout a REAL event-time timer (deduped
+    * through a ValueState — one live per key). The watermark-driven
+    * pure body is shared shape-for-shape: input rows and expired
+    * timers both just re-run `advance`, so stale timers are harmless
+    * no-ops; verdicts match the classic op (and therefore the batch
+    * operator) scenario-for-scenario by spec. */
+  private class AttributionProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, StreamOps.Evt, StreamOps.ConvCredit] {
+    import StreamOps.{ConvCredit, TouchEvt}
+    @transient private var pendingSt: org.apache.spark.sql.streaming.ListState[TouchEvt] = _
+    @transient private var bufSt: org.apache.spark.sql.streaming.ListState[TouchEvt] = _
+    @transient private var timerSt: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pendingSt = getHandle.getListState[TouchEvt]("pending",
+        Encoders.product[TouchEvt], org.apache.spark.sql.streaming.TTLConfig.NONE)
+      bufSt = getHandle.getListState[TouchEvt]("buf",
+        Encoders.product[TouchEvt], org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerSt = getHandle.getValueState[Long]("timer",
+        Encoders.scalaLong, org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def advance(uid: Long, incoming: Seq[TouchEvt],
+        wmUs: Long): Iterator[ConvCredit] = {
+      val all = (bufSt.get().toSeq ++ incoming).sortBy(e => (e.tsUs, e.eventId))
+      val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+      var pending = pendingSt.get().toSeq
+      val out = Seq.newBuilder[ConvCredit]
+      ripe.foreach { e =>
+        if (e.isConv) {
+          val credited = pending.filter(t => e.tsUs - t.tsUs <= windowUs)
+          if (credited.nonEmpty) {
+            val first = credited.minBy(t => (t.tsUs, t.eventId))
+            val last = credited.maxBy(t => (t.tsUs, t.eventId))
+            out += ConvCredit(e.eventId, uid, first.tpe, last.tpe, e.value)
+          }
+          pending = Nil
+        } else {
+          pending = pending :+ e
+        }
+      }
+      pending = pending.filter(t => t.tsUs + windowUs >= wmUs)
+      val prevTimer = if (timerSt.exists()) Option(timerSt.get()) else None
+      if (pending.isEmpty && unripe.isEmpty) {
+        pendingSt.clear(); bufSt.clear(); timerSt.clear()
+        prevTimer.foreach(getHandle.deleteTimer)
+      } else {
+        pendingSt.clear()
+        if (pending.nonEmpty) pendingSt.appendList(pending.toArray)
+        bufSt.clear()
+        if (unripe.nonEmpty) bufSt.appendList(unripe.toArray)
+        val wake = unripe.headOption.map(_.tsUs)
+          .getOrElse(pending.map(_.tsUs + windowUs).max)
+        val nextMs = wake / 1000L + 1
+        if (!prevTimer.contains(nextMs)) {
+          prevTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(nextMs)
+          timerSt.update(nextMs)
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[StreamOps.Evt],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ConvCredit] = {
+      def usOf(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+      val incoming = rows.map(e =>
+        TouchEvt(e.event_id, usOf(e.ts), e.event_type,
+          e.event_type == "purchase", e.value)).toSeq
+      advance(uid, incoming, timerValues.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(uid: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ConvCredit] =
+      advance(uid, Nil, timerValues.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  def attribution(ds: Dataset[Evt],
+      windowUs: Long = 86400000000L): Dataset[StreamOps.ConvCredit] = {
+    import ds.sparkSession.implicits._
+    val touchTypes = graft.operators.EventAnalytics.TouchTypes.toSet
+    ds.filter(e => touchTypes(e.event_type) || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor(windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

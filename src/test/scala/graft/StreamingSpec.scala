@@ -474,6 +474,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState attribution matches the classic stream verdict-for-verdict") {
+    withRocksDb {
+      // the attributionStream scenario, batch-for-batch: out-of-order
+      // purchase, lookback-cut second conversion, error never credits
+      val batches = Seq(
+        Seq(Evt(3, 1, "purchase", 100.0, ts(20)),
+          Evt(1, 1, "view", 1.0, ts(0)),
+          Evt(2, 1, "click", 1.0, ts(10)),
+          Evt(4, 1, "signup", 1.0, ts(30)),
+          Evt(6, 2, "click", 1.0, ts(0)),
+          Evt(8, 2, "error", 1.0, ts(5)),
+          Evt(7, 2, "purchase", 10.0, ts(10))),
+        Seq(Evt(20, 9, "view", 1.0, ts(60))),
+        Seq(Evt(5, 1, "purchase", 50.0, ts(30 + 1440 + 60))),
+        Seq(Evt(21, 9, "view", 1.0, ts(1600))),
+        Seq(Evt(22, 9, "view", 1.0, ts(1620))))
+      def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+        .toSet
+      val modern = shape(runBatches("attr_m")(in =>
+        graft.streaming.ModernState.attribution(in.toDS()))(batches))
+      val classic = shape(runBatches("attr_c")(in =>
+        StreamOps.attributionStream(in.toDS()))(batches))
+      assert(modern === Set(
+        (3L, 1L, "view", "click", 100.0),
+        (7L, 2L, "click", "click", 10.0)))
+      assert(modern === classic)
+    }
+  }
+
   test("jumpDetectStrict: exact CEP pairs, strict-consecutive kills, timeout fires") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
