@@ -75,6 +75,7 @@ object BenchBudgets {
     "emb_outliers" -> 1.45,
     "text_hash_split" -> 0.55,
     "ea_attribution" -> 1.3,
+    "ea_attribution_chunked" -> 1.9,  // frozen r5 (quiet-host median 1.50)
     "q_asof_join_tol" -> 0.6,  // frozen r5 (quiet-host median 0.29,
                                // control q1 at 0.39 of budget)
     "q_asof_nearest" -> 1.05,

@@ -406,19 +406,58 @@ object EventAnalytics {
     * the rollup is partial-aggregable. Everything orders on the
     * (ts_us, event_id) composite — the tie-break contract. GMV sums
     * ride DECIMAL. */
-  def attribution(s: SparkSession, d: String, windowUs: Long = 86400000000L): DataFrame = {
-    val ev = Tables.events(s, d)
-      .filter(col("event_type").isin((TouchTypes :+ "purchase").map(x => x: Any): _*))
+  def attribution(s: SparkSession, d: String, windowUs: Long = 86400000000L): DataFrame =
+    attributionTail(attrCarry(attrPrep(Tables.events(s, d))), windowUs)
+
+  /** Shared projection for the attribution family. */
+  private def attrPrep(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isin((TouchTypes :+ "purchase").map(x => x: Any): _*))
       .select(col("user_id"), col("ts_us"), col("event_id"),
         (col("event_type") === "purchase").as("is_conv"),
         col("event_type"), col("value"))
+
+  private def convStruct = when(col("is_conv"),
+    struct(col("ts_us").as("cts"), col("event_id").as("cid"), col("value").as("cval")))
+
+  /** The plain descending carry: every row learns its NEXT conversion
+    * (strictly after in the (ts, event_id) composite). */
+  private def attrCarry(u: DataFrame): DataFrame = {
     val wDesc = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val convStruct = when(col("is_conv"),
-      struct(col("ts_us").as("cts"), col("event_id").as("cid"), col("value").as("cval")))
-    val credited = ev
-      .withColumn("nc", last(convStruct, ignoreNulls = true).over(wDesc))
+    u.withColumn("nc", last(convStruct, ignoreNulls = true).over(wDesc))
+  }
+
+  /** Hot-key-safe carry — the [[AsOfJoin]] chunk-stitch recipe on the
+    * DESCENDING direction: within (user, chunk) windows give the local
+    * next-conversion; the carry entering a chunk from LATER chunks is
+    * the min (cts, cid) conversion struct among them (struct min is
+    * exactly the earliest-next tie rule), from a window over one row
+    * per chunk. A billion-event user spreads across chunk partitions
+    * instead of serializing one task. */
+  private[operators] def attrCarryChunked(u0: DataFrame, chunkUs: Long): DataFrame = {
+    val u = u0.withColumn("_chunk", expr(s"ts_us div $chunkUs"))
+    val wLocal = Window.partitionBy(col("user_id"), col("_chunk"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = u.withColumn("lnc", last(convStruct, ignoreNulls = true).over(wLocal))
+    val wNextChunk = Window.partitionBy(col("user_id")).orderBy(col("_chunk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = u.groupBy(col("user_id"), col("_chunk"))
+      .agg(min(convStruct).as("cmin"))
+      .withColumn("nin", last(col("cmin"), ignoreNulls = true).over(wNextChunk))
+      .select(col("user_id"), col("_chunk"), col("nin"))
+    local.join(stats, Seq("user_id", "_chunk"))
+      .withColumn("nc", coalesce(col("lnc"), col("nin")))
+      .drop("lnc", "nin", "_chunk")
+  }
+
+  /** Credit assignment + rollup shared verbatim by the plain and
+    * chunked forms — one definition, so the chunked variant cannot
+    * drift from the oracle it shares. The per-conversion windows are
+    * bounded by touches-per-lookback, never corpus-wide. */
+  private def attributionTail(carried: DataFrame, windowUs: Long): DataFrame = {
+    val credited = carried
       .filter(!col("is_conv") && col("nc").isNotNull &&
         col("nc.cts") - col("ts_us") <= windowUs)
       .select(col("nc.cid").as("conv_id"), col("nc.cval").as("conv_value"),
@@ -440,6 +479,15 @@ object EventAnalytics {
         coalesce(col("last_gmv"), lit(0.0)).as("last_gmv"))
       .orderBy(col("touch_type"))
   }
+
+  /** [[attribution]] through the hot-key-safe chunked carry — must
+    * produce the identical result (same oracle; day-sized chunks). */
+  def attributionChunked(s: SparkSession, d: String): DataFrame =
+    attributionChunkedDf(Tables.events(s, d), chunkUs = 86400L * 1000000L)
+
+  def attributionChunkedDf(events: DataFrame, chunkUs: Long,
+      windowUs: Long = 86400000000L): DataFrame =
+    attributionTail(attrCarryChunked(attrPrep(events), chunkUs), windowUs)
 
   /** Oracle: identical descending carry (IGNORE NULLS struct), micro
     * timestamps compare as INTERVAL — same ≤ window bound. */

@@ -450,6 +450,58 @@ class ChunkedSessionSpec extends SparkSpec {
       "expected (user_id, _chunk) window partitioning in the chunked nearest plan")
   }
 
+  test("chunked attribution == plain at several chunk sizes (corpus)") {
+    import graft.operators.EventAnalytics
+    val plain = EventAnalytics.attribution(spark, sf0001).collect().toSeq
+    // 11-minute chunks put many touch→conversion carries across chunks
+    Seq(3600L * 1000000L, 660L * 1000000L).foreach { chunkUs =>
+      val chunked = EventAnalytics.attributionChunkedDf(
+        Tables.events(spark, sf0001), chunkUs).collect().toSeq
+      assert(chunked === plain, s"mismatch at chunkUs=$chunkUs")
+    }
+    val plan = EventAnalytics.attributionChunked(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id[^)]*_chunk".r.findFirstIn(plan).isDefined,
+      "expected (user_id, _chunk) window partitioning in the chunked attribution plan")
+  }
+
+  test("chunked attribution stitches conversions across empty chunks and cuts lookback at edges") {
+    import spark.implicits._
+    import graft.operators.EventAnalytics
+    val d = Files.createTempDirectory("graft-attr-chunks").toFile.getAbsolutePath
+    val day = 86400L * 1000000000L
+    def ns(sec: Long): Long = day + sec * 1000000000L
+    Seq(
+      // user 1: touch in chunk 0 (view@50); conversion in chunk 4
+      // (purchase@450) — the next-conversion carry must cross chunks
+      // 1-3, which are EMPTY
+      (1L, ns(50), 1L, "view", 1.0, "{}"),
+      (2L, ns(450), 1L, "purchase", 40.0, "{}"),
+      // user 2: touch@95 (chunk 0), conversion@105 (chunk 1) — a
+      // boundary straddle; then touch@190 (chunk 1) with its NEXT
+      // conversion@310 (chunk 3): first=last per conversion
+      (3L, ns(95), 2L, "click", 1.0, "{}"),
+      (4L, ns(105), 2L, "purchase", 10.0, "{}"),
+      (5L, ns(190), 2L, "click", 1.0, "{}"),
+      (6L, ns(310), 2L, "purchase", 20.0, "{}"),
+      // user 3: touch whose next conversion is OUTSIDE the 1-day
+      // lookback (and in a far later chunk) — no credit
+      (7L, ns(600), 3L, "signup", 1.0, "{}"),
+      (8L, ns(600 + 86400 + 100), 3L, "purchase", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val chunkUs = 100L * 1000000L
+    val chunked = EventAnalytics.attributionChunkedDf(Tables.events(spark, d), chunkUs)
+      .collect()
+    val got = chunked.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "view" -> ((1L, 1L, 40.0, 40.0)),
+      "click" -> ((2L, 2L, 30.0, 30.0))))
+    val plain = EventAnalytics.attribution(spark, d).collect().toSeq
+    assert(chunked.toSeq === plain)
+  }
+
   test("attribution: first/last-touch credit, lookback cut, unattributed conversions dropped") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-attr").toFile.getAbsolutePath
