@@ -69,6 +69,31 @@ class PlanAuditSpec extends SparkSpec {
         "either fix the join to an equi form or whitelist it with the design reason")
   }
 
+  test("filters reach the parquet scans and projections prune columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.Relational
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+    // q3 filters three tables (segment equality, two date bounds):
+    // every scan must arrive with a non-empty PushedFilters list — a
+    // filter evaluated after a full-table read is wrong at 100 TB
+    val q3Scans = scans(Relational.q3ShippingPriority(spark, sf0001))
+    assert(q3Scans.nonEmpty)
+    q3Scans.foreach { sc =>
+      val pushed = sc.metadata.getOrElse("PushedFilters", "[]")
+      assert(pushed != "[]",
+        s"scan of ${sc.metadata.get("Location")} pushed no filters")
+    }
+    // q1 projects ~7 of lineitem's 16 columns: the scan schema must be
+    // pruned (no l_comment, bounded width), not the full table
+    val q1Scan = scans(Relational.q1PricingSummary(spark, sf0001)).head
+    val read = q1Scan.metadata.getOrElse("ReadSchema", "")
+    assert(!read.contains("l_comment") && !read.contains("l_shipinstruct"),
+      s"q1 reads unprojected columns: $read")
+    assert(q1Scan.schema.fields.length <= 8,
+      s"q1 scan width ${q1Scan.schema.fields.length} — pruning failed")
+  }
+
   test("unpartitioned windows appear only where the row set is bounded by design") {
     // detect via the physical WindowExec node: an empty partitionSpec
     // means every row flows through ONE task
