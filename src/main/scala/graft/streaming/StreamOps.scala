@@ -490,6 +490,46 @@ object StreamOps {
       .select(col("doc_id"), col("ref_id"))
   }
 
+  /** Ingest-time EXACT-dup admission — the streaming twin of
+    * `Dedup.bloomGate` and the exact-match sibling of [[nearDupGate]]:
+    * the standing corpus is reduced ONCE to a Bloom filter over its
+    * content fingerprints (one bounded binary, built at stream setup
+    * via the native `graft_bloom_agg`), and every stream row probes it
+    * in-row via `graft_bloom_contains` — k bit-tests inside codegen,
+    * no per-row state, no stream-side shuffle. Only probe HITS pay the
+    * stream-static fingerprint join for the exact verdict; misses are
+    * admitted on the probe alone (the Bloom no-false-negative
+    * guarantee: a miss can never be a true duplicate). At 100 TB the
+    * corpus never re-scans per trigger — unlike a plain stream-static
+    * join, the static side is a literal, not a plan subtree.
+    * Emits (doc_id, bloom_hit, is_dup) per stream row. */
+  def bloomAdmit(stream: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val s = corpus.sparkSession
+    graft.Graft.registerFunctions(s)
+    val bloomBytes = corpus
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(fingerprint(col("text"))), lit(expectedItems), lit(fpp)))
+      .head().getAs[Array[Byte]](0)
+    // the exact-verify side: distinct corpus fingerprints, cached so
+    // the per-trigger join re-reads memory, not the corpus
+    val fps = corpus.select(fingerprint(col("text")).as("fp")).distinct()
+      .withColumn("m", lit(1)).cache()
+    val probed = stream
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("bloom_hit",
+        call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))
+    val hits = probed.filter(col("bloom_hit"))
+      .join(fps, Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_hit").cast("int").as("bloom_hit"),
+        coalesce(col("m"), lit(0)).as("is_dup"))
+    val misses = probed.filter(!col("bloom_hit"))
+      .select(col("doc_id"), col("bloom_hit").cast("int").as("bloom_hit"),
+        lit(0).as("is_dup"))
+    hits.unionByName(misses)
+  }
+
   /** OrderWideApp / PaymentWideApp interval join: stream⋈stream on key
     * + time-range with watermarks bounding state retention. `left` are
     * order headers, `right` are detail events; details must land within

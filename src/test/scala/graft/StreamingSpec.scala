@@ -359,6 +359,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomAdmit: corpus dups flagged exactly at ingest, fresh docs admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    Graft.registerFunctions(spark)
+    val corpus = Seq(
+      (100L, "the standing corpus holds this exact curated paragraph"),
+      (101L, "and also a second completely different reference text")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[Evt]
+    // stream text rides in event_type; doc_id in event_id (the
+    // nearDupGate spec convention)
+    val stream = input.toDF().select(
+      col("event_id").as("doc_id"), col("event_type").as("text"), col("ts"))
+    val q = StreamOps.bloomAdmit(stream, corpus)
+      .writeStream.format("memory").queryName("badmit").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        // case/whitespace variant of corpus doc 100: SAME normalized
+        // fingerprint → bloom_hit=1 AND is_dup=1
+        Evt(1, 1, "  The STANDING corpus  holds this exact curated paragraph ", 0, ts(5)),
+        // genuinely fresh: must be admitted (is_dup=0)
+        Evt(2, 2, "a brand new crawl page with unseen content entirely", 0, ts(6))))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Evt(3, 3, "and also a second completely different reference text", 0, ts(7))))
+      q.processAllAvailable()
+      val got = spark.table("badmit").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+      assert(got.keySet === Set(1L, 2L, 3L))
+      assert(got(1L) === ((1, 1)), s"dup must flag: ${got(1L)}")
+      assert(got(3L) === ((1, 1)), s"exact corpus copy must flag: ${got(3L)}")
+      assert(got(2L)._2 === 0, "fresh doc must be admitted")
+      // the Bloom invariant holds on every emitted row
+      got.values.foreach { case (hit, dup) => if (dup == 1) assert(hit === 1) }
+    } finally q.stop()
+  }
+
   test("funnelStream: stages complete in order, out-of-order events replay correctly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
