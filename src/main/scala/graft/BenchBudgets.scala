@@ -78,6 +78,7 @@ object BenchBudgets {
     "ea_attribution_chunked" -> 1.9,  // frozen r5 (quiet-host median 1.50)
     "q_asof_join_tol" -> 0.6,  // frozen r5 (quiet-host median 0.29,
                                // control q1 at 0.39 of budget)
+    "q_asof_join_tol_chunked" -> 2.0,  // frozen r5 (median 1.59)
     "q_asof_nearest" -> 1.05,
     "q_asof_nearest_chunked" -> 1.3,  // frozen r5 (quiet-host median
                                       // 1.03; control q1 0.98/2.04)

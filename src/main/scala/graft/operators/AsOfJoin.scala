@@ -178,7 +178,17 @@ object AsOfJoin {
     * pre-filter: which right row is "the" match depends on the carry
     * itself). Adds zero shuffles over the unbounded form. */
   def purchaseAsOfViewTol(s: SparkSession, d: String,
-      toleranceUs: Long = 1800L * 1000000L): DataFrame = {
+      toleranceUs: Long = 1800L * 1000000L): DataFrame =
+    tolTail(tolJoin(s, d, chunkUs = None), toleranceUs)
+
+  /** [[purchaseAsOfViewTol]] through the chunked carry — identical
+    * output (same oracle; day-sized chunks): the tolerance predicate
+    * composes with EITHER carry because it runs after the match. */
+  def purchaseAsOfViewTolChunked(s: SparkSession, d: String,
+      toleranceUs: Long = 1800L * 1000000L): DataFrame =
+    tolTail(tolJoin(s, d, chunkUs = Some(86400L * 1000000L)), toleranceUs)
+
+  private def tolJoin(s: SparkSession, d: String, chunkUs: Option[Long]): DataFrame = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"),
@@ -186,15 +196,22 @@ object AsOfJoin {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts_us"), col("event_id").as("view_id"),
         col("ts_us").as("view_ts_us"))
-    asOf(purchases, views, key = "user_id", ts = "ts_us",
-      payloadCols = Seq("view_id", "view_ts_us"))
+    chunkUs match {
+      case Some(c) => asOfChunked(purchases, views, key = "user_id", ts = "ts_us",
+        payloadCols = Seq("view_id", "view_ts_us"), chunkSize = c)
+      case None => asOf(purchases, views, key = "user_id", ts = "ts_us",
+        payloadCols = Seq("view_id", "view_ts_us"))
+    }
+  }
+
+  private def tolTail(joined: DataFrame, toleranceUs: Long): DataFrame =
+    joined
       .withColumn("fresh", col("ts_us") - col("view_ts_us") <= toleranceUs)
       .select(col("purchase_id"), col("user_id"),
         when(col("fresh"), col("view_id")).as("view_id"),
         when(col("fresh"), col("ts_us") - col("view_ts_us")).as("age_us"),
         col("purchase_value"))
       .orderBy(col("purchase_id"))
-  }
 
   /** Oracle: DuckDB's native ASOF JOIN has no TOLERANCE clause, so the
     * bound is applied the same way — after the match, as a CASE. */

@@ -378,6 +378,13 @@ class ChunkedSessionSpec extends SparkSpec {
       10L -> ((-1L, -1L))))
   }
 
+  test("chunked tolerance as-of == plain on the corpus and the planted tolerance cases") {
+    import graft.operators.AsOfJoin
+    val plain = AsOfJoin.purchaseAsOfViewTol(spark, sf0001).collect().toSeq
+    val chunked = AsOfJoin.purchaseAsOfViewTolChunked(spark, sf0001).collect().toSeq
+    assert(chunked === plain)
+  }
+
   test("chunked nearest view == plain at several chunk sizes (corpus)") {
     import graft.operators.AsOfJoin
     val plain = AsOfJoin.purchaseNearestView(spark, sf0001).collect().toSeq
