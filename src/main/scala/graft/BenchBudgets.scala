@@ -112,6 +112,9 @@ object BenchBudgets {
     "q_approx_distinct" -> 1.22,
     "q_asof_join" -> 0.56,
     "q_asof_join_chunked" -> 1.24,
+    "q_bitmap_distinct" -> 1.45,  // frozen r5 (quiet-host median 1.14,
+                                  // control q1 at 1.11/2.04)
+    "q_bitmap_intersect" -> 0.85,  // frozen r5 (median 0.65)
     "q_correlated_avg" -> 0.46,
     "q_countmin" -> 0.47,
     "q_cube" -> 0.48,

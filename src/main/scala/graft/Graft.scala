@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomContains, BloomFilterAgg, DotProduct, MinHashSig, RollingHash64, SimHashAgg, TopKFreqAgg, VecSumAgg}
+import graft.functions.{BitmapAgg, BitmapAndCard, BitmapUnionCard, BloomContains, BloomFilterAgg, DotProduct, MinHashSig, RollingHash64, SimHashAgg, TopKFreqAgg, VecSumAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -128,5 +128,14 @@ object GraftExtensions {
             s"graft_topk_freq: k must be an INT literal, got $other")
         }
         TopKFreqAgg(children.head, k)
-      }))
+      }),
+    (FunctionIdentifier("graft_bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "graft_bitmap_agg"),
+      unary("graft_bitmap_agg")(BitmapAgg(_))),
+    (FunctionIdentifier("graft_bitmap_union_card"),
+      new ExpressionInfo(classOf[BitmapUnionCard].getName, "graft_bitmap_union_card"),
+      unary("graft_bitmap_union_card")(BitmapUnionCard(_))),
+    (FunctionIdentifier("graft_bitmap_and_card"),
+      new ExpressionInfo(classOf[BitmapAndCard].getName, "graft_bitmap_and_card"),
+      unary("graft_bitmap_and_card")(BitmapAndCard(_))))
 }

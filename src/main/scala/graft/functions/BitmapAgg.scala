@@ -1,0 +1,192 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.roaringbitmap.longlong.Roaring64Bitmap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Native EXACT mergeable distinct-set aggregates over compressed
+  * Roaring bitmaps — the Spark-side analog of ClickHouse's
+  * `groupBitmap`/`groupBitmapOr` family the reference serves COUNT
+  * DISTINCT from (gmall-realtime ProductStatsApp keeps an `orderIdSet`
+  * HashSet in its window reduce — gmall-realtime/src/main/java/com/
+  * atguigu/app/dws/ProductStatsApp.java orderIdSet — and the publisher
+  * reads pre-aggregated ClickHouse state).
+  *
+  * Three-member family completing the distinct-serving spectrum:
+  *  - `graft_bitmap_agg(id)`        → BINARY partial: the compressed
+  *    bitmap of a fine-grained group (e.g. one month). Partials build
+  *    map-side like any aggregate; a group's state is the compressed
+  *    set itself (Roaring run/array containers: ~2 bytes per element
+  *    worst case, ~2 BITS on dense id ranges) instead of one shuffled
+  *    row per distinct value — the two-level exact-distinct rollup's
+  *    shuffle disappears into in-buffer ORs.
+  *  - `graft_bitmap_union_card(bm)` → BIGINT: EXACT cardinality of the
+  *    OR of stored partials (re-aggregation upward: month → year →
+  *    all-time without ever rescanning raw data — the `hllPreAgg`
+  *    serving pattern, but exact).
+  *  - `graft_bitmap_and_card(bm)`   → BIGINT: EXACT cardinality of the
+  *    AND — distinct-set INTERSECTION ("users active in BOTH periods"),
+  *    which no cardinality-only sketch (HLL) can answer directly.
+  *
+  * vs HLL: HLL state is O(1) at any cardinality but approximate and
+  * union-only; the bitmap is exact and intersectable at
+  * O(compressed-set) state. At 100 TB you keep BOTH: bitmaps where ids
+  * are dense/bounded (order keys, user ids) and serving needs
+  * exactness or set algebra, HLL where cardinality is unbounded.
+  * All three are order/partitioning-independent (OR/AND are
+  * commutative, associative, idempotent), so results are exact under
+  * any merge order — unlike MG/CMS this family IS oracle-comparable.
+  */
+object BitmapAgg {
+  def serialize(bm: Roaring64Bitmap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    bm.serialize(out)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): Roaring64Bitmap = {
+    val bm = new Roaring64Bitmap()
+    bm.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+    bm
+  }
+}
+
+/** `graft_bitmap_agg(longCol)` → BINARY serialized Roaring64 bitmap. */
+case class BitmapAgg(
+  child: Expression,
+  mutableAggBufferOffset: Int = 0,
+  inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bitmap_agg"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral id column, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
+
+  override def update(buffer: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) buffer.addLong(v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    })
+    buffer
+  }
+
+  override def merge(b1: Roaring64Bitmap, b2: Roaring64Bitmap): Roaring64Bitmap = {
+    b1.or(b2); b1
+  }
+
+  override def eval(buffer: Roaring64Bitmap): Any = BitmapAgg.serialize(buffer)
+
+  override def serialize(buffer: Roaring64Bitmap): Array[Byte] = BitmapAgg.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap = BitmapAgg.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BitmapAgg =
+    copy(child = newChildren.head)
+}
+
+/** Shared shell for the binary→cardinality re-aggregators. The buffer
+  * is `null` until the first input lands so AND has its identity
+  * element (OR's identity is the empty bitmap, but sharing the
+  * null-start keeps the two code paths identical). */
+abstract class BitmapCardAgg extends TypedImperativeAggregate[Array[Roaring64Bitmap]] {
+  def child: Expression
+  /** Fold `incoming` into `acc` in place. */
+  protected def combine(acc: Roaring64Bitmap, incoming: Roaring64Bitmap): Unit
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY serialized bitmap, got ${other.catalogString}")
+  }
+
+  // one-slot mutable cell: Array(null) = identity / no input yet
+  override def createAggregationBuffer(): Array[Roaring64Bitmap] =
+    Array[Roaring64Bitmap](null)
+
+  override def update(buffer: Array[Roaring64Bitmap], input: InternalRow): Array[Roaring64Bitmap] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bm = BitmapAgg.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buffer(0) == null) buffer(0) = bm else combine(buffer(0), bm)
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Roaring64Bitmap], b2: Array[Roaring64Bitmap]): Array[Roaring64Bitmap] = {
+    if (b2(0) != null) {
+      if (b1(0) == null) b1(0) = b2(0) else combine(b1(0), b2(0))
+    }
+    b1
+  }
+
+  override def eval(buffer: Array[Roaring64Bitmap]): Any =
+    if (buffer(0) == null) 0L else buffer(0).getLongCardinality
+
+  override def serialize(buffer: Array[Roaring64Bitmap]): Array[Byte] =
+    if (buffer(0) == null) Array.emptyByteArray else BitmapAgg.serialize(buffer(0))
+
+  override def deserialize(bytes: Array[Byte]): Array[Roaring64Bitmap] =
+    if (bytes.isEmpty) Array[Roaring64Bitmap](null)
+    else Array(BitmapAgg.deserialize(bytes))
+}
+
+/** `graft_bitmap_union_card(binCol)` → exact |∪ bitmaps|. */
+case class BitmapUnionCard(
+  child: Expression,
+  mutableAggBufferOffset: Int = 0,
+  inputAggBufferOffset: Int = 0) extends BitmapCardAgg {
+  override def prettyName: String = "graft_bitmap_union_card"
+  override protected def combine(acc: Roaring64Bitmap, incoming: Roaring64Bitmap): Unit =
+    acc.or(incoming)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapUnionCard =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapUnionCard =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BitmapUnionCard =
+    copy(child = newChildren.head)
+}
+
+/** `graft_bitmap_and_card(binCol)` → exact |∩ bitmaps|. The caller must
+  * guard group completeness (a group missing one of the expected
+  * partials intersects fewer sets); see `Relational.bitmapIntersect`'s
+  * row-count guard. */
+case class BitmapAndCard(
+  child: Expression,
+  mutableAggBufferOffset: Int = 0,
+  inputAggBufferOffset: Int = 0) extends BitmapCardAgg {
+  override def prettyName: String = "graft_bitmap_and_card"
+  override protected def combine(acc: Roaring64Bitmap, incoming: Roaring64Bitmap): Unit =
+    acc.and(incoming)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapAndCard =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapAndCard =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BitmapAndCard =
+    copy(child = newChildren.head)
+}

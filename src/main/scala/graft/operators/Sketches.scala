@@ -79,4 +79,85 @@ object Sketches {
     s.createDataFrame(rows.toSeq).toDF("term", "exact_ct", "cms_ct")
       .orderBy(col("exact_ct").desc, col("term"))
   }
+
+  /** EXACT pre-aggregated COUNT DISTINCT serving via the native Roaring
+    * bitmap aggregates ([[graft.functions.BitmapAgg]]) — `hllPreAgg`'s
+    * exact twin and the direct analog of the reference's
+    * `orderIdSet` window reduce (ProductStatsApp.java) / ClickHouse
+    * `groupBitmap` serving tables: monthly per-nation bitmaps of
+    * active customers, rolled up to nation level by bitmap OR. The raw
+    * fact scan happens ONCE (fine-grained partials); the rollup
+    * aggregates compressed bitmaps, not rows — and unlike the HLL path
+    * the answer is exact, so this query IS oracle-comparable.
+    *
+    * Shuffle profile: orders⋈customer equi-join (customer pre-pruned to
+    * two columns), broadcast nation, then ONE hash-agg whose partials
+    * are compressed bitmaps (map-side OR combine) and one
+    * kilobytes-per-group rollup. At 100 TB the monthly bitmap table is
+    * the thing you'd persist; every coarser rollup reads it alone. */
+  def bitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val monthly = Tables.orders(s, d)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("month"))
+      .agg(call_function("graft_bitmap_agg", col("o_custkey")).as("bm"))
+    monthly
+      .groupBy(col("n_name"))
+      .agg(call_function("graft_bitmap_union_card", col("bm")).as("active_custs"),
+        count(lit(1)).as("months"))
+      .orderBy(col("n_name"))
+  }
+
+  val bitmapDistinctSql: String =
+    """WITH m AS (
+      |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month, o_custkey
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT n_name,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_custs,
+      |  CAST(count(DISTINCT month) AS BIGINT) AS months
+      |FROM m GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** EXACT distinct-set INTERSECTION via bitmap AND — the set-algebra
+    * question ("customers active in BOTH 1995 and 1996, per nation")
+    * that cardinality-only sketches cannot answer and that the naive
+    * SQL form pays a per-(customer, year) dedup + HAVING for. Each
+    * (nation, year) side becomes one compressed bitmap; the AND runs
+    * on two kilobyte operands per nation. The `yrs = 2` guard makes
+    * the intersection well-defined when a nation lacks a year
+    * entirely (AND's identity is the universe, not ∅), and the
+    * `both_ct > 0` filter matches the oracle's row existence rule. */
+  def bitmapIntersect(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val yearly = Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1995, 1996))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("yr"))
+      .agg(call_function("graft_bitmap_agg", col("o_custkey")).as("bm"))
+    yearly
+      .groupBy(col("n_name"))
+      .agg(call_function("graft_bitmap_and_card", col("bm")).as("both_years"),
+        count(lit(1)).as("yrs"))
+      .filter(col("yrs") === 2 && col("both_years") > 0)
+      .select(col("n_name"), col("both_years"))
+      .orderBy(col("n_name"))
+  }
+
+  val bitmapIntersectSql: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS both_years FROM (
+      |  SELECT n_name, o_custkey
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) IN (1995, 1996)
+      |  GROUP BY n_name, o_custkey
+      |  HAVING count(DISTINCT year(o_orderdate)) = 2) t
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }
