@@ -87,6 +87,7 @@ object BenchBudgets {
     "ea_sessionize" -> 0.41,
     "ea_sessionize_chunked" -> 2.11,
     "ea_sessionize_native" -> 0.51,
+    "ea_streaks" -> 1.25,  // frozen r5 (quiet-host median 0.97)
     "dedup_gram_frac" -> 5.2,
     "dedup_span_extract" -> 5.1,
     "dedup_span_removal" -> 3.8,
@@ -115,6 +116,8 @@ object BenchBudgets {
     "q_bitmap_distinct" -> 1.45,  // frozen r5 (quiet-host median 1.14,
                                   // control q1 at 1.11/2.04)
     "q_bitmap_intersect" -> 0.85,  // frozen r5 (median 0.65)
+    "q_histogram" -> 0.75,  // frozen r5 (median 0.55)
+    "q_median_mad" -> 2.70,  // frozen r5 (median 2.18, control q1 0.94)
     "q_correlated_avg" -> 0.46,
     "q_countmin" -> 0.47,
     "q_cube" -> 0.48,

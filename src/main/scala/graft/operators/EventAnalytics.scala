@@ -533,4 +533,49 @@ object EventAnalytics {
        |FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
        |ORDER BY touch_type""".stripMargin
   }
+
+  /** Gaps-and-islands: per-user CONSECUTIVE-DAY activity streaks (the
+    * daily-engagement serving shape next to retention/DAU — "longest
+    * run of consecutive active days"). Classic island detection:
+    * epoch-day minus per-user row_number is constant within a
+    * contiguous run, so one groupBy per (user, island) yields streak
+    * lengths without any self-join.
+    *
+    * Scale: the serial window runs AFTER the (user, day) distinct —
+    * a billion-event hot user collapses to at most calendar-range
+    * rows (the dedup is a partial-aggregable hash agg), so per-key
+    * window state is calendar-bounded by construction and the op
+    * needs no chunked variant. */
+  def streaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("dayn"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dayn"))
+    val islands = days
+      .withColumn("grp", col("dayn") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  val streaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |st AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      |  FROM g GROUP BY user_id, grp)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(sum(len) AS BIGINT) AS active_days
+      |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
 }

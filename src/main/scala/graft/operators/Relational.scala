@@ -692,4 +692,111 @@ object Relational {
       |      AND (q.spend > p.spend OR q.n_orders > p.n_orders)))
       |SELECT CAST(spend AS DOUBLE) AS total_spend, n_orders, n_custs
       |FROM sky ORDER BY total_spend DESC""".stripMargin
+
+  /** Robust per-group dispersion: exact MEDIAN + MAD (median absolute
+    * deviation) of order totals per nation — the outlier-resistant
+    * spread statistic (1.4826·MAD ≈ σ) monitoring pipelines prefer
+    * over stddev. NO global sort and NO second fact scan: the fact
+    * table collapses once to per-(group, cent-value) counts, the
+    * median comes from the [[CdfQuantile]] CDF walk over those
+    * counts, and the deviation distribution is DERIVED FROM THE SAME
+    * COUNTS (|2·cents − 2·median| re-keys the count table — deviation
+    * multiplicity is value multiplicity), so the second walk also
+    * never touches raw rows.
+    *
+    * Engine-exactness: cents are exact longs; an interpolated median
+    * is k or k+0.5, so 2·median is an exact integer and every doubled
+    * deviation is an exact long. Both engines therefore interpolate
+    * over identical integers and divide identical doubles at the end.
+    */
+  def medianMad(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val cents = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("cents").as("p"))
+      .agg(count(lit(1)).as("ct"))
+    def walk(counts: DataFrame): DataFrame = {
+      val cum = counts
+        .withColumn("cum", sum(col("ct")).over(
+          Window.partitionBy(col("n_name")).orderBy(col("p"))))
+        .withColumn("n", sum(col("ct")).over(Window.partitionBy(col("n_name"))))
+      val aggs = CdfQuantile.qCols(0.5, "m")
+      cum.groupBy(col("n_name")).agg(aggs.head, aggs.tail: _*)
+        .select(col("n_name"), CdfQuantile.interp("m").as("med"))
+    }
+    val med = walk(cents)
+    val devCounts = cents
+      .join(broadcast(med), "n_name")
+      .groupBy(col("n_name"),
+        abs(col("p") * 2 - (col("med") * 2).cast("long")).as("p"))
+      .agg(sum(col("ct")).as("ct"))
+    walk(devCounts).withColumnRenamed("med", "mad2")
+      .join(broadcast(med), "n_name")
+      .select(col("n_name"),
+        (col("med") / 100.0).as("median_price"),
+        (col("mad2") / 200.0).as("mad_price"))
+      .orderBy(col("n_name"))
+  }
+
+  val medianMadSql: String =
+    """WITH c AS (
+      |  SELECT n_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |m AS (
+      |  SELECT n_name, quantile_cont(cents, 0.5) AS medc
+      |  FROM c GROUP BY n_name),
+      |dev AS (
+      |  SELECT c.n_name,
+      |    abs(2 * cents - CAST(2 * medc AS BIGINT)) AS dev2
+      |  FROM c JOIN m USING (n_name)),
+      |md AS (
+      |  SELECT n_name, quantile_cont(dev2, 0.5) AS mad2
+      |  FROM dev GROUP BY n_name)
+      |SELECT m.n_name, medc / 100.0 AS median_price,
+      |  mad2 / 200.0 AS mad_price
+      |FROM m JOIN md USING (n_name)
+      |ORDER BY m.n_name""".stripMargin
+
+  /** Equi-width HISTOGRAM of order totals (the profiling/data-card
+    * primitive): 20 buckets over the observed [min, max], bounds from
+    * ONE aggregate row that rides as a broadcast literal — no driver
+    * round-trip, no second scan source. All bucket arithmetic is
+    * integer cents (width rounds UP so the max lands in the last
+    * bucket), so bucket ids and bounds are engine-exact; only
+    * non-empty buckets emit (identically in both engines). */
+  def histogram(s: SparkSession, d: String, buckets: Int = 20): DataFrame = {
+    val cents = Tables.orders(s, d)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      .withColumn("width", expr(s"(hi - lo + $buckets) div $buckets"))
+    cents.crossJoin(broadcast(bounds))
+      .groupBy(expr("(cents - lo) div width").as("bucket"),
+        col("lo"), col("width"))
+      .agg(count(lit(1)).as("ct"))
+      .select(col("bucket"),
+        ((col("lo") + col("bucket") * col("width")) / lit(100.0)).as("bucket_lo"),
+        ((col("lo") + (col("bucket") + 1) * col("width")) / lit(100.0)).as("bucket_hi"),
+        col("ct"))
+      .orderBy(col("bucket"))
+  }
+
+  val histogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
+      |b AS (
+      |  SELECT min(cents) AS lo,
+      |    (max(cents) - min(cents) + 20) // 20 AS width
+      |  FROM c)
+      |SELECT (cents - lo) // width AS bucket,
+      |  CAST(lo + ((cents - lo) // width) * width AS DOUBLE) / 100 AS bucket_lo,
+      |  CAST(lo + ((cents - lo) // width + 1) * width AS DOUBLE) / 100 AS bucket_hi,
+      |  CAST(count(*) AS BIGINT) AS ct
+      |FROM c, b
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 }

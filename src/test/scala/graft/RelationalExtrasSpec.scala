@@ -258,4 +258,59 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(row.getDouble(2) === expected)
     assert(row.getInt(3) === (if (expected >= 0) 1 else 0))
   }
+
+  test("median/MAD: hand-computed on a planted skewed group") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-mad").toFile.getAbsolutePath
+    val day = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // nation A prices: 1, 2, 3, 4, 100 -> median 3.00,
+    //   deviations |x-3|: 2, 1, 0, 1, 97 -> MAD 1.00 (outlier-immune;
+    //   stddev would be ~43)
+    // nation B prices: 10, 20 -> median 15.00 (interpolated),
+    //   deviations: 5, 5 -> MAD 5.00
+    val prices = Seq(
+      ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("A", 100.0),
+      ("B", 10.0), ("B", 20.0))
+    prices.zipWithIndex.map { case ((n, p0), i) =>
+      (i.toLong, if (n == "A") 1L else 2L, "O", p0, day, "p")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((10L, "A"), (20L, "B")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$d/nation.parquet")
+    val got = Relational.medianMad(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got === Map("A" -> ((3.0, 1.0)), "B" -> ((15.0, 5.0))))
+  }
+
+  test("histogram: ceil width, max in last bucket, only non-empty buckets") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-hist").toFile.getAbsolutePath
+    val day = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // cents 100..2100: lo=100, hi=2100, width=(2000+20) div 20 = 101
+    val prices = Seq(1.00, 1.00, 2.00, 21.00)
+    prices.zipWithIndex.map { case (p0, i) =>
+      (i.toLong, 1L, "O", p0, day, "p")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = Relational.histogram(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // bucket 0: [1.00, 2.01) holds 1.00 x2 and 2.00; bucket 19:
+    // [20.19, 21.20) holds the max — never an out-of-range bucket 20
+    assert(got === Array((0L, 1.00, 2.01, 3L), (19L, 20.19, 21.20, 1L)))
+  }
+
+  test("histogram: bucket math is exact on the real corpus") {
+    val rows = Relational.histogram(spark, sf0001).collect()
+    val total = rows.map(_.getLong(3)).sum
+    val n = Tables.orders(spark, sf0001).count()
+    assert(total === n)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 20)
+      assert(r.getDouble(1) < r.getDouble(2))
+    }
+  }
 }

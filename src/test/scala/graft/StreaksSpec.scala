@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.EventAnalytics
+
+/** Gaps-and-islands streak detection over planted calendars: island
+  * splitting, month/year boundary contiguity, the multi-event-per-day
+  * collapse, and the single-day degenerate. */
+class StreaksSpec extends SparkSpec {
+
+  private def writeEvents(rows: Seq[(Long, String, Long)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-streaks").toFile.getAbsolutePath
+    rows.map { case (id, day, user) =>
+      (id, java.time.LocalDateTime.parse(s"${day}T12:00:00"), user, "view", 1.0, """{"k":1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("islands split on gaps; multiple events per day collapse to one") {
+    // user 1: 1,2,3 | 5 | 7,8  -> longest 3, 3 streaks, 6 active days
+    // user 2: one day, three events -> longest 1, 1 streak, 1 day
+    val d = writeEvents(Seq(
+      (1L, "2024-03-01", 1L), (2L, "2024-03-02", 1L), (3L, "2024-03-02", 1L),
+      (4L, "2024-03-03", 1L), (5L, "2024-03-05", 1L), (6L, "2024-03-07", 1L),
+      (7L, "2024-03-08", 1L),
+      (8L, "2024-06-10", 2L), (9L, "2024-06-10", 2L), (10L, "2024-06-10", 2L)))
+    val out = EventAnalytics.streaks(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 6L)))
+    assert(out(2L) === ((1L, 1L, 1L)))
+  }
+
+  test("streaks run through month and year boundaries") {
+    // 2023-12-30 .. 2024-01-02 is ONE four-day streak (leap-adjacent
+    // year roll); Feb 28 -> Mar 1 2023 (non-leap) is contiguous too
+    val d = writeEvents(Seq(
+      (1L, "2023-12-30", 1L), (2L, "2023-12-31", 1L),
+      (3L, "2024-01-01", 1L), (4L, "2024-01-02", 1L),
+      (5L, "2023-02-27", 2L), (6L, "2023-02-28", 2L), (7L, "2023-03-01", 2L)))
+    val out = EventAnalytics.streaks(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((4L, 1L, 4L)))
+    assert(out(2L) === ((3L, 1L, 3L)))
+  }
+
+  test("corpus: longest <= active_days, sums consistent, repartition-stable") {
+    val a = EventAnalytics.streaks(spark, sf0001).collect().toSeq
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3))
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    val b = EventAnalytics.streaks(spark, sf0001).collect().toSeq
+    assert(a === b)
+  }
+}
