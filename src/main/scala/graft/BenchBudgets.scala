@@ -24,6 +24,10 @@ object BenchBudgets {
     "ann_ivf_pq" -> 1.2,
     "ann_lsh" -> 0.6,
     "dedup_clusters" -> 6.92,
+    "dedup_containment" -> 9.0,  // frozen r5 (quiet-host median 7.38;
+                                 // capped-inverted-index family, priced
+                                 // like clusters/survivors)
+    "dedup_semantic" -> 1.4,  // frozen r5 (quiet-host median 1.07)
     "dedup_embedding" -> 1.7,  // re-frozen r4: native graft_dot
     "dedup_exact" -> 0.3,
     "dedup_minhash_lsh" -> 3.65,
@@ -117,6 +121,8 @@ object BenchBudgets {
                                   // control q1 at 1.11/2.04)
     "q_bitmap_intersect" -> 0.85,  // frozen r5 (median 0.65)
     "q_histogram" -> 0.75,  // frozen r5 (median 0.55)
+    "q_theta_intersect" -> 1.15,  // frozen r5 (median 0.89)
+    "emb_dim_stats" -> 0.6,  // frozen r5 (median 0.43)
     "q_median_mad" -> 2.70,  // frozen r5 (median 2.18, control q1 0.94)
     "q_correlated_avg" -> 0.46,
     "q_countmin" -> 0.47,

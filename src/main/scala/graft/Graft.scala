@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapAgg, BitmapAndCard, BitmapUnionCard, BloomContains, BloomFilterAgg, DotProduct, MinHashSig, RollingHash64, SimHashAgg, TopKFreqAgg, VecSumAgg}
+import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, BitmapUnionCard, BloomContains, BloomFilterAgg, DotProduct, MinHashSig, RollingHash64, SimHashAgg, ThetaIntersectCard, ThetaSketchAgg, ThetaUnionCard, TopKFreqAgg, VecSumAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -137,5 +137,17 @@ object GraftExtensions {
       unary("graft_bitmap_union_card")(BitmapUnionCard(_))),
     (FunctionIdentifier("graft_bitmap_and_card"),
       new ExpressionInfo(classOf[BitmapAndCard].getName, "graft_bitmap_and_card"),
-      unary("graft_bitmap_and_card")(BitmapAndCard(_))))
+      unary("graft_bitmap_and_card")(BitmapAndCard(_))),
+    (FunctionIdentifier("graft_bitmap_card"),
+      new ExpressionInfo(classOf[BitmapCard].getName, "graft_bitmap_card"),
+      unary("graft_bitmap_card")(BitmapCard(_))),
+    (FunctionIdentifier("graft_theta_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+      unary("graft_theta_agg")(ThetaSketchAgg(_))),
+    (FunctionIdentifier("graft_theta_union_card"),
+      new ExpressionInfo(classOf[ThetaUnionCard].getName, "graft_theta_union_card"),
+      unary("graft_theta_union_card")(ThetaUnionCard(_))),
+    (FunctionIdentifier("graft_theta_intersect_card"),
+      new ExpressionInfo(classOf[ThetaIntersectCard].getName, "graft_theta_intersect_card"),
+      unary("graft_theta_intersect_card")(ThetaIntersectCard(_))))
 }

@@ -106,6 +106,56 @@ case class BitmapAgg(
     copy(child = newChildren.head)
 }
 
+/** `graft_bitmap_card(longCol)` → exact distinct count in ONE
+  * aggregation level (eval returns the cardinality instead of the
+  * serialized set) — the streaming-window form, where the state store
+  * holds the compressed bitmap and the closed window emits its exact
+  * count directly. */
+case class BitmapCard(
+  child: Expression,
+  mutableAggBufferOffset: Int = 0,
+  inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bitmap_card"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral id column, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap()
+
+  override def update(buffer: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) buffer.addLong(v match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    })
+    buffer
+  }
+
+  override def merge(b1: Roaring64Bitmap, b2: Roaring64Bitmap): Roaring64Bitmap = {
+    b1.or(b2); b1
+  }
+
+  override def eval(buffer: Roaring64Bitmap): Any = buffer.getLongCardinality
+
+  override def serialize(buffer: Roaring64Bitmap): Array[Byte] = BitmapAgg.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap = BitmapAgg.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapCard =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapCard =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): BitmapCard =
+    copy(child = newChildren.head)
+}
+
 /** Shared shell for the binary→cardinality re-aggregators. The buffer
   * is `null` until the first input lands so AND has its identity
   * element (OR's identity is the empty bitmap, but sharing the

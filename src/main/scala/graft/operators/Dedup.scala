@@ -797,7 +797,93 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  // ---- shared sketch plumbing ---------------------------------------
+  // ---- containment --------------------------------------------------
+
+  /** Asymmetric CONTAINMENT near-dup pairs (Broder's containment
+    * measure): |A∩B| / min(|A|, |B|) ≥ τ over 3-gram shingle sets —
+    * catches a document EMBEDDED inside a larger one (quote farms,
+    * page-plus-boilerplate wrappers), which symmetric Jaccard misses
+    * because the union is dominated by the larger doc.
+    *
+    * Candidate semantics are DELIBERATELY discriminative: a pair
+    * qualifies only by sharing at least one shingle with document
+    * frequency ≤ [[HotDf]] — boilerplate-only overlap (shingles shared
+    * by hundreds of docs) is exactly what a dedup pipeline must NOT
+    * treat as cloning evidence (the RefinedWeb/massive-gram exclusions
+    * make the same call), and the cap simultaneously bounds every
+    * inverted-index bucket, so candidate volume is O(df²·buckets) with
+    * df ≤ cap — no quadratic hot bucket exists by construction. The
+    * containment score itself is EXACT over the full shingle sets
+    * (in-row `array_intersect` on the candidate pair — no second
+    * corpus shuffle). Oracle applies the identical candidate rule.
+    */
+  def containment(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
+    // same plan skeleton as [[ngramJaccardDocs]] (whose cost ladder is
+    // in BENCH_NOTES): shingle sets built in-row, the capped rare
+    // self-join's output IS the rare-intersection stream, and the hot
+    // remainder is counted only for pairs that already qualify — no
+    // set arrays ever enter a join, and the corpus is shingled once
+    // per consumer with the shuffles shared via ReuseExchange
+    val withSets = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("set"))
+    val sizes = withSets.select(col("doc_id"), size(col("set")).as("sz"))
+    val sh = withSets.select(col("doc_id"), explode(col("set")).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val tagged = sh.join(dfreq, "shingle")
+    val rare = tagged.filter(col("df") <= HotDf).select(col("doc_id"), col("shingle"))
+    val cRare = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c_r"))
+    val hotRows = tagged.filter(col("df") > HotDf)
+    val cHot = cRare.select(col("i"), col("j"))
+      .join(hotRows.select(col("doc_id").as("i"), col("shingle").as("s_i")), "i")
+      .join(hotRows.select(col("doc_id").as("j"), col("shingle").as("s_j")), "j")
+      .filter(col("s_i") === col("s_j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("c_h"))
+    cRare.join(cHot, Seq("i", "j"), "left")
+      .withColumn("shared", col("c_r") + coalesce(col("c_h"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), "j")
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("sz_i"), col("sz_j")), 6))
+      .filter(col("containment") >= tau)
+      .select(col("i"), col("j"), col("shared"), col("containment"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val containmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                 for i in range(1, len(l)-1)]) AS shingle
+      |       FROM toks WHERE len(l) >= 3),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+      |          FROM sh GROUP BY doc_id),
+      |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |  FROM sh a
+      |  JOIN dfreq USING (shingle)
+      |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  WHERE df <= 256),
+      |inter AS (
+      |  SELECT c.i, c.j, CAST(count(*) AS BIGINT) AS shared
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.i
+      |  JOIN sh b ON b.doc_id = c.j AND b.shingle = a.shingle
+      |  GROUP BY c.i, c.j)
+      |SELECT i, j, shared,
+      |  round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = i
+      |JOIN sizes sb ON sb.doc_id = j
+      |WHERE round(CAST(shared AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.8
+      |ORDER BY i, j""".stripMargin
 }
 
 /** Deterministic seeded hyperplanes for the cosine-LSH sketches. The

@@ -697,4 +697,116 @@ object Similarity {
           .orderBy(col("vec_id"))
     }
   }
+
+  /** SemDeDup — SEMANTIC deduplication by cluster-then-compare (Abbas
+    * et al. 2023, arXiv:2303.09540): k-means partitions the embedding
+    * space, and cosine comparison runs ONLY within a cluster, turning
+    * the O(n²) semantic-near-dup search into Σ|cluster|² work — the
+    * paper's exact recipe for LAION/web-scale corpora. Pairs at
+    * cosine ≥ τ mark the larger vec_id dropped in favor of its
+    * smallest qualifying partner (the engine-wide min-id survivor
+    * convention; `dup_of` is that canonical partner, `max_cos` the
+    * strongest similarity evidence).
+    *
+    * Shares the [[centroidCache]] IVF training (same (dir, k, iters)
+    * key): a warehouse trains ONE coarse quantizer and serves both
+    * ANN queries and the dedup pass from it. Scale shape: assignment
+    * is plan-literal column arithmetic (no shuffle), the pair search
+    * is ONE cluster-id equi-join with both sides hash-partitioned —
+    * a hot cluster is an AQE skew-join case, not a plan change
+    * (same contract as `emb_knn_graph_lsh`); the probe side fans each
+    * vector to its `nProbe` nearest clusters (the IVF recall lever —
+    * constant fan-out, and both pair orientations probe, so a pair is
+    * recalled if EITHER end reaches the other's cluster). Clustering
+    * only PRUNES candidates; the cosine test is exact, so false drops
+    * are impossible — residual cross-cluster near-dups are the recall
+    * trade the paper accepts (the spec measures 0.69 at a deliberately
+    * loose tau=0.4 against the k=1 exact run; at SemDeDup's own ~0.95
+    * operating point near-identical vectors share a nearest centroid).
+    *
+    * Not SQL-expressible (k-means) → rows-only + spec. */
+  def semanticDedup(s: SparkSession, d: String, nClusters: Int = 16,
+    tau: Double = 0.4, kmeansIters: Int = 3, nProbe: Int = 2): DataFrame = {
+    val c = corpus(s, d)
+    val key = (d, nClusters, kmeansIters)
+    val cents = Option(centroidCache.get(key)).getOrElse {
+      val trained = kmeansCentroids(c, nClusters, kmeansIters)
+      val prior = centroidCache.putIfAbsent(key, trained)
+      if (prior != null) prior else trained
+    }
+    val assigned = c.withColumn("nrm", norm(col("v")))
+    // probe side fans each vector to its nProbe nearest clusters (the
+    // IVF recall lever, constant fan-out); the build side keeps single
+    // assignment, so a pair is caught iff cluster(j) ∈ probes(i) —
+    // cluster(j) is unique per j, hence no duplicate candidates
+    val left = assigned
+      .withColumn("cluster", explode(topCents(cents, col("v"), nProbe)("cent_id")))
+      .select(col("cluster"), col("vec_id").as("i"), col("v").as("vi"), col("nrm").as("ni"))
+    val right = assigned
+      .withColumn("cluster", topCents(cents, col("v"), 1)(0)("cent_id"))
+      .select(col("cluster"), col("vec_id").as("j"), col("v").as("vj"), col("nrm").as("nj"))
+    val pairs = left.join(right, "cluster")
+      .filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("i2"), greatest(col("i"), col("j")).as("j2"),
+        (dot(col("vi"), col("vj")) / (col("ni") * col("nj"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("i2").as("i"), col("j2").as("j"))
+      .agg(max(col("cos")).as("cos"))
+    pairs.groupBy(col("j").as("vec_id"))
+      .agg(min(col("i")).as("dup_of"), round(max(col("cos")), 6).as("max_cos"))
+      .select(col("vec_id"), col("dup_of"), col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Per-DIMENSION embedding health card (mean / variance / range per
+    * coordinate): the drift-and-degeneracy diagnostic run before
+    * training or index builds — a collapsed dimension (zero variance),
+    * a mean far off zero, or a blown-out range flags a broken encoder
+    * or bad normalization. Cell-grain explode like [[embCentroids]]:
+    * dim× fan-out but fully partial-aggregable, no whole-vector state.
+    *
+    * Engine-exactness: values quantize to integer MICRO-UNITS
+    * (embOutliers' recipe), so n/Σq/Σq²/min/max are exact under any
+    * partitioning (Σq² in DECIMAL(38,0)) and the final mean/variance
+    * are fixed IEEE sequences on identical operands in both engines. */
+  def embDimStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("x") * 1000000.0, 0).cast("long").as("q"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(dec(col("q")) * dec(col("q"))).as("ss"),
+        min(col("q")).as("mn"), max(col("q")).as("mx"))
+      .select(col("dim"), col("n"),
+        round(col("s").cast("double") / col("n") / 1000000.0, 6).as("mean_val"),
+        round((dec(col("n")) * col("ss") - dec(col("s")) * dec(col("s"))).cast("double")
+          / ((col("n") * col("n")).cast("double") * 1.0e12), 6).as("var_val"),
+        (col("mn").cast("double") / 1000000.0).as("min_val"),
+        (col("mx").cast("double") / 1000000.0).as("max_val"))
+      .orderBy(col("dim"))
+  }
+
+  val embDimStatsSql: String =
+    """WITH e AS (
+      |  SELECT generate_subscripts(embedding, 1) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |q AS (SELECT CAST(dim AS BIGINT) AS dim,
+      |        CAST(round(x * 1000000, 0) AS BIGINT) AS q FROM e),
+      |m AS (
+      |  SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+      |    sum(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))) AS ss,
+      |    CAST(min(q) AS BIGINT) AS mn, CAST(max(q) AS BIGINT) AS mx
+      |  FROM q GROUP BY dim)
+      |SELECT dim, n,
+      |  round(CAST(s AS DOUBLE) / n / 1000000, 6) AS mean_val,
+      |  round(CAST(CAST(n AS DECIMAL(38,0)) * ss
+      |             - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) AS DOUBLE)
+      |        / (CAST(n * n AS DOUBLE) * 1e12), 6) AS var_val,
+      |  CAST(mn AS DOUBLE) / 1000000 AS min_val,
+      |  CAST(mx AS DOUBLE) / 1000000 AS max_val
+      |FROM m ORDER BY dim""".stripMargin
 }

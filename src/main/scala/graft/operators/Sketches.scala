@@ -160,4 +160,40 @@ object Sketches {
       |  GROUP BY n_name, o_custkey
       |  HAVING count(DISTINCT year(o_orderdate)) = 2) t
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** APPROXIMATE distinct-set intersection via native Theta sketches
+    * ([[graft.functions.ThetaSketchAgg]]) — `q_bitmap_intersect`'s
+    * fixed-memory twin, completing the set-algebra spectrum: bitmap =
+    * exact / state grows with the set; theta = O(k) state at ANY
+    * cardinality, still unions AND intersects (HLL can do neither
+    * intersection nor bounded-state exactness). The overlap metric is
+    * user-DAYS with both a view and a purchase: each side sketches the
+    * composite (user, day) id, the intersection estimates co-occurrence
+    * — a quantity strictly smaller than either side, so the estimate is
+    * non-trivial. The exact answer rides the same scan as the in-query
+    * witness (the spec bounds |est − exact|; at 100 TB you would drop
+    * the witness and keep only the kilobyte sketches).
+    *
+    * Theta estimates are partitioning-independent (a sketch retains
+    * the k smallest hashes of the SET — insertion order never matters),
+    * but not SQL-expressible → rows-only + spec. */
+  def thetaIntersect(s: SparkSession, d: String): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"),
+        (col("user_id") * 100000L + expr("ts_us div 86400000000")).as("ud"))
+    val sketches = ev.groupBy(col("event_type"))
+      .agg(call_function("graft_theta_agg", col("ud")).as("sk"))
+    val est = sketches.agg(
+      call_function("graft_theta_intersect_card", col("sk")).as("est_overlap"),
+      count(lit(1)).as("n_sides"))
+    val exact = ev.distinct()
+      .groupBy(col("ud")).agg(count(lit(1)).as("types"))
+      .filter(col("types") === 2)
+      .agg(count(lit(1)).as("exact_overlap"))
+    est.crossJoin(exact)
+      .select(round(col("est_overlap"), 2).as("est_overlap"),
+        col("exact_overlap"), col("n_sides"))
+  }
 }

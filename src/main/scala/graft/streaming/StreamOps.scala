@@ -462,6 +462,28 @@ object StreamOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
         col("approx_uv"), col("ev_ct"))
 
+  /** Windowed EXACT distinct visitors via the native Roaring bitmap
+    * aggregate — [[approxDistinctWindowed]]'s exact sibling and the
+    * third point on the windowed-distinct spectrum: exact-by-rows
+    * (`dauStream`'s chained agg keeps one state row per (window,
+    * user)), exact-by-bitmap (THIS — state per window is ONE
+    * compressed bitmap, ~2 bits-2 bytes per user, partials OR through
+    * the state store), approximate (HLL — kilobytes flat at any
+    * audience). The cardinality an OR-merged bitmap reports is exact
+    * regardless of micro-batch order, so this output is spec-checked
+    * EQUAL to the chained-agg path, at bitmap-sized state. */
+  def bitmapDistinctWindowed(df: DataFrame): DataFrame = {
+    graft.Graft.registerFunctions(df.sparkSession)
+    df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        call_function("graft_bitmap_card", col("user_id")).as("uv"),
+        count(lit(1)).as("ev_ct"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("uv"), col("ev_ct"))
+  }
+
   /** Online near-dup gate: each incoming document is MinHash-banded
     * (the native `graft_minhash_sig` — a narrow per-row projection, so
     * it runs unchanged inside the stream) and joined stream-STATIC

@@ -280,4 +280,48 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(cos(vecs(i), vecs(j)) - c) < 1e-9)
     }
   }
+
+  test("containment: embedded doc caught, jaccard would miss it") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-contain")
+      .toFile.getAbsolutePath
+    val core = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val pad = (1 to 40).map(i => s"pad$i").mkString(" ")
+    Seq(
+      (1L, core, "en", "s0"),                 // 6 shingles, all inside doc 2
+      (2L, s"$core $pad", "en", "s0"),        // doc 1 + 40 unique tokens
+      (3L, "unrelated words entirely different text here now", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.containment(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 1)
+    val (i, j, shared, c) = out.head
+    assert((i, j) === ((1L, 2L)))
+    assert(c === 1.0, "every shingle of doc 1 appears in doc 2")
+    assert(shared === 6L)
+    // symmetric jaccard on the same pair stays far below the 0.5 cut:
+    // 6 shared / (6 + 46 - 6) union — the case this operator exists for
+    val jac = Dedup.ngramJaccardDocs(
+      Tables.documents(spark, d)).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("containment: boilerplate-only overlap is not cloning evidence") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-contain-hot")
+      .toFile.getAbsolutePath
+    // 300 docs of identical boilerplate: every shared shingle has
+    // df = 300 > 256, so NO pair qualifies; two docs sharing one
+    // rare shingle DO qualify
+    val boiler = (1L to 300L).map(i => (i, "all rights reserved terms apply", "en", "s0"))
+    val rare = Seq(
+      (1001L, "zulu yankee xray whiskey victor", "en", "s1"),
+      (1002L, "zulu yankee xray whiskey victor extra tail words here", "en", "s1"))
+    (boiler ++ rare).toDF("doc_id", "text", "lang", "source")
+      .coalesce(2).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Dedup.containment(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((1001L, 1002L)))
+  }
 }

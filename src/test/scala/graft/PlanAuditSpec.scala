@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_lm_score" -> "single-row corpus-total scalars broadcast to per-doc scores",
     "text_pmi" -> "single-row unigram/bigram total scalars broadcast to pair scores",
     "text_tfidf" -> "single-row doc-count scalar broadcast to per-(doc, term) tf-df rows",
-    "q_histogram" -> "single-row min/max/width bounds broadcast to the cents scan")
+    "q_histogram" -> "single-row min/max/width bounds broadcast to the cents scan",
+    "q_theta_intersect" -> "two single-row aggregate scalars (estimate, exact witness) cross-joined")
 
   /** Windows with an empty partition spec: legitimate ONLY where the
     * windowed row set is already reduced to a bounded size (daily

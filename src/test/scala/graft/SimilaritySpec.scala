@@ -499,4 +499,52 @@ class SimilaritySpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("semantic dedup: planted near-dup dropped with min-id survivor") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-semdedup")
+      .toFile.getAbsolutePath
+    def axis(i: Int, scale: Float): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(i) = scale; v
+    }
+    Seq(
+      (0L, axis(0, 1.0f), 0),
+      (1L, Array(0.95f, 0.05f, 0f, 0f, 0f, 0f, 0f, 0f), 0), // cos~0.998 to v0
+      (2L, axis(2, 2.0f), 1),                                // orthogonal
+      (3L, axis(2, 3.0f), 1))                                // same DIRECTION as v2
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.semanticDedup(spark, d, nClusters = 2, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // v1 duplicates v0; v3 is colinear with v2 (cos exactly 1)
+    assert(out.map(t => (t._1, t._2)).toSet === Set((1L, 0L), (3L, 2L)))
+    out.foreach(t => assert(t._3 >= 0.9))
+  }
+
+  test("semantic dedup: clustered pass is a sound pruning of the exact pass") {
+    Similarity.clearCentroidCache()
+    val exact = Similarity.semanticDedup(spark, sf0001, nClusters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pruned = Similarity.semanticDedup(spark, sf0001, nClusters = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(exact.nonEmpty, "corpus should contain semantic near-dups at tau=0.4")
+    // no false drops: every pruned verdict exists in the exact run, with
+    // an equal-or-later survivor and equal-or-weaker best evidence
+    // (a cluster only removes candidate partners, never adds them)
+    pruned.foreach { case (v, (dupOf, maxCos)) =>
+      val (exDup, exCos) = exact(v)
+      assert(exDup <= dupOf)
+      assert(maxCos <= exCos + 1e-9)
+    }
+    // recall floor vs the exact pass: same-direction dups co-cluster
+    // tau=0.4 is far BELOW SemDeDup's ~0.95 operating point (this
+    // corpus has no pairs above cos 0.6): loosely-similar pairs are the
+    // worst case for co-clustering, and 2-probe still recalls most
+    val recall = pruned.size.toDouble / exact.size
+    assert(recall >= 0.6, s"semantic recall $recall vs exact ${exact.size}")
+    // determinism (cached centroids + deterministic plan)
+    val again = Similarity.semanticDedup(spark, sf0001, nClusters = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(again === pruned)
+  }
 }

@@ -330,6 +330,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bitmapDistinctWindowed: exact distinct via bitmap state, equals the HLL scenario") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.bitmapDistinctWindowed(input.toDF())
+      .writeStream.format("memory").queryName("bdw").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 10, "view", 0, ts(5)), Evt(2, 11, "view", 0, ts(10)),
+        Evt(3, 10, "click", 0, ts(15))))
+      q.processAllAvailable()
+      // second batch, same window: the state-store bitmap must OR the
+      // micro-batch partial — a repeat user cannot double-count
+      input.addData(Seq(Evt(4, 12, "view", 0, ts(30)), Evt(5, 11, "view", 0, ts(40))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(6, 99, "view", 0, ts(300)))) // close the window
+      q.processAllAvailable()
+      val row = spark.table("bdw").collect()
+        .find(_.getString(0) == "1970-01-02 00:00:00").get
+      assert(row.getLong(1) === 3L, "exact distinct users in the window")
+      assert(row.getLong(2) === 5L)
+    } finally q.stop()
+  }
+
   test("nearDupGate flags stream docs colliding with the corpus index, once per pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
