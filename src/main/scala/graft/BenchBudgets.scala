@@ -92,6 +92,8 @@ object BenchBudgets {
     "ea_sessionize_chunked" -> 2.11,
     "ea_sessionize_native" -> 0.51,
     "ea_streaks" -> 1.25,  // frozen r5 (quiet-host median 0.97)
+    "ea_out_of_order" -> 0.9,  // frozen r5 (median 0.69)
+    "ea_out_of_order_chunked" -> 1.1,  // frozen r5 (median 0.84)
     "dedup_gram_frac" -> 5.2,
     "dedup_span_extract" -> 5.1,
     "dedup_span_removal" -> 3.8,

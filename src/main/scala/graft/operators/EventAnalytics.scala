@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Agg._
@@ -578,4 +578,85 @@ object EventAnalytics {
       |  CAST(count(*) AS BIGINT) AS n_streaks,
       |  CAST(sum(len) AS BIGINT) AS active_days
       |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Out-of-order ARRIVAL diagnostic — the measurement that sizes
+    * every watermark in the streaming mirrors: replay events in
+    * arrival order (event_id — the ingest sequence), track the
+    * event-time high-water mark, and score each arrival's lateness
+    * against it (exactly what Spark's watermark machinery would see).
+    * Per-user rollup: event count, late-arrival count, worst and total
+    * lateness in micros. A p99 of `max_late_us` across users IS the
+    * watermark delay you should configure.
+    *
+    * The integer micro lateness values make every aggregate exact
+    * under any partitioning. */
+  def outOfOrder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .select(col("user_id"), lateCol(col("hwm"), col("ts_us")).as("late_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("total_late_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** NULL-explicit lateness: first arrival (no high-water mark) and
+    * in-order arrivals are 0 by RULE in both engines. */
+  private def lateCol(hwm: Column, ts: Column): Column =
+    when(hwm.isNull || hwm <= ts, lit(0L)).otherwise(hwm - ts)
+
+  /** Hot-key-safe out-of-order diagnostic — identical output to
+    * [[outOfOrder]] (same oracle): arrivals window within
+    * (user, arrival-chunk) so a billion-event key spreads across
+    * chunks, and the cross-chunk high-water mark carry is ONE row per
+    * chunk (running max over the per-chunk maxima — the ascending-carry
+    * half of the standard chunk stitch). Per-key serial work O(chunks). */
+  def outOfOrderChunked(s: SparkSession, d: String,
+    chunkSize: Long = 4096L): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("_chunk", expr(s"event_id div $chunkSize"))
+    val wLocal = Window.partitionBy(col("user_id"), col("_chunk"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCarry = Window.partitionBy(col("user_id")).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = base.groupBy(col("user_id"), col("_chunk"))
+      .agg(max(col("ts_us")).as("cmax"))
+      .withColumn("carry", max(col("cmax")).over(wCarry))
+      .select(col("user_id"), col("_chunk"), col("carry"))
+    val hwmLocal = max(col("ts_us")).over(wLocal)
+    base.join(carries, Seq("user_id", "_chunk"))
+      .withColumn("hwm",
+        when(col("carry").isNull, hwmLocal)
+          .otherwise(greatest(coalesce(hwmLocal, col("carry")), col("carry"))))
+      .select(col("user_id"), lateCol(col("hwm"), col("ts_us")).as("late_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("late_us") > 0).cast("long")).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        sum(col("late_us")).as("total_late_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val outOfOrderSql: String =
+    """WITH a AS (
+      |  SELECT user_id,
+      |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm,
+      |    epoch_us(ts) AS tus
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id,
+      |    CASE WHEN hwm IS NULL OR hwm <= tus THEN 0 ELSE hwm - tus END AS late_us
+      |  FROM a)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+      |  CAST(sum(late_us) AS BIGINT) AS total_late_us
+      |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -537,4 +537,40 @@ class ChunkedSessionSpec extends SparkSpec {
       "click" -> ((1L, 2L, 10.0, 110.0)),
       "view" -> ((1L, 0L, 100.0, 0.0))))
   }
+
+  test("out-of-order: planted disorder scores, chunked == plain at several chunk sizes") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ooo")
+      .toFile.getAbsolutePath
+    // user 1 arrival order (event_id) vs event time (seconds):
+    //   e1@t100, e2@t50 (50s late), e3@t200, e4@t199 (1s late), e5@t300
+    // user 2: perfectly ordered
+    Seq(
+      (1L, 100L, 1L), (2L, 50L, 1L), (3L, 200L, 1L), (4L, 199L, 1L), (5L, 300L, 1L),
+      (6L, 10L, 2L), (7L, 20L, 2L))
+      .map { case (id, sec, u) =>
+        (id, java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC),
+          u, "view", 1.0, """{"k":1}""")
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = EventAnalytics.outOfOrder(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((5L, 2L, 50000000L, 51000000L)))
+    assert(out(2L) === ((2L, 0L, 0L, 0L)))
+    // chunked forms: boundary-straddling chunk sizes must all agree
+    for (cs <- Seq(1L, 2L, 3L, 4096L)) {
+      val ch = EventAnalytics.outOfOrderChunked(spark, d, cs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(ch === out, s"chunkSize=$cs")
+    }
+    // corpus equality + the hot-key plan shape
+    val plain = EventAnalytics.outOfOrder(spark, sf0001).collect().toSeq
+    val chunked = EventAnalytics.outOfOrderChunked(spark, sf0001).collect().toSeq
+    assert(chunked === plain)
+    val plan = EventAnalytics.outOfOrderChunked(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("_chunk"),
+      "expected (user_id, _chunk) window partitioning in the chunked plan")
+  }
 }
