@@ -36,6 +36,7 @@ object BenchBudgets {
     "dedup_simhash" -> 2.72,
     "dedup_survivors" -> 6.47,
     "dim_scd2" -> 0.47,
+    "dim_scd2_incr" -> 2.1,  // frozen r5 (median 1.63)
     "dim_upsert" -> 0.44,
     "dwd_cdc_ops" -> 0.71,
     "dwd_cdc_route" -> 0.3,

@@ -235,4 +235,58 @@ object DimMaintenance {
       |FROM merged
       |WHERE rn = 1 AND op <> 'd'
       |ORDER BY p_partkey""".stripMargin
+
+  /** INCREMENTAL SCD2 maintenance — [[dimScd2]]'s delta-merge form and
+    * the dimension-side sibling of `dws_product_stats_incr`: the
+    * standing history is NEVER re-windowed. Maintained state is
+    * (a) the CLOSED-version archive (append-only, immutable) and
+    * (b) ONE raw last-event row per key — the open version, or the
+    * tombstone that closed the key (kept so a delete's memory survives;
+    * publishing only `is_current` rows would lose it). A delta batch
+    * (all versions later than the standing state — the in-order CDC
+    * premise; out-of-order arrival is [[mergeVersioned]]'s domain)
+    * merges as: archive ∪ scd2(last-event ∪ delta) — per-key merge work
+    * is 1 + delta rows, independent of history depth.
+    *
+    * Output must be BYTE-IDENTICAL to the full rebuild, so it shares
+    * [[dimScd2Sql]] as its oracle. The arrival split here is the
+    * midpoint of the CDC version range, attached as a broadcast
+    * single-row scalar (no driver round-trip); keys deliberately span
+    * the split. */
+  def dimScd2Incr(s: SparkSession, d: String): DataFrame = {
+    val updates = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(
+        Dwd.propsK(col("props")).cast("long").as("p_partkey"),
+        concat(lit("upd-"), col("event_id")).as("p_name"),
+        col("ts_us").as("version"),
+        col("event_id").as("tie"),
+        when(col("event_type") === "error", "d").otherwise("u").as("op"))
+    val base = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        lit(0L).as("version"), lit(Long.MinValue).as("tie"), lit("u").as("op"))
+    val bounds = updates.agg(
+      ((min(col("version")) + max(col("version"))) / 2).cast("long").as("cut"))
+    val tagged = updates.crossJoin(broadcast(bounds))
+    val standingEvents = base.unionByName(
+      tagged.filter(col("version") <= col("cut")).drop("cut"))
+    val delta = tagged.filter(col("version") > col("cut")).drop("cut")
+
+    // maintained state, derived here from the standing batch; in
+    // production these two ARE the stored tables
+    val wLast = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("version").desc, col("tie").desc)
+    val lastEvent = standingEvents
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1).drop("rn")
+    val closedArchive =
+      scd2(standingEvents, "p_partkey", "version", "tie", "op")
+        .filter(col("valid_to").isNotNull)
+
+    // the delta merge: per key, one state row + the delta rows
+    val openRegion = scd2(lastEvent.unionByName(delta),
+      "p_partkey", "version", "tie", "op")
+    closedArchive.unionByName(openRegion)
+      .orderBy(col("p_partkey"), col("valid_from"), col("p_name"))
+  }
 }
