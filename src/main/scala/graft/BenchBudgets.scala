@@ -24,9 +24,9 @@ object BenchBudgets {
     "ann_ivf_pq" -> 1.2,
     "ann_lsh" -> 0.6,
     "dedup_clusters" -> 6.92,
-    "dedup_containment" -> 9.0,  // frozen r5 (quiet-host median 7.38;
-                                 // capped-inverted-index family, priced
-                                 // like clusters/survivors)
+    "dedup_containment" -> 6.5,  // re-frozen r5 after the hotDocs
+                                 // left_semi cut (median 4.97; first
+                                 // freeze 9.0 from the uncut 7.38 plan)
     "dedup_semantic" -> 1.4,  // frozen r5 (quiet-host median 1.07)
     "dedup_embedding" -> 1.7,  // re-frozen r4: native graft_dot
     "dedup_exact" -> 0.3,
@@ -161,6 +161,9 @@ object BenchBudgets {
     "text_ngram_freq" -> 1.76,
     "text_pack" -> 0.89,
     "text_pmi" -> 2.0,
+    "text_entropy" -> 2.1,  // frozen r5 (median 1.62, control q1 1.34)
+    "pipeline_mix_plan" -> 1.05,  // frozen r5 (median 0.79)
+    "graph_degree_stats" -> 2.1,  // frozen r5 (median 1.60)
     "text_pii_scrub" -> 0.3,
     "text_quality" -> 0.37,
     "text_quality_gate" -> 1.35,  // re-frozen r5 from a quiet-host

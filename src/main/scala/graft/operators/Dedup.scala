@@ -837,7 +837,13 @@ object Dedup {
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("c_r"))
     val hotRows = tagged.filter(col("df") > HotDf)
+    // only pairs with BOTH ends touching a hot shingle can share one —
+    // the same left_semi cut ngramJaccardDocs applies before its hot
+    // re-count (measured 6.2 → ~4.4 s at sf0.1 without it)
+    val hotDocs = hotRows.select(col("doc_id")).distinct()
     val cHot = cRare.select(col("i"), col("j"))
+      .join(hotDocs.select(col("doc_id").as("i")), Seq("i"), "left_semi")
+      .join(hotDocs.select(col("doc_id").as("j")), Seq("j"), "left_semi")
       .join(hotRows.select(col("doc_id").as("i"), col("shingle").as("s_i")), "i")
       .join(hotRows.select(col("doc_id").as("j"), col("shingle").as("s_j")), "j")
       .filter(col("s_i") === col("s_j"))

@@ -395,4 +395,54 @@ object Graph {
       |SELECT part_key, CAST(count(*) AS BIGINT) AS tri_ct
       |FROM nodes GROUP BY part_key
       |ORDER BY tri_ct DESC, part_key LIMIT 20""".stripMargin
+
+  /** Graph PROFILING card: log2-bucketed degree distribution of the
+    * customer–supplier trade graph, split by side — the first thing an
+    * engine reports before choosing an iteration strategy (hub-heavy
+    * power-law tails drive the degree-ordered orientation in
+    * [[triangles]] and the skew handling everywhere else). One distinct
+    * pair set, one per-node count, one bucket rollup — every stage
+    * partial-aggregable; bucket = floor(log2(degree)) via integer bit
+    * length, so bucketing is engine-exact integer arithmetic. */
+  def degreeStats(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val deg = pairs
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
+        // floor(log2(d)) as exact integer arithmetic: bit_length(d) - 1
+        (length(bin(col("deg"))) - 1).cast("long").as("bucket"),
+        col("deg"))
+      .groupBy(col("side"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("edge_ends"))
+      .orderBy(col("side"), col("bucket"))
+  }
+
+  /** Oracle: `length(bin(deg)) - 1` is the same exact-integer
+    * floor(log2) in both engines (never a libm log). */
+  val degreeStatsSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |nodes AS (
+      |  SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM nodes GROUP BY node)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+      |  CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(min(deg) AS BIGINT) AS min_deg,
+      |  CAST(max(deg) AS BIGINT) AS max_deg,
+      |  CAST(sum(deg) AS BIGINT) AS edge_ends
+      |FROM deg
+      |GROUP BY side, bucket
+      |ORDER BY side, bucket""".stripMargin
 }

@@ -608,4 +608,132 @@ object TextOps {
        |FROM documents d LEFT JOIN scored USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Per-document token ENTROPY (nats) + type-token ratio — the
+    * gibberish/boilerplate signal quality filters pair with the LM
+    * score: natural prose sits in a characteristic entropy band, while
+    * keyboard mash (high entropy, ratio → 1) and template spam (low
+    * entropy, tiny ratio) fall outside it. Shuffle profile mirrors
+    * [[lmScore]]: one partial-aggregable (doc, term) count, one
+    * doc-grain rollup. Engine-exactness is the lmScore recipe — each
+    * −p·ln(p) term rounds to 6 dp BEFORE the sum, and the sum runs in
+    * DECIMAL, so the only libm call happens on identical operands and
+    * the reduction is order-free. */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = Tables.documents(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
+    val perDocTerm = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("ct"))
+    val perDoc = perDocTerm.groupBy(col("doc_id"))
+      .agg(sum(col("ct")).as("n"), count(lit(1)).as("n_distinct"))
+    val p = col("ct").cast("double") / col("n")
+    perDocTerm.join(perDoc, "doc_id")
+      .withColumn("h", round(-p * log(p), 6).cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("n_distinct")).as("n_distinct"),
+        sum(col("h")).cast("double").as("entropy"))
+      .withColumn("type_token_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val entropySql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |pdt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS ct
+      |        FROM terms GROUP BY doc_id, term),
+      |pd AS (SELECT doc_id, CAST(sum(ct) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS n_distinct
+      |       FROM pdt GROUP BY doc_id),
+      |h AS (
+      |  SELECT pdt.doc_id, n, n_distinct,
+      |    CAST(round(-(CAST(ct AS DOUBLE) / n) * ln(CAST(ct AS DOUBLE) / n), 6)
+      |      AS DECIMAL(18,6)) AS h
+      |  FROM pdt JOIN pd USING (doc_id))
+      |SELECT doc_id, max(n) AS n_tokens, max(n_distinct) AS n_distinct,
+      |  CAST(sum(h) AS DOUBLE) AS entropy,
+      |  round(CAST(max(n_distinct) AS DOUBLE) / max(n), 6) AS type_token_ratio
+      |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Data-MIXING plan — the allocation table a pretraining run
+    * publishes next to its corpus report: given per-source token mass
+    * and mixing weights, allocate a token budget (here: half the
+    * corpus) proportionally to weight, cap at availability, and
+    * redistribute the capped surplus to uncapped sources in ONE
+    * water-fill round (exact water-filling iterates; one round is the
+    * standard practical pass, stated in the output contract). All
+    * allocation arithmetic is integer (floor division), so both
+    * engines agree bitwise; the final `rate` is one rounded division.
+    *
+    * Shuffle profile: one partial-aggregable per-source rollup; every
+    * window after it runs over ONE ROW PER SOURCE (the whitelisted
+    * global-window case). Weights are derived deterministically from
+    * the source id (1..4) so the plan is nontrivial on the uniform
+    * synthetic corpus. */
+  def mixPlan(s: SparkSession, d: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val av = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail_tokens"))
+      .withColumn("weight",
+        (regexp_extract(col("source"), "([0-9]+)", 1).cast("long") % 4 + 1))
+    val staged = av
+      .withColumn("sw", sum(col("weight")).over(wAll))
+      .withColumn("budget", expr("sum(avail_tokens) OVER () div 2"))
+      .withColumn("target_tokens", expr("(budget * weight) div sw"))
+      .withColumn("capped", col("target_tokens") >= col("avail_tokens"))
+    staged
+      .withColumn("surplus", sum(when(col("capped"),
+        col("target_tokens") - col("avail_tokens")).otherwise(lit(0L))).over(wAll))
+      .withColumn("sw_unc", sum(when(!col("capped"), col("weight"))
+        .otherwise(lit(0L))).over(wAll))
+      .withColumn("extra", when(!col("capped") && col("sw_unc") > 0,
+        expr("(surplus * weight) div sw_unc")).otherwise(lit(0L)))
+      .withColumn("alloc_tokens", when(col("capped"), col("avail_tokens"))
+        .otherwise(least(col("avail_tokens"), col("target_tokens") + col("extra"))))
+      .select(col("source"), col("weight"), col("avail_tokens"),
+        col("target_tokens"), col("alloc_tokens"),
+        when(col("avail_tokens") > 0,
+          round(col("alloc_tokens").cast("double") / col("avail_tokens"), 6))
+          .otherwise(lit(0.0)).as("rate"))
+      .orderBy(col("source"))
+  }
+
+  val mixPlanSql: String =
+    """WITH av AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0)))
+      |      AS BIGINT) AS avail_tokens,
+      |    CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1 AS weight
+      |  FROM documents GROUP BY source),
+      |st AS (
+      |  SELECT *, CAST(sum(weight) OVER () AS BIGINT) AS sw,
+      |    CAST(sum(avail_tokens) OVER () AS BIGINT) // 2 AS budget
+      |  FROM av),
+      |tg AS (
+      |  SELECT *, (budget * weight) // sw AS target_tokens,
+      |    (budget * weight) // sw >= avail_tokens AS capped
+      |  FROM st),
+      |sp AS (
+      |  SELECT *,
+      |    CAST(sum(CASE WHEN capped THEN target_tokens - avail_tokens ELSE 0 END)
+      |      OVER () AS BIGINT) AS surplus,
+      |    CAST(sum(CASE WHEN NOT capped THEN weight ELSE 0 END) OVER () AS BIGINT) AS sw_unc
+      |  FROM tg),
+      |al AS (
+      |  SELECT *,
+      |    CASE WHEN NOT capped AND sw_unc > 0
+      |         THEN (surplus * weight) // sw_unc ELSE 0 END AS extra
+      |  FROM sp)
+      |SELECT source, weight, avail_tokens, target_tokens,
+      |  CASE WHEN capped THEN avail_tokens
+      |       ELSE least(avail_tokens, target_tokens + extra) END AS alloc_tokens,
+      |  CASE WHEN avail_tokens > 0
+      |       THEN round(CAST(CASE WHEN capped THEN avail_tokens
+      |                  ELSE least(avail_tokens, target_tokens + extra) END AS DOUBLE)
+      |            / avail_tokens, 6)
+      |       ELSE 0.0 END AS rate
+      |FROM al ORDER BY source""".stripMargin
 }

@@ -172,4 +172,26 @@ class GraphSpec extends SparkSpec {
       assert(a === b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
+
+  test("degree stats: log2 buckets recompute on a planted star-plus-leaf graph") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-degstats")
+      .toFile.getAbsolutePath
+    // customer 1 trades with suppliers 1,2,3 (deg 3); customer 2 with
+    // supplier 1 (deg 1); duplicate lines must not inflate degrees
+    Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((10L, 1L), (10L, 1L), (11L, 2L), (12L, 3L), (13L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = graft.operators.Graph.degreeStats(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("customer", 0L)) === ((1L, 1L, 1L, 1L)))
+    assert(out(("customer", 1L)) === ((1L, 3L, 3L, 3L)))
+    assert(out(("supplier", 0L)) === ((2L, 1L, 1L, 2L)))
+    assert(out(("supplier", 1L)) === ((1L, 2L, 2L, 2L)))
+    assert(out.size === 4)
+  }
 }

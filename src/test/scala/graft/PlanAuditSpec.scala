@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "ads_active_users" -> "daily-grain activity spine",
     "q_full_outer" -> "daily-grain spine on both sides",
     "dedup_gram_frac" -> "corpus-level gram-df rollup reduced before the window",
-    "emb_pca" -> "no window at all in the distributed part; flagged only if one appears")
+    "emb_pca" -> "no window at all in the distributed part; flagged only if one appears",
+    "pipeline_mix_plan" -> "source-grain allocation: one row per source after the rollup")
 
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -313,4 +313,49 @@ class RelationalExtrasSpec extends SparkSpec {
       assert(r.getDouble(1) < r.getDouble(2))
     }
   }
+
+  test("entropy: hand-computed on planted uniform and degenerate docs") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-entropy").toFile.getAbsolutePath
+    Seq(
+      (1L, "a a a a", "en", "s0"),     // degenerate: p=1 -> H=0, TTR 0.25
+      (2L, "a b", "en", "s0"),         // uniform 2: H = 2*round(-.5*ln .5, 6)
+      (3L, "x x y", "en", "s0"))       // H = round(-(2/3)ln(2/3),6)+round(-(1/3)ln(1/3),6)
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.entropy(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((4L, 1L, 0.0, 0.25)))
+    val h2 = 2 * math.rint(-0.5 * math.log(0.5) * 1e6) / 1e6
+    assert(math.abs(out(2L)._3 - h2) < 1e-9)
+    assert(out(2L)._4 === 1.0)
+    val h3 = math.rint(-(2.0/3) * math.log(2.0/3) * 1e6) / 1e6 +
+      math.rint(-(1.0/3) * math.log(1.0/3) * 1e6) / 1e6
+    assert(math.abs(out(3L)._3 - h3) < 1e-9)
+  }
+
+  test("mix plan: capped source redistributes its surplus in one water-fill round") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-mix").toFile.getAbsolutePath
+    // src1 (w=2): 4 tokens available; src2 (w=3): 100; src3 (w=4): 100
+    // total 204 -> budget 102, sw 9
+    //   targets: src1 (102*2)div9=22 > 4 -> CAPPED, surplus 18
+    //            src2 (102*3)div9=34, src3 (102*4)div9=45
+    //   uncapped weight 7: extra src2 (18*3)div7=7, src3 (18*4)div7=10
+    //   allocs: 4, 41, 55
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, words(4), "en", "src1"),
+      (2L, words(100), "en", "src2"),
+      (3L, words(100), "en", "src3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = TextOps.mixPlan(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("src1") === ((2L, 4L, 22L, 4L)))
+    assert(out("src2") === ((3L, 100L, 34L, 41L)))
+    assert(out("src3") === ((4L, 100L, 45L, 55L)))
+    // conservation: allocation never exceeds the budget
+    assert(out.values.map(_._4).sum <= 102L)
+  }
 }
