@@ -61,6 +61,35 @@ object StreamOps {
       }
   }
 
+  case class Lateness(event_id: Long, user_id: Long, late_us: Long)
+
+  /** Streaming twin of `EventAnalytics.outOfOrder` — the LIVE
+    * watermark-lag monitor: per-user event-time high-water mark in
+    * keyed state; every arrival scores its lateness against it the
+    * instant it lands (within a batch, arrival order = event_id, the
+    * same ingest-sequence contract as the batch op). Feed its output to
+    * a windowed max/quantile and you are watching exactly the disorder
+    * the configured watermark must cover. State is ONE long per user. */
+  def latenessMonitor(ds: Dataset[Evt]): Dataset[Lateness] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Lateness](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, events, state: GroupState[Long]) =>
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val out = events.toSeq.sortBy(_.event_id).map { e =>
+            // full micro precision: getTime truncates to millis, the
+            // sub-ms digits ride in getNanos (batch op compares ts_us)
+            val tus = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+            val late = if (hwm == Long.MinValue || hwm <= tus) 0L else hwm - tus
+            if (tus > hwm) hwm = tus
+            Lateness(e.event_id, e.user_id, late)
+          }
+          state.update(hwm)
+          out.iterator
+      }
+  }
+
   /** UniqueVisitApp (keyed first-visit state + 1-day TTL): emit only
     * each user's first event per day. State is just the latest visit
     * date string — the TTL falls out of the date comparison. */

@@ -330,6 +330,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latenessMonitor: per-arrival lateness, high-water mark survives batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.latenessMonitor(input.toDS())
+      .writeStream.format("memory").queryName("lm").outputMode("append").start()
+    try {
+      // batch 1 (arrival = event_id): t100, t50 (50 min late), t200
+      input.addData(Seq(
+        Evt(1, 1, "view", 0, ts(100)), Evt(2, 1, "view", 0, ts(50)),
+        Evt(3, 1, "view", 0, ts(200))))
+      q.processAllAvailable()
+      // batch 2: t199 arrives AFTER the hwm 200 persisted in state
+      input.addData(Seq(Evt(4, 1, "view", 0, ts(199)), Evt(5, 2, "view", 0, ts(10))))
+      q.processAllAvailable()
+      val out = spark.table("lm").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out === Map(
+        1L -> 0L, 2L -> 3000000000L, 3L -> 0L,
+        4L -> 60000000L,   // vs the cross-batch high-water mark
+        5L -> 0L))
+    } finally q.stop()
+  }
+
   test("bitmapDistinctWindowed: exact distinct via bitmap state, equals the HLL scenario") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
