@@ -14,6 +14,7 @@ object BenchBudgets {
   val budgets: Map[String, Double] = Map(
     "ads_gmv" -> 0.64,
     "ads_gmv_anomaly" -> 1.1,
+    "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_trademark_topn" -> 0.85,
     "ads_active_users" -> 1.6,
     "ads_rfm" -> 2.6,

@@ -238,4 +238,51 @@ object Ads {
        |  1 + (CAST(m_q > m25 AS INT) + CAST(m_q > m50 AS INT)
        |       + CAST(m_q > m75 AS INT)) AS m_score
        |FROM u, cuts ORDER BY user_id""".stripMargin
+
+  /** Year-over-year customer CHURN per nation — the serving query next
+    * to DAU/retention on every dashboard: of the customers who ordered
+    * in the base year, how many came back the next year. Both activity
+    * sets reduce to per-(nation, customer) distinct rows BEFORE any
+    * join (partial-aggregable, the expensive dedup happens map-side),
+    * the retention check is one left join on the customer key, and the
+    * rollup is nation-grain. `churn_rate` is one rounded division of
+    * two exact counts. */
+  def churn(s: SparkSession, d: String, baseYear: Int = 1995): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    def active(yr: Int) = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey")).distinct()
+    val prev = active(baseYear)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_custkey").as("ck"))
+    val curr = active(baseYear + 1).select(col("o_custkey").as("ck"), lit(1).as("ret"))
+    prev.join(curr, Seq("ck"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("prev_custs"),
+        sum(coalesce(col("ret"), lit(0)).cast("long")).as("retained"))
+      .withColumn("churned", col("prev_custs") - col("retained"))
+      .withColumn("churn_rate",
+        round(col("churned").cast("double") / col("prev_custs"), 6))
+      .orderBy(col("n_name"))
+  }
+
+  val churnSql: String =
+    """WITH prev AS (
+      |  SELECT DISTINCT n_name, o_custkey AS ck
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) = 1995),
+      |curr AS (
+      |  SELECT DISTINCT o_custkey AS ck FROM orders
+      |  WHERE year(o_orderdate) = 1996)
+      |SELECT n_name,
+      |  CAST(count(*) AS BIGINT) AS prev_custs,
+      |  CAST(sum(CASE WHEN curr.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+      |  CAST(count(*) - sum(CASE WHEN curr.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+      |  round(CAST(count(*) - sum(CASE WHEN curr.ck IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS churn_rate
+      |FROM prev LEFT JOIN curr USING (ck)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }

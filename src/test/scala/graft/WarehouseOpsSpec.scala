@@ -353,4 +353,25 @@ class WarehouseOpsSpec extends SparkSpec {
     // 30-40 gap stays dead
     assert(merged.toSeq === Seq(("v1", 10L, 20L, 0), ("v2", 20L, 30L, 0), ("v3", 40L, -1L, 1)))
   }
+
+  test("churn: came-back vs lapsed customers, next-year-only customers excluded") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-churn")
+      .toFile.getAbsolutePath
+    def day(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00")
+    // A: 1995 only (churns); B: both years (retained, multiple orders
+    // must not double count); C: 1996 only (not in the base cohort)
+    Seq(
+      (1L, 10L, day(1995)), (2L, 20L, day(1995)), (3L, 20L, day(1995)),
+      (4L, 20L, day(1996)), (5L, 30L, day(1996)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((10L, 1L), (20L, 1L), (30L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((1L, "X")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$d/nation.parquet")
+    val out = graft.operators.Ads.churn(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out === Array(("X", 2L, 1L, 1L, 0.5)))
+  }
 }
