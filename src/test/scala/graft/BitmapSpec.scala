@@ -118,4 +118,29 @@ class BitmapSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(sql === exact)
   }
+
+  test("persisted serving: the monthly bitmap table round-trips through parquet") {
+    graft.Graft.registerFunctions(spark)
+    val d = java.nio.file.Files.createTempDirectory("graft-bmtable")
+      .toFile.getAbsolutePath
+    // build the fine-grained pre-agg ONCE (the thing a 100 TB
+    // warehouse persists), write it as a plain parquet BINARY column
+    Tables.orders(spark, sf001)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(call_function("graft_bitmap_agg", col("o_custkey")).as("bm"))
+      .write.mode("overwrite").parquet(s"$d/custs_by_month.parquet")
+    // serve an ad-hoc coarser rollup from the FILE alone — raw orders
+    // are never read again
+    val served = spark.read.parquet(s"$d/custs_by_month.parquet")
+      .groupBy(substring(col("month"), 1, 4).as("year"))
+      .agg(call_function("graft_bitmap_union_card", col("bm")).as("c"))
+      .orderBy(col("year"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = Tables.orders(spark, sf001)
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
+      .agg(countDistinct(col("o_custkey")).as("c"))
+      .orderBy(col("year"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(served === exact)
+  }
 }
