@@ -14,6 +14,7 @@ object BenchBudgets {
   val budgets: Map[String, Double] = Map(
     "ads_gmv" -> 0.64,
     "ads_gmv_anomaly" -> 1.1,
+    "ads_gmv_ewma" -> 0.95,  // frozen r5 (median 0.71)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
                                    // in-row pair fan-out; the okey

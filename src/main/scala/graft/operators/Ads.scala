@@ -348,4 +348,63 @@ object Ads {
       |CROSS JOIN n
       |ORDER BY lift DESC, pa, pb
       |LIMIT 20""".stripMargin
+
+  /** Exponentially-weighted trailing GMV trend — the smoothing curve
+    * every revenue dashboard draws next to [[gmvAnomaly]]'s z-flags: a
+    * 28-day EWMA with decay 3/4. Engine-exactness without trusting
+    * `pow`: the weights (3/4)^j are DYADIC rationals computed by exact
+    * iterated multiplication (3^27 < 2^43 — every step fits the
+    * 53-bit mantissa) and baked into BOTH plans as their finite
+    * decimal expansions, the day grain is cents (exact longs), and the
+    * weighted sum is one fixed left-associated 28-term chain over a
+    * single Window node — identical IEEE sequences in both engines.
+    * Warmup days (< span history) emit NULL like the anomaly op. */
+  def gmvEwma(s: SparkSession, d: String, span: Int = 28): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(Agg.dec(col("o_totalprice")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("g"))
+      .withColumn("cents", (col("g") * 100).cast("long"))
+    val w = Window.orderBy(col("day"))
+    val num = Ads.ewmaWeights(span).zipWithIndex
+      .map { case (wt, j) => lit(wt) * lag(col("cents"), j).over(w) }
+      .reduceLeft(_ + _)
+    daily
+      .withColumn("ewma",
+        round(num / lit(Ads.ewmaWeights(span).sum) / lit(100.0), 6))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("g").cast("double").as("gmv"), col("ewma"),
+        round(col("g").cast("double") - col("ewma"), 6).as("deviation"))
+      .orderBy(col("day"))
+  }
+
+  /** (3/4)^j by exact iterated multiplication (each step exact while
+    * 3^j fits the mantissa — true through j = 33). */
+  private[graft] def ewmaWeights(span: Int): Seq[Double] =
+    Iterator.iterate(1.0)(_ * 0.75).take(span).toSeq
+
+  /** Weights are interpolated as their exact finite decimal expansions
+    * (dyadic rationals terminate in decimal), so DuckDB parses the
+    * identical doubles Spark's literals carry. */
+  def gmvEwmaSql(span: Int = 28): String = {
+    val ws = ewmaWeights(span)
+    val terms = ws.zipWithIndex.map { case (wt, j) =>
+      s"CAST(${new java.math.BigDecimal(wt).toPlainString} AS DOUBLE) * lag(cents, $j) OVER win"
+    }.mkString("(", " + ", ")")
+    val sumW = s"CAST(${new java.math.BigDecimal(ws.sum).toPlainString} AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS g
+       |  FROM orders WHERE o_orderdate IS NOT NULL
+       |  GROUP BY 1)
+       |SELECT strftime(day, '%Y-%m-%d') AS day,
+       |  CAST(g AS DOUBLE) AS gmv,
+       |  round($terms / $sumW / 100.0, 6) AS ewma,
+       |  round(CAST(g AS DOUBLE) - round($terms / $sumW / 100.0, 6), 6) AS deviation
+       |FROM (SELECT day, g, CAST(g * 100 AS BIGINT) AS cents FROM daily)
+       |WINDOW win AS (ORDER BY day)
+       |ORDER BY day""".stripMargin
+  }
 }

@@ -51,7 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_full_outer" -> "daily-grain spine on both sides",
     "dedup_gram_frac" -> "corpus-level gram-df rollup reduced before the window",
     "emb_pca" -> "no window at all in the distributed part; flagged only if one appears",
-    "pipeline_mix_plan" -> "source-grain allocation: one row per source after the rollup")
+    "pipeline_mix_plan" -> "source-grain allocation: one row per source after the rollup",
+    "ads_gmv_ewma" -> "daily-grain input: one row per day before the 28-term lag chain")
 
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -390,4 +390,25 @@ class WarehouseOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
     assert(out === Array((100L, 200L, 2L, 0.666667, 0.888889)))
   }
+
+  test("gmv ewma: hand-computed 2-term smoothing, warmup null, exact dyadic weights") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ewma")
+      .toFile.getAbsolutePath
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
+    Seq((1L, 100.00, day(1)), (2L, 200.00, day(2)), (3L, 50.00, day(3)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = graft.operators.Ads.gmvEwma(spark, d, span = 2).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    assert(out("2024-01-01") === ((100.0, null)))
+    // (20000*1 + 10000*0.75) / 1.75 / 100 and (5000*1 + 20000*0.75) / 1.75 / 100
+    assert(out("2024-01-02") === ((200.0, 157.142857)))
+    assert(out("2024-01-03") === ((50.0, 114.285714)))
+    // the weights really are the exact dyadic values
+    val ws = graft.operators.Ads.ewmaWeights(28)
+    assert(ws.head === 1.0)
+    assert(ws(27) === math.pow(3, 27) / math.pow(4, 27))
+  }
 }
