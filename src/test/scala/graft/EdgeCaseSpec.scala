@@ -262,4 +262,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(load(dNtz) === expected, "TIMESTAMP_NTZ(MICROS) encoding")
     assert(load(dLtz) === expected, "instant TIMESTAMP(MICROS) encoding")
   }
+
+  test("entropy: empty and whitespace docs emit no row, single token is zero-entropy") {
+    val out = TextOps.entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    // docs 1 and 2 (empty / whitespace-only) have no tokens -> absent,
+    // matching the oracle's term-derived row set
+    assert(!out.contains(1L) && !out.contains(2L))
+    // "solo": one token, p=1 -> H=0, type-token ratio 1
+    assert(out(3L) === ((1L, 0.0, 1.0)))
+    // duplicate docs 0 and 4 score identically
+    assert(out(0L) === out(4L))
+  }
 }

@@ -358,4 +358,25 @@ class RelationalExtrasSpec extends SparkSpec {
     // conservation: allocation never exceeds the budget
     assert(out.values.map(_._4).sum <= 102L)
   }
+
+  test("median/MAD degenerates: single order and all-equal prices give MAD 0") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-mad-edge").toFile.getAbsolutePath
+    val day = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // nation A: ONE order -> median = the value, MAD 0 (n=1 CDF walk);
+    // nation B: three identical prices -> MAD 0, median exact
+    Seq((1L, 10L, "O", 42.50, day, "p"),
+      (2L, 20L, "O", 7.00, day, "p"), (3L, 20L, "O", 7.00, day, "p"),
+      (4L, 20L, "O", 7.00, day, "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((10L, 1L), (20L, 2L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$d/nation.parquet")
+    val got = Relational.medianMad(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got === Map("A" -> ((42.5, 0.0)), "B" -> ((7.0, 0.0))))
+  }
 }
