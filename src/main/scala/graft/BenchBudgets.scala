@@ -15,6 +15,22 @@ object BenchBudgets {
     "ads_gmv" -> 0.64,
     "ads_gmv_anomaly" -> 1.1,
     "ads_gmv_ewma" -> 0.95,  // frozen r5 (median 0.71)
+    // round-6 data-quality/audit family (control q1 1.11)
+    "ads_cohort_ltv" -> 1.1,  // frozen r6 (median 0.84)
+    "q_custdist" -> 0.85,  // frozen r6 (median 0.66)
+    "dq_profile" -> 3.2,  // frozen r6 (median 2.60 — exact 6-way
+                          // multi-distinct Expand incl. props strings)
+    "dq_rules" -> 0.95,  // frozen r6 (median 0.74)
+    "q_snapshot_diff" -> 0.75,  // frozen r6 (median 0.57)
+    "text_lm_bigram" -> 1.7,  // frozen r6 (median 1.34, control q1 1.03)
+    "text_winnow" -> 2.0,  // frozen r6 (median 1.59)
+    "emb_quantize_int8" -> 0.65,  // frozen r6 (median 0.48)
+    "emb_rp_project" -> 0.45,  // frozen r6 (median 0.28)
+    "graph_kcore" -> 6.5,  // frozen r6 (median 5.01, control q1 1.04 —
+                           // the 8-round iteration family)
+    "graph_adamic_adar" -> 4.5,  // frozen r6 (median 3.50)
+    "dq_volume_anomaly" -> 0.7,  // frozen r6 (median 0.51, control q1 1.10)
+    "ads_new_vs_returning" -> 1.7,  // frozen r6 (median 1.31)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
                                    // in-row pair fan-out; the okey

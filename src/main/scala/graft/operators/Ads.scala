@@ -407,4 +407,94 @@ object Ads {
        |WINDOW win AS (ORDER BY day)
        |ORDER BY day""".stripMargin
   }
+
+  /** Cohort lifetime-value triangle — the acquisition-cohort revenue
+    * table next to [[churn]] in every growth dashboard: customers
+    * grouped by FIRST-order month, each cohort's revenue tracked by
+    * age in months since acquisition. Month arithmetic runs on exact
+    * integer month indexes (year*12 + month−1 — never date-diff
+    * rounding), revenue on DECIMAL. Plan: one per-customer min-agg
+    * (partial-aggregable), one equi-join back on the customer key
+    * (both sides shuffle-partitioned on it), one (cohort, age) rollup
+    * — cohort-triangle-sized output, fact-sized work, no windows. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+    val firsts = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+    o.join(firsts, "o_custkey")
+      .groupBy(col("cohort_m"),
+        (col("m") - col("cohort_m")).cast("long").as("age_months"))
+      .agg(count(lit(1)).as("orders"),
+        countDistinct(col("o_custkey")).as("buyers"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .select(
+        format_string("%04d-%02d", expr("cohort_m div 12"),
+          col("cohort_m") % 12 + 1).as("cohort"),
+        col("age_months"), col("orders"), col("buyers"), col("revenue"))
+      .orderBy(col("cohort"), col("age_months"))
+  }
+
+  /** New-vs-returning revenue split per month — the acquisition-mix
+    * dashboard next to [[cohortLtv]] (same first-order-month spine):
+    * an order is NEW business iff it lands in its customer's first
+    * month, RETURNING otherwise. Same plan skeleton as the cohort
+    * triangle (min-agg + equi-join + conditional rollup, exact
+    * integer month indexes, DECIMAL revenue) with month-grain output. */
+  def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+    val firsts = o.groupBy(col("o_custkey")).agg(min(col("m")).as("first_m"))
+    o.join(firsts, "o_custkey")
+      .groupBy(col("m"))
+      .agg(
+        countDistinct(when(col("m") === col("first_m"), col("o_custkey")))
+          .as("new_customers"),
+        countDistinct(when(col("m") =!= col("first_m"), col("o_custkey")))
+          .as("returning_customers"),
+        moneySum(when(col("m") === col("first_m"), col("o_totalprice")))
+          .as("new_revenue"),
+        moneySum(when(col("m") =!= col("first_m"), col("o_totalprice")))
+          .as("returning_revenue"))
+      .select(
+        format_string("%04d-%02d", expr("m div 12"), col("m") % 12 + 1).as("month"),
+        col("new_customers"), col("returning_customers"),
+        col("new_revenue"), col("returning_revenue"))
+      .orderBy(col("month"))
+  }
+
+  val newVsReturningSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+      |  FROM orders WHERE o_orderdate IS NOT NULL),
+      |firsts AS (SELECT o_custkey, min(m) AS first_m FROM o GROUP BY 1)
+      |SELECT printf('%04d-%02d', m // 12, m % 12 + 1) AS month,
+      |  count(DISTINCT CASE WHEN m = first_m THEN o_custkey END) AS new_customers,
+      |  count(DISTINCT CASE WHEN m <> first_m THEN o_custkey END) AS returning_customers,
+      |  CAST(sum(CASE WHEN m = first_m
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS new_revenue,
+      |  CAST(sum(CASE WHEN m <> first_m
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS returning_revenue
+      |FROM o JOIN firsts USING (o_custkey)
+      |GROUP BY m
+      |ORDER BY month""".stripMargin
+
+  val cohortLtvSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_totalprice,
+       |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m
+       |  FROM orders WHERE o_orderdate IS NOT NULL),
+       |firsts AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1)
+       |SELECT printf('%04d-%02d', cohort_m // 12, cohort_m % 12 + 1) AS cohort,
+       |  m - cohort_m AS age_months,
+       |  count(*) AS orders,
+       |  count(DISTINCT o_custkey) AS buyers,
+       |  ${Agg.sqlMoneySum("o_totalprice")} AS revenue
+       |FROM o JOIN firsts USING (o_custkey)
+       |GROUP BY cohort_m, age_months
+       |ORDER BY cohort, age_months""".stripMargin
 }

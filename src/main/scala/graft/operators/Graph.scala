@@ -445,4 +445,184 @@ object Graph {
       |FROM deg
       |GROUP BY side, bucket
       |ORDER BY side, bucket""".stripMargin
+
+  /** k-CORE decomposition by fixed-round peeling (Seidman '83; the
+    * Batagelj–Zaveršnik peel distributed): each round drops every
+    * node whose degree WITHIN the surviving subgraph is < k, until
+    * the fixed round budget (like [[pageRank]]'s 8 iterations, the
+    * round count is part of the operator definition — KCoreSpec
+    * proves the fixpoint is reached). Per round: two equi-joins of
+    * the edge list against the one-column alive set + one count —
+    * shuffles carry (src, dst) pairs only, never adjacency lists;
+    * `localCheckpoint` per round truncates the iterative lineage
+    * (the [[Clusters]] discipline). Cascades are why this needs
+    * rounds at all: peeling one node can push its neighbors below k. */
+  /** Core peel loop; `kv` is a ONE-ROW frame carrying the threshold
+    * `k` (cross-joined broadcast into every round's HAVING — the
+    * data-derived scalar never round-trips through the driver). */
+  def kcoreEdgesKv(pairs: DataFrame, kv: DataFrame, rounds: Int): DataFrame = {
+    val pinned = pairs.cache()
+    val edges = pinned
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    val kvp = kv.localCheckpoint(true) // 1 row; pin so rounds don't recompute
+    var alive = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = edges
+        .join(alive, col("src") === col("node")).drop("node")
+        .join(alive.withColumnRenamed("node", "node2"),
+          col("dst") === col("node2")).drop("node2")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(kvp))
+        .filter(col("deg") >= col("k"))
+        .select(col("src").as("node"))
+        .localCheckpoint()
+    }
+    val core = edges
+      .join(alive, col("src") === col("node")).drop("node")
+      .join(alive.withColumnRenamed("node", "node2"),
+        col("dst") === col("node2")).drop("node2")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+      .localCheckpoint(true)
+    Seq(edges, pinned).foreach(_.unpersist())
+    core
+  }
+
+  /** Fixed-k form (the spec surface for planted graphs). */
+  def kcoreEdges(pairs: DataFrame, k: Int, rounds: Int): DataFrame =
+    kcoreEdgesKv(pairs,
+      pairs.sparkSession.range(1).select(lit(k.toLong).as("k")), rounds)
+
+  /** Dense-backbone k-core of the trade graph, with k DERIVED from the
+    * graph itself: k = the degree value at ascending rank ⌈0.6·n⌉ (the
+    * 60th-percentile degree), so the peel always bites regardless of
+    * scale (a fixed k is meaningless across densities: this synthetic
+    * graph's minimum degree already exceeds any fixed small k, while
+    * p60+1 collapses the sparsest scale to an empty core — the planted
+    * spec covers multi-round cascades). The rank threshold is exact integer
+    * arithmetic ((3n+4) div 5); the CDF walk runs over DISTINCT degree
+    * VALUES (value-cardinality-bounded — the q_quantile precedent),
+    * and k rides as a broadcast one-row scalar. */
+  def kcore(s: SparkSession, d: String, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val deg = pairs
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("c"))
+    val byVal = deg.groupBy(col("c")).agg(count(lit(1)).as("ct"))
+    val kv = byVal
+      .withColumn("cum", sum(col("ct")).over(Window.orderBy(col("c"))))
+      .crossJoin(broadcast(byVal.agg(sum(col("ct")).as("n"))))
+      .filter(col("cum") >= expr("(n * 3 + 4) div 5"))
+      .agg(min(col("c")).as("k"))
+    kcoreEdgesKv(pairs, kv, rounds)
+      .select(
+        when(col("node") % 2 === 0, "customer").otherwise("supplier").as("side"),
+        col("node"), col("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracle: the identical derived threshold + peel rounds unrolled.
+    * Every CTE is MATERIALIZED: each round references the previous
+    * alive set TWICE, and DuckDB's default CTE inlining would make the
+    * chain exponential (measured: 9 plain rounds never finish; 9
+    * materialized rounds run in 60 ms). */
+  def kcoreSql(rounds: Int = 8): String = {
+    val base =
+      """WITH p AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |d AS MATERIALIZED (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY src),
+        |bv AS MATERIALIZED (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS ct FROM d GROUP BY c),
+        |nn AS MATERIALIZED (SELECT CAST(sum(ct) AS BIGINT) AS n FROM bv),
+        |kv AS MATERIALIZED (
+        |  SELECT min(c) AS k FROM (
+        |    SELECT c, CAST(sum(ct) OVER (ORDER BY c) AS BIGINT) AS cum
+        |    FROM bv) t, nn
+        |  WHERE cum >= (n * 3 + 4) // 5),
+        |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT e.src AS node FROM e
+         |  JOIN a${r - 1} x ON e.src = x.node
+         |  JOIN a${r - 1} y ON e.dst = y.node, kv
+         |  GROUP BY e.src, kv.k HAVING count(*) >= kv.k)""".stripMargin
+    }
+    (Seq(base) ++ steps).mkString(",\n") +
+      s"""
+         |SELECT CASE WHEN e.src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS side,
+         |  e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e
+         |JOIN a$rounds x ON e.src = x.node
+         |JOIN a$rounds y ON e.dst = y.node
+         |GROUP BY e.src ORDER BY node""".stripMargin
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks'03)
+    * over the bipartite trade graph: which SUPPLIER pairs serve the
+    * same customers — score = Σ_z 1/ln(deg(z)) over shared customers
+    * z, down-weighting promiscuous buyers. Top-20 pairs.
+    *
+    * Scale shape: wedge enumeration through an intermediary costs
+    * deg(z)² while a hub's contribution tends to 0 (1/ln), so
+    * intermediaries with deg > 256 are EXCLUDED — the standard AA hub
+    * cut, stated in the operator contract and mirrored by the oracle
+    * (this bounds every in-row pair fan-out at 256²; it is also why
+    * the wedge runs through CUSTOMERS — supplier fan-in here is
+    * 500+, customer fan-out ~40). Pairs fan out IN-ROW from each
+    * customer's sorted supplier list (the [[triangles]] /
+    * basket-affinity idiom — no supplier⋈supplier self-join shuffle);
+    * each 1/ln(deg) weight is 6-dp-rounded then DECIMAL-summed (the
+    * lmScore recipe) so the score is reduction-order-free and the
+    * oracle's independent self-join formulation matches bit-for-bit. */
+  def adamicAdar(s: SparkSession, d: String, degCap: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("c"), col("o_custkey").as("z"))
+      .distinct()
+    val nbrs = pairs.groupBy(col("z"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"), count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= degCap)
+      .select(col("cs"),
+        round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+    nbrs
+      .select(col("w"), col("cs"), posexplode(col("cs")).as(Seq("i", "a")))
+      .select(col("w"), col("a"),
+        explode(expr("slice(cs, i + 2, size(cs))")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"), sum(col("w")).cast("double").as("aa"))
+      .orderBy(col("aa").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val adamicAdarSql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT l_suppkey AS c, o_custkey AS z
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg AS (
+      |  SELECT z, CAST(count(*) AS BIGINT) AS deg FROM p GROUP BY z),
+      |w AS (
+      |  SELECT z, CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+      |  FROM deg WHERE deg BETWEEN 2 AND 256),
+      |wedges AS (
+      |  SELECT p1.c AS a, p2.c AS b, w.w
+      |  FROM p p1 JOIN p p2 ON p1.z = p2.z AND p1.c < p2.c
+      |  JOIN w ON w.z = p1.z)
+      |SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+      |  CAST(sum(w) AS DOUBLE) AS aa
+      |FROM wedges GROUP BY a, b
+      |ORDER BY aa DESC, a, b LIMIT 20""".stripMargin
 }

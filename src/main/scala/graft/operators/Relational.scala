@@ -799,4 +799,35 @@ object Relational {
       |  CAST(count(*) AS BIGINT) AS ct
       |FROM c, b
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed exactly k qualifying orders — including the
+    * zero-order customers only an OUTER join can see (the classic
+    * "left join then count the null side" trap). Two partial-aggregable
+    * hash-aggs around one equi-join: per-customer counts shuffle on
+    * the join key, the distribution rollup is count-of-counts-sized.
+    * The priority filter rides IN the join condition (pushed to the
+    * orders scan) so excluded orders never join. */
+  def custDist(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val custDistSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
 }

@@ -809,4 +809,122 @@ object Similarity {
       |  CAST(mn AS DOUBLE) / 1000000 AS min_val,
       |  CAST(mx AS DOUBLE) / 1000000 AS max_val
       |FROM m ORDER BY dim""".stripMargin
+
+  /** INT8 scalar quantization with reconstruction-error accounting —
+    * the memory path between raw f32 and [[annIvfPq]]'s 8-byte codes
+    * (8:1 compression, the faiss `SQ8` / vector-DB default): each
+    * dimension gets a symmetric scale from its corpus max-|x| (one
+    * partial-aggregable stats pass, 64 rows, broadcast back), codes
+    * clamp to [-127, 127], and every vector reports its reconstruction
+    * MSE + worst-dim error + an exact integer code checksum (the
+    * witness that pins the CODES, not just the error stats, to the
+    * oracle).
+    *
+    * Engine-exactness: the scale is a raw `max(abs(x))` (no
+    * arithmetic, bit-exact in both engines); code = round(x/s·127)
+    * (two IEEE ops + half-away round on identical operands);
+    * reconstruction errors quantize to integer micro-units so the
+    * per-vector Σq² (DECIMAL(38,0)) is exact under any partitioning —
+    * the [[embOutliers]] recipe. */
+  def embQuantizeInt8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val cells = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"), col("x"))
+    val scales = cells.groupBy(col("dim"))
+      .agg(max(abs(col("x"))).as("amax"))
+    val coded = cells.join(broadcast(scales), "dim")
+      .withColumn("code",
+        when(col("amax") > 0,
+          greatest(lit(-127L), least(lit(127L),
+            round(col("x") / col("amax") * 127.0, 0).cast("long"))))
+          .otherwise(lit(0L)))
+      .withColumn("err",
+        round((col("x") - col("code").cast("double") * col("amax") / 127.0)
+          * 1000000.0, 0).cast("long"))
+    coded.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        round(sum(dec(col("err")) * dec(col("err"))).cast("double")
+          / (count(lit(1)).cast("double") * 1.0e12), 9).as("mse"),
+        (max(abs(col("err"))).cast("double") / 1000000.0).as("max_abs_err"),
+        sum(col("code") * col("dim")).as("code_checksum"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embQuantizeInt8Sql: String =
+    """WITH cells AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |scales AS (SELECT dim, max(abs(x)) AS amax FROM cells GROUP BY dim),
+      |coded AS (
+      |  SELECT vec_id, c.dim, x, amax,
+      |    CASE WHEN amax > 0 THEN
+      |      greatest(-127, least(127, CAST(round(x / amax * 127, 0) AS BIGINT)))
+      |    ELSE 0 END AS code
+      |  FROM cells c JOIN scales USING (dim)),
+      |errs AS (
+      |  SELECT vec_id, dim, code,
+      |    CAST(round((x - CAST(code AS DOUBLE) * amax / 127)
+      |               * 1000000, 0) AS BIGINT) AS err
+      |  FROM coded)
+      |SELECT vec_id, count(*) AS n_dims,
+      |  round(CAST(sum(CAST(err AS DECIMAL(38,0)) * CAST(err AS DECIMAL(38,0))) AS DOUBLE)
+      |        / (CAST(count(*) AS DOUBLE) * 1e12), 9) AS mse,
+      |  CAST(max(abs(err)) AS DOUBLE) / 1000000 AS max_abs_err,
+      |  CAST(sum(code * dim) AS BIGINT) AS code_checksum
+      |FROM errs GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Deterministic ±1 sign matrix for [[embRpProject]] — a fixed LCG
+    * over the flattened (i, j) index, so Spark literals and the
+    * generated oracle SQL carry the SAME matrix by construction. */
+  private[graft] def rpSigns(inDim: Int, outDim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val x = (1103515245L * (i * outDim + j) + 12345L) % 2147483648L
+      if ((x / 65536L) % 2L == 0L) 1.0 else -1.0
+    }
+
+  /** Johnson–Lindenstrauss RANDOM PROJECTION to 16 dims (Achlioptas
+    * '01 dense ±1 form — the cheap distance-preserving sketch run
+    * before expensive geometry at 100 TB: coarse clustering,
+    * candidate pruning, visualization feeds). The projection is
+    * dot products against FIXED ±1 rows: vectors quantize to integer
+    * micro-units (stored exactly in doubles), each output coordinate
+    * is one native `graft_dot` against a literal sign row — in-row,
+    * codegen'd, zero shuffle until the final sort; sums of ≤2^26-size
+    * integers stay below 2^53 so every projection is EXACT and the
+    * DuckDB `list_dot_product` oracle reproduces it bit-for-bit. */
+  def embRpProject(s: SparkSession, d: String, outDim: Int = 16): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    val signs = rpSigns(64, outDim)
+    val qx = transform(col("embedding").cast("array<double>"),
+      x => round(x * 1000000.0, 0))
+    val projs = array(signs.indices.map { j =>
+      call_function("graft_dot", col("qx"),
+        array(signs(j).map(v => lit(v)): _*))
+    }: _*)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), qx.as("qx"))
+      .select(col("vec_id"), posexplode(projs).as(Seq("j", "p")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        (col("p") / 1000000.0).as("val"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  val embRpProjectSql: String = {
+    val signs = rpSigns(64, 16)
+    val legs = signs.indices.map { j =>
+      val row = signs(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+      s"""SELECT vec_id, CAST($j AS BIGINT) AS j,
+         |  list_dot_product(qx, [$row]) / 1000000.0 AS val FROM q""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000, 0)) AS qx
+       |  FROM embeddings)
+       |${legs.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY vec_id, j""".stripMargin
+  }
 }

@@ -736,4 +736,139 @@ object TextOps {
       |            / avail_tokens, 6)
       |       ELSE 0.0 END AS rate
       |FROM al ORDER BY source""".stripMargin
+
+  /** Bigram LM scoring with STUPID BACKOFF (Brants et al. EMNLP'07 —
+    * the count-based smoothing used at web scale precisely because it
+    * needs no held-out tuning): [[lmScore]]'s unigram model upgraded
+    * one order. The LM trains on HALF the corpus (even doc_ids — the
+    * CCNet shape: score crawl text against a reference corpus, which
+    * also makes the backoff path REAL: odd docs contain bigrams the
+    * model never saw) and scores every doc:
+    * p(cur|prev) = c(prev cur)/c(prev) if seen, else 0.4·c(cur)/N,
+    * else 0.4/N (OOV floor).
+    *
+    * Scale shape: log-probs are precomputed on the MODEL tables
+    * (bigram-type- and vocab-sized, not token-sized), so the heavy
+    * token-pair stream only does two left equi-joins against model
+    * keys + one doc rollup — every stage partial-aggregable, the raw
+    * corpus scanned twice (train pass, score pass). Each log term is
+    * 6-dp-rounded then DECIMAL-summed (the lmScore/tfidf recipe) so
+    * the mean is reduction-order-free and engine-exact. */
+  def lmBigram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("t"))
+    def bigrams(src: DataFrame): DataFrame = src
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val cu = train.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+    val total = cu.agg(sum(col("cu")).cast("double").as("n"))
+    val cb = bigrams(train).groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cb"))
+    val bgModel = cb.join(cu.withColumnRenamed("term", "prev"), "prev")
+      .select(col("prev"), col("cur"),
+        round(log(col("cb").cast("double") / col("cu").cast("double")), 6).as("lp_b"))
+    val ugModel = cu.crossJoin(broadcast(total))
+      .select(col("term").as("cur"),
+        round(log(lit(0.4) * col("cu").cast("double") / col("n")), 6).as("lp_u"))
+
+    bigrams(docs)
+      .join(bgModel, Seq("prev", "cur"), "left")
+      .join(ugModel, Seq("cur"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp", coalesce(col("lp_b"), col("lp_u"),
+        round(log(lit(0.4) / col("n")), 6)).cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("mean_logprob"),
+        count(when(col("lp_b").isNull, 1)).as("n_backoff"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmBigramSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+      |cu AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS cu
+      |  FROM (SELECT unnest(t) AS term FROM train) x GROUP BY term),
+      |total AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM cu),
+      |tp AS (
+      |  SELECT string_split(g, ' ')[1] AS prev, string_split(g, ' ')[2] AS cur,
+      |    CAST(count(*) AS BIGINT) AS cb
+      |  FROM (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+      |        FROM train WHERE len(t) >= 2) x
+      |  GROUP BY 1, 2),
+      |bgm AS (
+      |  SELECT prev, cur, round(ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)), 6) AS lp_b
+      |  FROM tp JOIN cu ON tp.prev = cu.term),
+      |ugm AS (
+      |  SELECT term AS cur, round(ln(0.4 * CAST(cu AS DOUBLE) / n), 6) AS lp_u
+      |  FROM cu, total),
+      |pairs AS (
+      |  SELECT doc_id, string_split(g, ' ')[1] AS prev, string_split(g, ' ')[2] AS cur
+      |  FROM (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+      |        FROM docs WHERE len(t) >= 2) x),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(lp_b, lp_u, round(ln(0.4 / n), 6)) AS DECIMAL(18,6)) AS lp,
+      |    lp_b
+      |  FROM pairs LEFT JOIN bgm USING (prev, cur) LEFT JOIN ugm USING (cur), total)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(lp) AS DOUBLE) / count(*) AS mean_logprob,
+      |  count(*) FILTER (lp_b IS NULL) AS n_backoff
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+    * k-token shingle with the native rolling hash, then from every
+    * window of `w` consecutive hashes keep the RIGHTMOST minimum —
+    * guaranteeing every w-window contributes a fingerprint (the
+    * local-coverage property plain 0-mod-p hash sampling lacks) while
+    * selecting ~2/(w+1) of positions. The selection runs entirely
+    * IN-ROW (w shifted slices zipped — the [[
+    * graft.functions.TextFunctions.shingles]] idiom; lambdas touch
+    * only the zipped struct so nothing re-evaluates per element):
+    * zero shuffle until the final sort, input-scan speed at 100 TB.
+    * Docs shorter than one window winnow their full (padded) window —
+    * arrays_zip pads with nulls and `least` skips them, so every doc
+    * with ≥1 shingle emits ≥1 fingerprint.
+    *
+    * No SQL oracle (the fingerprint is the native graft hash) —
+    * WinnowSpec drives a from-scratch driver reference over real
+    * corpus docs plus planted tie/short-doc cases. */
+  def winnow(s: SparkSession, d: String, k: Int = 4, w: Int = 4): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(lower(col("text")), k).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"),
+        expr("transform(sh, g -> graft_rolling_hash64(g))").as("h"))
+    // w shifted views of h; window i = (z[i].a0 .. z[i].a3)
+    val L = greatest(size(col("h")) - (w - 1), lit(1))
+    val z = arrays_zip(
+      (0 until w).map(j => slice(col("h"), lit(j + 1), L).as(s"a$j")): _*)
+    val sel = transform(z, (win, i) => {
+      val mn = least((0 until w).map(j => win(s"a$j")): _*)
+      // rightmost index holding the min: ascending fold, every later
+      // match overwrites — null (padded) slots never equal mn
+      val off = (0 until w).foldLeft[Column](lit(-1)) { (acc, j) =>
+        when(win(s"a$j") === mn, lit(j)).otherwise(acc)
+      }
+      struct((i + off).as("pos"), mn.as("fp"))
+    })
+    hashed
+      .select(col("doc_id"), explode(array_distinct(sel)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
 }

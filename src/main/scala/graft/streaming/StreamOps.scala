@@ -768,6 +768,30 @@ object StreamOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("dt"),
         col("dau"), col("ev_ct"))
 
+  /** Continuous top-N trademark serving — the publisher's
+    * `getProductStatsByTrademark` (ORDER BY order_amount LIMIT N over
+    * ClickHouse) kept fresh: purchases enrich against the file-backed
+    * part dim per micro-batch (stream-STATIC broadcast join, the
+    * DimAsyncFunction analog — dim-less skus kept as UNKNOWN like the
+    * timeout branch), then a 1-day tumbling window per brand
+    * aggregates DECIMAL-exact revenue in append mode. The rank itself
+    * is not streamable — windows CLOSE, then the serving layer ranks
+    * each closed window (the spec does exactly that and matches the
+    * batch operator's ordering). Caller supplies the `sku` column
+    * (the productStatsFullStream convention). */
+  def trademarkTopNStream(purchases: DataFrame, part: DataFrame): DataFrame =
+    purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("sku") === col("p_partkey"), "left")
+      .select(col("ts"), coalesce(col("p_brand"), lit("UNKNOWN")).as("brand"),
+        col("value"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("brand"))
+      .agg(graft.operators.Agg.moneySum(col("value")).as("order_amount"),
+        count(lit(1)).as("orders"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+        col("brand"), col("order_amount"), col("orders"))
+
   /** Running GMV (the publisher's getGMV served continuously): global
     * per-day sums maintained across micro-batches, emitted in Update
     * mode — the Spark analog of the ClickHouse table the reference

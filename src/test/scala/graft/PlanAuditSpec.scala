@@ -34,7 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_histogram" -> "single-row min/max/width bounds broadcast to the cents scan",
     "q_theta_intersect" -> "two single-row aggregate scalars (estimate, exact witness) cross-joined",
     "dim_scd2_incr" -> "single-row version-midpoint split scalar broadcast to the CDC stream",
-    "ads_basket_affinity" -> "single-row order-total scalar broadcast to the surviving pairs")
+    "ads_basket_affinity" -> "single-row order-total scalar broadcast to the surviving pairs",
+    "text_lm_bigram" -> "single-row corpus-total scalar broadcast to the OOV floor (the lm_score pattern)",
+    "graph_kcore" -> "single-row derived-k scalar broadcast into every peel round's HAVING")
 
   /** Windows with an empty partition spec: legitimate ONLY where the
     * windowed row set is already reduced to a bounded size (daily
@@ -52,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_gram_frac" -> "corpus-level gram-df rollup reduced before the window",
     "emb_pca" -> "no window at all in the distributed part; flagged only if one appears",
     "pipeline_mix_plan" -> "source-grain allocation: one row per source after the rollup",
-    "ads_gmv_ewma" -> "daily-grain input: one row per day before the 28-term lag chain")
+    "ads_gmv_ewma" -> "daily-grain input: one row per day before the 28-term lag chain",
+    "graph_kcore" -> "derived-k CDF walk over DISTINCT degree values (value-cardinality-bounded, the q_quantile precedent)",
+    "dq_volume_anomaly" -> "daily-grain input: one row per day before the 7-day stats frame (the gmv_anomaly shape)")
 
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -980,4 +980,38 @@ class StreamingSpec extends SparkSpec {
       assert(last === Map(2L -> "b2", 3L -> "c-new"))
     } finally q.stop()
   }
+
+  test("trademarkTopNStream: brand windows close exactly, dim-less sku → UNKNOWN, serve-time rank") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val part = Seq((7L, "BRAND#A"), (8L, "BRAND#B")).toDF("p_partkey", "p_brand")
+    val q = StreamOps.trademarkTopNStream(
+      input.toDF().withColumn("sku", col("user_id")), part)
+      .writeStream.format("memory").queryName("ttn").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 7, "purchase", 10.0, ts(5)),
+        Evt(2, 7, "purchase", 25.5, ts(10)),
+        Evt(3, 8, "purchase", 7.25, ts(12)),
+        Evt(4, 9, "purchase", 3.0, ts(14)),  // sku 9 has no dim row
+        Evt(5, 7, "view", 99.0, ts(15))))    // non-purchase ignored
+      q.processAllAvailable()
+      // brand B keeps selling in a LATER micro-batch, same window
+      input.addData(Seq(Evt(6, 8, "purchase", 2.75, ts(40))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(9, 1, "purchase", 0.0, ts(3 * 24 * 60))))
+      q.processAllAvailable()
+      val rows = spark.table("ttn").collect()
+        .filter(_.getString(0) == "1970-01-02 00:00:00")
+        .map(r => r.getString(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+      assert(rows === Map(
+        "BRAND#A" -> ((35.5, 2L)),
+        "BRAND#B" -> ((10.0, 2L)),
+        "UNKNOWN" -> ((3.0, 1L))))
+      // serving rank over the closed window = the batch operator's order
+      val ranked = rows.toSeq.sortBy { case (b, (amt, _)) => (-amt, b) }.map(_._1)
+      assert(ranked === Seq("BRAND#A", "BRAND#B", "UNKNOWN"))
+    } finally q.stop()
+  }
 }
