@@ -26,11 +26,13 @@ object BenchBudgets {
     "text_winnow" -> 2.0,  // frozen r6 (median 1.59)
     "emb_quantize_int8" -> 0.65,  // frozen r6 (median 0.48)
     "emb_rp_project" -> 0.45,  // frozen r6 (median 0.28)
-    "graph_kcore" -> 6.5,  // frozen r6 (median 5.01, control q1 1.04 —
-                           // the 8-round iteration family)
+    "graph_kcore" -> 4.0,  // re-frozen r6: early exit on a settled peel
+                           // (median 2.94, was 5.01 at the full 8 rounds)
     "graph_adamic_adar" -> 4.5,  // frozen r6 (median 3.50)
     "dq_volume_anomaly" -> 0.7,  // frozen r6 (median 0.51, control q1 1.10)
     "ads_new_vs_returning" -> 1.7,  // frozen r6 (median 1.31)
+    "ads_reach_curve" -> 0.6,  // frozen r6 (median 0.44)
+    "mm_scene_cut" -> 1.9,  // frozen r6 (median 1.48, control q1 1.10)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
                                    // in-row pair fan-out; the okey

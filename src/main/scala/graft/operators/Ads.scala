@@ -408,6 +408,38 @@ object Ads {
        |ORDER BY day""".stripMargin
   }
 
+  /** Cumulative REACH curve — total distinct users ever seen, by day
+    * (the "audience to date" dashboard line). NOT a per-day rescan or
+    * a giant running distinct: cumulative-distinct(day) = count of
+    * users whose FIRST day ≤ day, so one per-user min-agg + one
+    * day-grain rollup + one calendar-bounded running sum does it —
+    * the same first-appearance transform that makes `dauStream`'s
+    * state bounded. New-user counts ride along (the growth half of
+    * the same chart). */
+  def reachCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = graft.Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    perDay
+      .withColumn("cum_users", sum(col("new_users")).over(Window.orderBy(col("day"))))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users").cast("long").as("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  val reachCurveSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS day
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      |per_day AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      |  FROM firsts GROUP BY day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+      |FROM per_day ORDER BY day""".stripMargin
+
   /** Cohort lifetime-value triangle — the acquisition-cohort revenue
     * table next to [[churn]] in every growth dashboard: customers
     * grouped by FIRST-order month, each cohort's revenue tracked by

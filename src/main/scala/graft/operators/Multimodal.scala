@@ -560,4 +560,59 @@ object Multimodal {
        |    SELECT 1 + max(length(text)) // $FrameUnits FROM documents), 2)) AS f) r
        |WHERE length(text) // $FrameUnits > 0 AND f < length(text) // $FrameUnits
        |ORDER BY doc_id, frame_no""".stripMargin
+
+  private val SceneCutThreshold = 300L
+
+  /** Scene-CHANGE detection over the frame stream ([[frameSample]]'s
+    * downstream consumer — the keyframe selector): each frame reduces
+    * to an integer feature (sum of its character codes — the
+    * column-space stand-in for a luma histogram; a real decoder slots
+    * in exactly like [[imageDecodePipeline]]'s), and a cut fires
+    * where the absolute frame-to-frame delta exceeds the threshold.
+    * Everything is IN-ROW (per-doc frame array, adjacent-pair zip —
+    * no per-frame shuffle, no window) and integer-exact, so the
+    * oracle matches bit-for-bit. Emits one row per detected cut. */
+  def sceneCut(s: SparkSession, d: String): DataFrame = {
+    val frames = expr(s"CAST(length(payload) div $FrameUnits AS INT)")
+    // the frame-sum array is bound ONCE per row through a one-element
+    // array + lambda (`transform(array(..), sums -> ..)`): aliasing it
+    // as a column instead would let CollapseProject inline the whole
+    // subtree into every element_at — O(frames²·frame_units) per doc
+    // (the shingles re-evaluation lesson)
+    val cuts = expr(
+      s"""element_at(transform(array(
+         |    transform(sequence(0, frames - 1),
+         |      f -> aggregate(sequence(1, $FrameUnits),
+         |             CAST(0 AS BIGINT),
+         |             (acc, i) -> acc + ascii(substr(payload, f * $FrameUnits + i, 1))))),
+         |  sums -> filter(
+         |    transform(sequence(1, frames - 1),
+         |      f -> named_struct(
+         |        'frame_no', CAST(f AS BIGINT),
+         |        'delta', element_at(sums, f + 1) - element_at(sums, f))),
+         |    x -> abs(x.delta) > $SceneCutThreshold)), 1)""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").as("payload"))
+      .withColumn("frames", frames)
+      .filter(col("frames") >= 2)
+      .select(col("doc_id"), explode(cuts).as("cut"))
+      .select(col("doc_id"), col("cut.frame_no").as("frame_no"),
+        col("cut.delta").as("delta"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  val sceneCutSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, f AS frame_no,
+       |    CAST(list_sum([ord(text[i+1]) for i in range(f*$FrameUnits, f*$FrameUnits + $FrameUnits)]) AS BIGINT) AS s
+       |  FROM documents, (SELECT unnest(range(0, (
+       |      SELECT 1 + max(length(text)) // $FrameUnits FROM documents))) AS f) r
+       |  WHERE length(text) // $FrameUnits >= 2 AND f < length(text) // $FrameUnits),
+       |d AS (
+       |  SELECT doc_id, frame_no,
+       |    s - lag(s) OVER (PARTITION BY doc_id ORDER BY frame_no) AS delta
+       |  FROM f)
+       |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, delta
+       |FROM d WHERE abs(delta) > $SceneCutThreshold
+       |ORDER BY doc_id, frame_no""".stripMargin
 }

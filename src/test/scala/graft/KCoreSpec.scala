@@ -23,6 +23,11 @@ class KCoreSpec extends SparkSpec {
     val r1 = Graph.kcoreEdges(pairs, k = 3, rounds = 1).collect()
       .map(_.getLong(0)).toSet
     assert(r1.contains(5L))
+    // the early exit (unchanged alive count stops the loop) cannot
+    // change the result: a 50-round budget returns the same core
+    val r50 = Graph.kcoreEdges(pairs, k = 3, rounds = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r50 === core)
   }
 
   test("kcore: the 8-round definition is a fixpoint on the real trade graph") {

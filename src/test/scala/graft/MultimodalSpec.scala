@@ -208,4 +208,39 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[String]("frame_md5") === hex)
     }
   }
+
+  test("scene cut: planted frame jump detected, uniform doc silent, driver recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-scut").toFile.getAbsolutePath
+    val jump = "a" * 128 + "z" * 128 + "z" * 128   // cut at frame 1 only
+    val flat = "m" * 384                            // no cuts
+    val short = "q" * 100                           // < 2 frames: excluded
+    Seq((1L, jump, "en", "s", 1L), (2L, flat, "en", "s", 1L), (3L, short, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Multimodal.sceneCut(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, ('z' - 'a').toLong * 128)))
+
+    // real corpus: every emitted cut matches a from-scratch recompute
+    val docs = Tables.documents(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def refCuts(text: String): Seq[(Long, Long)] = {
+      val n = text.length / 128
+      if (n < 2) Seq.empty
+      else {
+        val sums = (0 until n).map(f =>
+          text.substring(f * 128, f * 128 + 128).map(_.toLong).sum)
+        (1 until n).map(f => (f.toLong, sums(f) - sums(f - 1)))
+          .filter { case (_, dl) => math.abs(dl) > 300 }
+      }
+    }
+    val want = docs.toSeq.flatMap { case (id, t) =>
+      refCuts(t).map { case (f, dl) => (id, f, dl) }
+    }.sorted
+    val real = Multimodal.sceneCut(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(real === want && real.nonEmpty)
+  }
 }

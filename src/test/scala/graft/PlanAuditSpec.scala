@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "pipeline_mix_plan" -> "source-grain allocation: one row per source after the rollup",
     "ads_gmv_ewma" -> "daily-grain input: one row per day before the 28-term lag chain",
     "graph_kcore" -> "derived-k CDF walk over DISTINCT degree values (value-cardinality-bounded, the q_quantile precedent)",
-    "dq_volume_anomaly" -> "daily-grain input: one row per day before the 7-day stats frame (the gmv_anomaly shape)")
+    "dq_volume_anomaly" -> "daily-grain input: one row per day before the 7-day stats frame (the gmv_anomaly shape)",
+    "ads_reach_curve" -> "day-grain running sum over per-day new-user counts (calendar-bounded)")
 
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

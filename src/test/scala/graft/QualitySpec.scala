@@ -187,6 +187,26 @@ class QualitySpec extends SparkSpec {
       ("1995-03", 1L, 1L, Some(70.0), Some(50.0))))
   }
 
+  test("ads_reach_curve: first-appearance transform — revisits never re-count") {
+    import spark.implicits._
+    val d = tmp("reach")
+    val dayNs = 86400L * 1000000000L
+    Seq(
+      (1L, 1 * dayNs, Some(10L), "view", 1.0, """{"k": 1}"""),
+      (2L, 1 * dayNs + 1000L, Some(20L), "view", 1.0, """{"k": 1}"""),
+      (3L, 2 * dayNs, Some(10L), "view", 1.0, """{"k": 1}"""),  // revisit
+      (4L, 3 * dayNs, Some(30L), "view", 1.0, """{"k": 1}"""),
+      (5L, 3 * dayNs + 1L, None, "view", 1.0, """{"k": 1}"""))  // null user excluded
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Ads.reachCurve(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // day 2 has ONLY a revisit → no row (no new users), cum unchanged
+    assert(got.toSeq === Seq(
+      ("1970-01-02", 2L, 2L),
+      ("1970-01-04", 1L, 3L)))
+  }
+
   test("ads_cohort_ltv: hand-computed triangle on planted orders") {
     import spark.implicits._
     val d = tmp("ltv")

@@ -274,4 +274,53 @@ class SqlSurfaceSpec extends SparkSpec {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
       graft.operators.Sketches.bitmapDistinct(spark, sf001))
   }
+
+  test("custdist (Q13 outer-join count-of-counts) as pure SQL matches the operator") {
+    Graft.registerViews(spark, sf001)
+    same(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+      graft.operators.Relational.custDist(spark, sf001))
+  }
+
+  test("reach curve (first-appearance running sum) as pure SQL matches the operator") {
+    Graft.registerViews(spark, sf001)
+    // events_norm: the SQL user reads raw events; normalize ts like
+    // Tables.events (micros timestamp regardless of physical encoding)
+    graft.Tables.events(spark, sf001).createOrReplaceTempView("events_norm")
+    same(
+      """WITH firsts AS (
+        |  SELECT user_id, min(to_date(ts)) AS day
+        |  FROM events_norm WHERE user_id IS NOT NULL GROUP BY user_id),
+        |per_day AS (
+        |  SELECT day, count(*) AS new_users FROM firsts GROUP BY day)
+        |SELECT date_format(day, 'yyyy-MM-dd') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM per_day ORDER BY day""".stripMargin,
+      graft.operators.Ads.reachCurve(spark, sf001))
+  }
+
+  test("JL projection via graft_dot literal rows as pure SQL matches the operator") {
+    Graft.registerViews(spark, sf001)
+    Graft.registerFunctions(spark)
+    val signs = graft.operators.Similarity.rpSigns(64, 16)
+    val arr = signs.indices.map { j =>
+      s"graft_dot(qx, array(${signs(j).map(v => s"CAST($v AS DOUBLE)").mkString(", ")}))"
+    }.mkString("array(", ", ", ")")
+    same(
+      s"""SELECT vec_id, CAST(j AS BIGINT) AS j, p / 1000000.0 AS val
+         |FROM (
+         |  SELECT vec_id,
+         |    transform(CAST(embedding AS ARRAY<DOUBLE>), x -> round(x * 1000000.0, 0)) AS qx
+         |  FROM embeddings)
+         |LATERAL VIEW posexplode($arr) t AS j, p
+         |ORDER BY vec_id, j""".stripMargin,
+      graft.operators.Similarity.embRpProject(spark, sf001))
+  }
 }
