@@ -33,6 +33,11 @@ object BenchBudgets {
     "ads_new_vs_returning" -> 1.7,  // frozen r6 (median 1.31)
     "ads_reach_curve" -> 0.6,  // frozen r6 (median 0.44)
     "mm_scene_cut" -> 1.9,  // frozen r6 (median 1.48, control q1 1.10)
+    "q5_local_volume" -> 1.1,  // frozen r6 (median 0.86, control q1 1.04)
+    "q16_supplier_diversity" -> 1.4,  // frozen r6 (median 1.08)
+    "q22_sales_opportunity" -> 0.7,  // frozen r6 (median 0.51)
+    "q4_order_priority" -> 1.0,  // frozen r6 (median 0.77, control q1 1.03)
+    "q10_returned_items" -> 0.9,  // frozen r6 (median 0.70)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
                                    // in-row pair fan-out; the okey

@@ -830,4 +830,173 @@ object Relational {
       |  GROUP BY c_custkey) c_orders
       |GROUP BY c_count
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Local supplier volume (the TPC-H Q5 shape): revenue from orders
+    * where the customer and supplier sit in the SAME nation, within
+    * one region and a date window — the classic 6-table star join.
+    * Declarative join order, bounded dims (`nation`, `region`)
+    * broadcast, date filter pushed to the orders scan, same-nation
+    * predicate applied as an equi-condition between the two fact
+    * legs; DECIMAL-exact revenue. */
+  def q5LocalVolume(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(Agg.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name, ${Agg.sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Supplier diversity per part attribute (the TPC-H Q16 shape):
+    * distinct suppliers per (brand, type, size), EXCLUDING a
+    * complaint set (low-balance suppliers play the
+    * customer-complaints subquery) — NOT IN becomes a left-anti
+    * equi-join (safe here: the key is non-null), then one
+    * multi-key exact-distinct aggregate and a deterministic top-50. */
+  def q16SupplierDiversity(s: SparkSession, d: String): DataFrame = {
+    val bad = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 1000.0).select(col("s_suppkey"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(50)
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (
+      |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 50""".stripMargin
+
+  /** Dormant high-balance customers (the TPC-H Q22 shape): customers
+    * whose balance beats the positive-balance average but who placed
+    * NO recent order, rolled up per nation. The average rides as a
+    * broadcast one-row scalar computed DECIMAL-exact (sum/count —
+    * never engine-order-dependent `avg`); the NOT EXISTS is a
+    * left-anti join against the date-bounded orders scan (filter
+    * pushed down). */
+  def q22SalesOpportunity(s: SparkSession, d: String): DataFrame = {
+    val avgBal = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .agg((Agg.moneySum(col("c_acctbal")) / count(lit(1))).as("ab"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        Agg.moneySum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val q22Sql: String =
+    s"""WITH ab AS (
+       |  SELECT ${Agg.sqlMoneySum("c_acctbal")} / count(*) AS ab
+       |  FROM customer WHERE c_acctbal > 0)
+       |SELECT n_name, count(*) AS numcust,
+       |  ${Agg.sqlMoneySum("c_acctbal")} AS totacctbal
+       |FROM customer, nation, ab
+       |WHERE c_nationkey = n_nationkey AND c_acctbal > ab
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  /** Late-delivery order-priority counts (the TPC-H Q4 shape): orders
+    * in a quarter with at least one line shipped more than 30 days
+    * after the order date — EXISTS becomes a left-semi equi-join with
+    * the lateness predicate INSIDE the join condition (evaluated
+    * during the join, not on a materialized pair stream). */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01")
+        && col("o_orderdate") < lit("1996-10-01"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Returned-item revenue per customer (the TPC-H Q10 shape): revenue
+    * lost to returns ('R' lines) in a quarter, per customer with
+    * nation context, top-20 — fact⋈fact equi-join with both date and
+    * returnflag filters pushed to the scans, bounded dim broadcast,
+    * DECIMAL-exact revenue, deterministic tie-break. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01")
+        && col("o_orderdate") < lit("1996-10-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Agg.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${Agg.sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
 }

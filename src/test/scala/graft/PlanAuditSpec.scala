@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpec {
     "dim_scd2_incr" -> "single-row version-midpoint split scalar broadcast to the CDC stream",
     "ads_basket_affinity" -> "single-row order-total scalar broadcast to the surviving pairs",
     "text_lm_bigram" -> "single-row corpus-total scalar broadcast to the OOV floor (the lm_score pattern)",
+    "q22_sales_opportunity" -> "single-row exact-average scalar broadcast to the customer scan",
     "graph_kcore" -> "single-row derived-k scalar broadcast into every peel round's HAVING")
 
   /** Windows with an empty partition spec: legitimate ONLY where the

@@ -379,4 +379,47 @@ class RelationalExtrasSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     assert(got === Map("A" -> ((42.5, 0.0)), "B" -> ((7.0, 0.0))))
   }
+
+  test("q16: complaint suppliers are excluded from the diversity count") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-q16").toFile.getAbsolutePath
+    val t0 = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    Seq((1L, "s1", 1, 5000.0), (2L, "s2", 1, 500.0)) // s2: balance < 1000 → excluded
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/supplier.parquet")
+    Seq((10L, "p", "B1", "T1", 5, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    Seq(
+      (1L, 10L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),
+      (2L, 10L, 2L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0),  // excluded supplier
+      (3L, 10L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t0))  // same supplier again
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = Relational.q16SupplierDiversity(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("B1", "T1", 5, 1L)))
+  }
+
+  test("q22: dormant high-balance customers only — recent orders and low balances drop") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-q22").toFile.getAbsolutePath
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // avg positive balance = (100 + 100 + 10) / 3 = 70
+    Seq((1L, "c1", 1, 100.0, "S"), (2L, "c2", 1, 100.0, "S"),
+      (3L, "c3", 2, 10.0, "S"), (4L, "c4", 2, -50.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((1, "A", 0), (2, "B", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/nation.parquet")
+    Seq(
+      (1L, 1L, "F", 10.0, ts("1999-06-01"), "2-HIGH"),  // c1 is recent → drops
+      (2L, 3L, "F", 10.0, ts("1995-06-01"), "2-HIGH"))  // old order — irrelevant
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = Relational.q22SalesOpportunity(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(("A", 1L, 100.0)))
+  }
 }
