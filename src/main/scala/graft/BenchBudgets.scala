@@ -38,6 +38,7 @@ object BenchBudgets {
     "q22_sales_opportunity" -> 0.7,  // frozen r6 (median 0.51)
     "q4_order_priority" -> 1.0,  // frozen r6 (median 0.77, control q1 1.03)
     "q10_returned_items" -> 0.9,  // frozen r6 (median 0.70)
+    "dq_freshness" -> 0.7,  // frozen r6 (median 0.52, control q1 1.17)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
                                    // in-row pair fan-out; the okey

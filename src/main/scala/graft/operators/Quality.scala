@@ -299,6 +299,39 @@ object Quality {
       .orderBy(col("day"))
   }
 
+  /** Per-stream FRESHNESS audit — the third standard DQ dimension next
+    * to validity ([[dqRules]]) and volume ([[dqVolumeAnomaly]]): how
+    * stale is each event stream relative to the freshest data in the
+    * warehouse? Wall-clock `now()` would be nondeterministic, so the
+    * reference point is the corpus-wide max event time (a broadcast
+    * one-row scalar — the histogram pattern); staleness is exact
+    * integer micros. One conditional-aggregation scan. */
+  def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val perType = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("rows_in"), max(col("ts_us")).as("mx"))
+    val global = e.agg(max(col("ts_us")).as("gmx"))
+    perType.crossJoin(broadcast(global))
+      .select(col("event_type"), col("rows_in"),
+        date_format(timestamp_micros(col("mx")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        expr("(gmx - mx) div 1000000").as("staleness_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val dqFreshnessSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |pt AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS rows_in,
+      |    CAST(max(ts_us) AS BIGINT) AS mx
+      |  FROM e GROUP BY event_type),
+      |g AS (SELECT CAST(max(ts_us) AS BIGINT) AS gmx FROM e)
+      |SELECT event_type, rows_in,
+      |  strftime(make_timestamp(mx), '%Y-%m-%d %H:%M:%S') AS last_seen,
+      |  (gmx - mx) // 1000000 AS staleness_s
+      |FROM pt, g
+      |ORDER BY event_type""".stripMargin
+
   val dqVolumeAnomalySql: String =
     """WITH daily AS (
       |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS rows_in

@@ -768,6 +768,26 @@ object StreamOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("dt"),
         col("dau"), col("ev_ct"))
 
+  /** Continuous NEW-USER counts — the streaming face of
+    * `Ads.reachCurve`'s first-appearance transform: `dropDuplicates`
+    * on the user key admits exactly ONE event per user ever (state is
+    * the seen-user set — user-dim-bounded, the same cardinality the
+    * batch min-agg shuffles), and a daily tumbling window counts the
+    * admissions. Equals the batch curve whenever each user's first
+    * arrival respects event time within the watermark (the dedup keeps
+    * the first ARRIVED event; a later-arriving earlier event inside
+    * the watermark is absorbed as a duplicate, not re-dated — spec'd).
+    * The cumulative line is a serving-side running sum over the
+    * emitted day rows. */
+  def newUsersStream(df: DataFrame): DataFrame =
+    df.filter(col("user_id").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("new_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("dt"),
+        col("new_users"))
+
   /** Continuous top-N trademark serving — the publisher's
     * `getProductStatsByTrademark` (ORDER BY order_amount LIMIT N over
     * ClickHouse) kept fresh: purchases enrich against the file-backed

@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     "ads_basket_affinity" -> "single-row order-total scalar broadcast to the surviving pairs",
     "text_lm_bigram" -> "single-row corpus-total scalar broadcast to the OOV floor (the lm_score pattern)",
     "q22_sales_opportunity" -> "single-row exact-average scalar broadcast to the customer scan",
+    "dq_freshness" -> "single-row corpus-max-timestamp scalar broadcast to the per-type rollup",
     "graph_kcore" -> "single-row derived-k scalar broadcast into every peel round's HAVING")
 
   /** Windows with an empty partition spec: legitimate ONLY where the

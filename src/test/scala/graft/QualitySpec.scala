@@ -187,6 +187,23 @@ class QualitySpec extends SparkSpec {
       ("1995-03", 1L, 1L, Some(70.0), Some(50.0))))
   }
 
+  test("dq_freshness: staleness in exact seconds against the corpus max") {
+    import spark.implicits._
+    val d = tmp("dqf")
+    val dayNs = 86400L * 1000000000L
+    Seq(
+      (1L, 1 * dayNs, 1L, "view", 1.0, """{"k": 1}"""),
+      (2L, 1 * dayNs + 90L * 1000000000L, 1L, "view", 1.0, """{"k": 1}"""),
+      (3L, 1 * dayNs + 30L * 1000000000L, 1L, "click", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Quality.dqFreshness(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "click" -> ((1L, "1970-01-02 00:00:30", 60L)),
+      "view" -> ((2L, "1970-01-02 00:01:30", 0L))))
+  }
+
   test("ads_reach_curve: first-appearance transform — revisits never re-count") {
     import spark.implicits._
     val d = tmp("reach")

@@ -981,6 +981,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("newUsersStream: one admission per user ever, across batches and days") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.newUsersStream(input.toDF())
+      .writeStream.format("memory").queryName("nus").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Evt(1, 10, "view", 1.0, ts(5)),
+        Evt(2, 10, "click", 1.0, ts(10)),   // same user, same batch
+        Evt(3, 20, "view", 1.0, ts(15))))
+      q.processAllAvailable()
+      // user 10 returns in a LATER batch and on a LATER day: the
+      // seen-user state absorbs it — never a second admission
+      input.addData(Seq(
+        Evt(4, 10, "view", 1.0, ts(24 * 60 + 5)),
+        Evt(5, 30, "view", 1.0, ts(24 * 60 + 10))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(9, 99, "view", 0.0, ts(5 * 24 * 60))))
+      q.processAllAvailable()
+      val rows = spark.table("nus").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.getOrElse("1970-01-02", 0L) === 2L)  // users 10, 20
+      assert(rows.getOrElse("1970-01-03", 0L) === 1L)  // user 30 only
+    } finally q.stop()
+  }
+
   test("trademarkTopNStream: brand windows close exactly, dim-less sku → UNKNOWN, serve-time rank") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
