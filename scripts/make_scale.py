@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Dev-only generator for the sf0.5-equivalent scaling spot-check
+(SURVEY §4 / BENCH_NOTES scaling table): replicates the driver-shipped
+sf0.1 tables FACTOR times with key shifts, so the headline iterative
+operators can be timed at ~5x rows without touching /root/testdata.
+
+Documents get a per-copy word ROTATION (not verbatim duplication):
+verbatim copies would plant factor-sized near-dup groups and blow the
+pair graph up quadratically BY CONSTRUCTION, which would measure the
+synthetic duplication, not the operator's scaling. Rotated word
+sequences keep the unigram profile but break k>=3 shingles, so
+cross-copy candidate pairs stay rare, as in a real corpus.
+
+Usage: make_scale.py [factor] [outdir]   (defaults: 5 /tmp/sf0.5)
+"""
+import sys, os
+import duckdb
+
+factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.5"
+src = "/root/testdata/sf0.1"
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+
+def copies(sql_per_copy):
+    return "\nUNION ALL\n".join(sql_per_copy(i) for i in range(factor))
+
+# documents: shift doc_id, rotate words by i (breaks shingles across copies)
+maxdoc = con.execute(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
+con.execute(f"""COPY (
+  {copies(lambda i: f'''
+    SELECT doc_id + {i * maxdoc} AS doc_id,
+      CASE WHEN {i} = 0 THEN text ELSE
+        array_to_string(list_concat(w[{i}+1:], w[1:{i}]), ' ') END AS text,
+      lang, source
+    FROM (SELECT *, string_split(text, ' ') AS w FROM '{src}/documents.parquet')''')}
+) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+
+# embeddings: shift vec_id; nudge each copy by a tiny per-copy constant so
+# vectors are distinct but the cluster geometry survives
+maxvec = con.execute(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+con.execute(f"""COPY (
+  {copies(lambda i: f'''
+    SELECT vec_id + {i * maxvec} AS vec_id,
+      list_transform(embedding, x -> CAST(x + {i} * 1e-3 AS FLOAT)) AS embedding,
+      label
+    FROM '{src}/embeddings.parquet' ''')}
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+
+# orders/lineitem: shift order keys per copy; customer/supplier/part key
+# spaces stay SHARED so the bipartite graphs densify the way a bigger
+# warehouse's do (same dims, more facts)
+maxord = con.execute(f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'").fetchone()[0]
+con.execute(f"""COPY (
+  {copies(lambda i: f"SELECT o_orderkey + {i * maxord} AS o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM '{src}/orders.parquet'")}
+) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+con.execute(f"""COPY (
+  {copies(lambda i: f"SELECT l_orderkey + {i * maxord} AS l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM '{src}/lineitem.parquet'")}
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+
+# small tables copy through unchanged (dims are dims at any scale)
+for t in ["region", "nation", "customer", "supplier", "part", "events"]:
+    con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+for t in ["documents", "embeddings", "orders", "lineitem"]:
+    n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+    print(t, n)

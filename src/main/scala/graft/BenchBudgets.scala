@@ -38,6 +38,12 @@ object BenchBudgets {
     "q22_sales_opportunity" -> 0.7,  // frozen r6 (median 0.51)
     "q4_order_priority" -> 1.0,  // frozen r6 (median 0.77, control q1 1.03)
     "q10_returned_items" -> 0.9,  // frozen r6 (median 0.70)
+    // round-7 TPC-H decorrelation wave
+    "q2_min_cost_supplier" -> 3.0,  // frozen r7 (median 2.31)
+    "q15_top_supplier" -> 1.0,      // frozen r7 (median 0.75)
+    "q17_small_quantity" -> 0.75,   // frozen r7 (median 0.55)
+    "q18_large_orders" -> 1.25,     // frozen r7 (median 0.93)
+    "q21_wait_suppliers" -> 1.45,   // frozen r7 (median 1.10)
     "dq_freshness" -> 0.7,  // frozen r6 (median 0.52, control q1 1.17)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
@@ -129,7 +135,10 @@ object BenchBudgets {
     "dedup_span_removal" -> 3.8,
     "dedup_incremental" -> 2.95,
     "dedup_bloom_gate" -> 1.9,  // frozen r5 (quiet-host median 1.47)
-    "emb_whiten" -> 1.2,        // frozen r5 (quiet-host median 0.93)
+    "emb_whiten" -> 1.65,       // re-frozen r7: exploded (vec_id, pos,
+                                // val) oracle-hashable output — 64×
+                                // the row count of the old array form
+                                // (median 1.28, was 0.93)
     "ea_transitions" -> 1.39,
     "ea_transitions_chunked" -> 1.07,
     "emb_pca" -> 2.0,

@@ -210,7 +210,12 @@ object DimMaintenance {
        |     AND (s.valid_to IS NULL OR f.v < s.valid_to)
        |ORDER BY event_id""".stripMargin
 
-  val dimUpsertSql: String =
+  /** UNORDERED merge body — shared verbatim by [[dimUpsertSql]] (which
+    * appends the presentation ORDER BY) and Quality.snapshotDiffSql
+    * (which embeds it as a CTE and orders its own output), so the
+    * composition never depends on string surgery against a trailing
+    * clause. */
+  val dimUpsertSqlBody: String =
     """WITH updates AS (
       |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS p_partkey,
       |    'upd-' || event_id AS p_name,
@@ -233,8 +238,9 @@ object DimMaintenance {
       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates) u)
       |SELECT p_partkey, p_name, p_brand, src
       |FROM merged
-      |WHERE rn = 1 AND op <> 'd'
-      |ORDER BY p_partkey""".stripMargin
+      |WHERE rn = 1 AND op <> 'd'""".stripMargin
+
+  val dimUpsertSql: String = dimUpsertSqlBody + "\nORDER BY p_partkey"
 
   /** INCREMENTAL SCD2 maintenance — [[dimScd2]]'s delta-merge form and
     * the dimension-side sibling of `dws_product_stats_incr`: the

@@ -598,7 +598,12 @@ object Graph {
     * each 1/ln(deg) weight is 6-dp-rounded then DECIMAL-summed (the
     * lmScore recipe) so the score is reduction-order-free and the
     * oracle's independent self-join formulation matches bit-for-bit. */
-  def adamicAdar(s: SparkSession, d: String, degCap: Int = 256): DataFrame = {
+  /** The AA hub cut shared by [[adamicAdar]] and [[adamicAdarSql]] —
+    * one constant so a re-tune cannot silently diverge from the
+    * registered oracle (the FrameUnits/SceneCutThreshold discipline). */
+  val AdamicAdarDegCap: Int = 256
+
+  def adamicAdar(s: SparkSession, d: String, degCap: Int = AdamicAdarDegCap): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -621,14 +626,14 @@ object Graph {
   }
 
   val adamicAdarSql: String =
-    """WITH p AS (
+    s"""WITH p AS (
       |  SELECT DISTINCT l_suppkey AS c, o_custkey AS z
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |deg AS (
       |  SELECT z, CAST(count(*) AS BIGINT) AS deg FROM p GROUP BY z),
       |w AS (
       |  SELECT z, CAST(round(1.0 / ln(CAST(deg AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
-      |  FROM deg WHERE deg BETWEEN 2 AND 256),
+      |  FROM deg WHERE deg BETWEEN 2 AND $AdamicAdarDegCap),
       |wedges AS (
       |  SELECT p1.c AS a, p2.c AS b, w.w
       |  FROM p p1 JOIN p p2 ON p1.z = p2.z AND p1.c < p2.c

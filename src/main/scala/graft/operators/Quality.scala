@@ -237,7 +237,7 @@ object Quality {
   }
 
   val snapshotDiffSql: String =
-    s"""WITH merged AS (${DimMaintenance.dimUpsertSql.replace("ORDER BY p_partkey", "")}),
+    s"""WITH merged AS (${DimMaintenance.dimUpsertSqlBody}),
        |j AS (
        |  SELECT b.p_partkey AS b_key, b.p_name AS b_name, b.p_brand AS b_brand,
        |    m.p_partkey AS m_key, m.p_name AS m_name, m.p_brand AS m_brand

@@ -999,4 +999,219 @@ object Relational {
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey
        |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // TPC-H decorrelation wave (Q2 / Q15 / Q17 / Q18 / Q21 shapes)
+  // ---------------------------------------------------------------
+
+  /** Minimum-cost supplier per part (the TPC-H Q2 shape — a CORRELATED
+    * MIN over a join; the testdata has no partsupp table, so "supply
+    * cost" is each supplier's best observed unit price for the part,
+    * min(l_extendedprice / l_quantity), which keeps the exact query
+    * shape on the tables we ship). Decorrelated Spark-first: the
+    * per-(part, supplier) cost table aggregates ONCE, the correlated
+    * `cost = (SELECT min ...)` becomes a per-part min aggregate
+    * REJOINED on (partkey, cost) — two shuffles on the same part key
+    * (AQE coalesced), never a per-row subquery. Region filter runs on
+    * the supplier dim BEFORE both aggs (broadcast nation⋈region), so
+    * at 100 TB the cost table only carries the region's suppliers.
+    * min() of IEEE divisions is order-free, so the double join key is
+    * deterministic on both engines. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val eur = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val ec = cost.join(eur, col("suppkey") === col("s_suppkey"))
+    val mn = ec.groupBy(col("partkey").as("mn_partkey"))
+      .agg(min(col("cost")).as("mincost"))
+    ec.join(mn, col("partkey") === col("mn_partkey") && col("cost") === col("mincost"))
+      .join(Tables.part(s, d).filter(col("p_size") >= 30),
+        col("partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |         min(l_extendedprice / l_quantity) AS cost
+      |  FROM lineitem GROUP BY 1, 2),
+      |eur AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |ec AS (SELECT cost.*, s_name, s_acctbal, n_name
+      |       FROM cost JOIN eur ON suppkey = s_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost
+      |FROM ec JOIN part ON p_partkey = ec.partkey
+      |WHERE p_size >= 30
+      |  AND cost = (SELECT min(cost) FROM ec e2 WHERE e2.partkey = ec.partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** Top revenue supplier (the TPC-H Q15 shape — MAX over a view): a
+    * quarter's revenue per supplier, returning the supplier(s) AT the
+    * maximum. Decorrelated: the revenue view aggregates once, the max
+    * rides as a broadcast one-row scalar (no driver round-trip), and
+    * the equality filter runs map-side — DECIMAL-exact revenue makes
+    * the double equality deterministic on both engines. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(Agg.revenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("m"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("m"))
+      .join(Tables.supplier(s, d), col("suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS suppkey,
+       |    ${Agg.sqlRevenue("l_extendedprice", "l_discount")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Small-quantity revenue share (the TPC-H Q17 shape — a correlated
+    * PER-PART AVG scalar): revenue that would vanish if orders below
+    * 20% of a part's average quantity were dropped, for one brand.
+    * Decorrelated: per-part moments (Σqty DECIMAL-exact, count)
+    * aggregate once over the brand's lines and join back; the
+    * `qty < 0.2·avg` predicate is cross-multiplied to
+    * `5·qty·n < Σqty` so it compares EXACT decimals — no decimal
+    * division whose rounding could differ between engines. The brand
+    * filter lands on the part scan and semi-bounds the lineitem leg
+    * before any aggregation (at 100 TB the moment table is one
+    * brand's parts, not all parts). */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val lines = Tables.lineitem(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val moments = lines.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(Agg.dec(col("l_quantity"))).as("sq"), count(lit(1)).as("n"))
+    lines.join(moments, col("l_partkey") === col("pk"))
+      .filter(Agg.dec(col("l_quantity")) * lit(5) * col("n") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"),
+        (Agg.moneySum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""WITH mom AS (
+       |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+       |         count(*) AS n
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_brand = 'Brand#1' GROUP BY 1)
+       |SELECT count(*) AS n_lines,
+       |  ${Agg.sqlMoneySum("l_extendedprice")} / 7.0 AS avg_yearly
+       |FROM lineitem JOIN mom ON l_partkey = pk
+       |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq""".stripMargin
+
+  /** Large-volume orders (the TPC-H Q18 shape — IN over a grouped
+    * HAVING): orders whose total quantity tops 250, with customer
+    * context. Decorrelated: the HAVING aggregate runs once on the
+    * fact, and the IN becomes the natural fact⋈fact equi-join on the
+    * order key (both sides hash-partitioned on it); quantity sums are
+    * DECIMAL-exact, dates format to strings (the engine-wide time
+    * column contract). */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sum(Agg.dec(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > 250)
+      .select(col("ok"), col("sq").cast("double").as("total_qty"))
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("ok"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey AS ok,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_totalprice, total_qty
+      |FROM orders JOIN big ON o_orderkey = ok
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** Suppliers who kept orders waiting (the TPC-H Q21 shape — EXISTS
+    * plus NOT EXISTS self-joins on the fact): for finished orders, a
+    * supplier's line shipped late (>60 days after the order date, the
+    * testdata's stand-in for receipt>commit) where the order HAS other
+    * suppliers but NONE of them were late — the sole-blame query.
+    * Decorrelated: the late-line table derives once from the
+    * date-filtered fact⋈orders join; EXISTS becomes a left-semi and
+    * NOT EXISTS a left-anti self-join, both hash-partitioned on the
+    * ORDER key with the supplier inequality evaluated inside the join
+    * — no pair stream materializes, and at 100 TB both sides of each
+    * self-join co-partition on the same key as the original join. */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val oF = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    def late = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(oF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    late
+      .join(others, col("l_orderkey") === col("ok2")
+        && col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("ok3")
+        && col("l_suppkey") =!= col("sk3"), "left_anti")
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
 }

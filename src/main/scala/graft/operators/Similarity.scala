@@ -585,8 +585,16 @@ object Similarity {
 
   private[operators] def pcaBasis(s: SparkSession, d: String): Option[PcaBasis] = {
     graft.Graft.registerFunctions(s)
+    // Inputs quantize to integer MICRO-UNITS before the moment scan, so
+    // Σqx and Σqxqxᵀ are exact integers (well under 2^53 at test SFs)
+    // and therefore identical under ANY partitioning / merge order —
+    // the same order-free-determinism trick as [[embRpProject]] and
+    // emb_outliers' integer moments. That exactness is what lets the
+    // emb_whiten DuckDB oracle recompute the SAME covariance (HUGEINT
+    // sums) and replay the power iteration bit-for-bit.
     val emb = Tables.embeddings(s, d)
-      .select(col("embedding").cast("array<double>").as("v"))
+      .select(transform(col("embedding").cast("array<double>"),
+        x => round(x * 1000000.0, 0)).as("v"))
     val outer = flatten(transform(col("v"), x => transform(col("v"), y => x * y)))
     val row = emb.agg(
       call_function("graft_vec_sum", col("v")).as("sv"),
@@ -597,8 +605,9 @@ object Similarity {
     val n = row.getLong(2).toDouble
     val dim = sv.length
     if (dim == 0) return None
-    val mu = sv.map(_ / n)
-    val cov = Array.tabulate(dim, dim)((i, j) => so(i * dim + j) / n - mu(i) * mu(j))
+    val mu = sv.map(t => t / n / 1000000.0)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      (so(i * dim + j) / n - (sv(i) / n) * (sv(j) / n)) / 1000000000000.0)
     // deterministic LCG start: a UNIFORM start is exactly orthogonal to
     // any eigenvector whose components sum to zero (e.g. anti-correlated
     // dim pairs), stalling the iteration at the start vector; a fixed
@@ -678,24 +687,129 @@ object Similarity {
         s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(
-            "vec_id BIGINT, whitened ARRAY<DOUBLE>"))
+            "vec_id BIGINT, pos BIGINT, val DOUBLE"))
       case Some(basis) =>
         val Seq((v1, _), (v2, _)) = basis.components
-        val muL = typedLit(basis.mu.toSeq)
-        val u1L = typedLit(v1.toSeq)
-        val u2L = typedLit(v2.toSeq)
+        // basis rides as 6dp-rounded plan literals (exact-binary
+        // HALF_UP, the same rule as SQL round) — belt over the oracle's
+        // bit-identical iteration replay: a last-ulp divergence in the
+        // basis would be absorbed by the rounding before projection
+        def r6(a: Array[Double]): Seq[Double] = a.toSeq.map(x =>
+          new java.math.BigDecimal(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        val muL = typedLit(r6(basis.mu))
+        val u1L = typedLit(r6(v1))
+        val u2L = typedLit(r6(v2))
         corpus(s, d)
           .withColumn("c", zip_with(col("v"), muL, (x, m) => x - m))
           .withColumn("p1", call_function("graft_dot", col("c"), u1L))
           .withColumn("p2", call_function("graft_dot", col("c"), u2L))
-          .select(col("vec_id"),
-            transform(
-              zip_with(
-                zip_with(col("c"), u1L, (x, u) => x - col("p1") * u),
-                u2L, (x, u) => x - col("p2") * u),
-              x => round(x, 6)).as("whitened"))
-          .orderBy(col("vec_id"))
+          .select(col("vec_id"), posexplode(
+            zip_with(
+              zip_with(col("c"), u1L, (x, u) => x - col("p1") * u),
+              u2L, (x, u) => round(x - col("p2") * u, 6))).as(Seq("p0", "val")))
+          .select(col("vec_id"), (col("p0") + 1).cast("long").as("pos"), col("val"))
+          .orderBy(col("vec_id"), col("pos"))
     }
+  }
+
+  /** Generated DuckDB oracle for [[embWhiten]] — the full basis
+    * derivation REPLAYED in SQL, bit-for-bit: (1) the micro-unit
+    * quantized moment sums are exact HUGEINTs, so they equal Spark's
+    * order-free integer sums no matter how either engine parallelizes;
+    * (2) the covariance entries divide the same exact integers in the
+    * same expression order, giving bit-identical doubles; (3) the
+    * 200-step power iteration (and the deflated, re-orthogonalized
+    * second component) runs as a recursive CTE whose per-step
+    * arithmetic — `list_dot_product` matrix rows, `list_reduce`
+    * norms — folds in the same ascending index order as the driver's
+    * while-loops, so after 200 identical IEEE steps both engines hold
+    * the same basis; (4) projection and 6dp rounding then match by
+    * construction. One-element list comprehensions (`for y in [expr]`)
+    * bind intermediates, mirroring the Spark-side one-element-array
+    * lambda trick. */
+  val embWhitenSql: String = {
+    val dim = 64
+    val m64 = "18446744073709551616"
+    // unsigned-64 wrap of ((i)*LCG_MULT + seed) >>> 11, in HUGEINT
+    def lcg(seedUnsigned: java.math.BigInteger): String =
+      s"[CAST(CAST((((i * 6364136223846793005::HUGEINT) + $seedUnsigned::HUGEINT) " +
+        s"% $m64::HUGEINT + $m64::HUGEINT) % $m64::HUGEINT // 2048 AS BIGINT) AS DOUBLE) " +
+        s"for i in range(1, ${dim + 1})]"
+    def unsigned(seed: Long): java.math.BigInteger = {
+      val b = java.math.BigInteger.valueOf(seed)
+      if (b.signum() < 0) b.add(java.math.BigInteger.TWO.pow(64)) else b
+    }
+    def norm(x: String): String =
+      s"sqrt(list_reduce([0.0] || [t*t for t in $x], (a,b) -> a+b))"
+    def mv(m: String, x: String): String =
+      s"[list_dot_product($m[i], $x) for i in range(1, ${dim + 1})]"
+    def orth1(r: String, u: String): String =
+      s"[[$r[i] - p * $u[i] for i in range(1, ${dim + 1})] " +
+        s"for p in [list_dot_product($r, $u)]][1]"
+    def step(m: String, x: String, againstU: Option[String]): String = {
+      val y0 = mv(m, x)
+      val y = againstU.map(u => orth1("y0", u)).getOrElse("y0")
+      val body = s"[CASE WHEN ${norm("y")} > 0 THEN [t / ${norm("y")} for t in y] " +
+        s"ELSE $x END for y in [$y]][1]"
+      s"[$body for y0 in [$y0]][1]"
+    }
+    def rayleigh(m: String, x: String): String =
+      s"list_reduce([0.0] || [$x[i] * list_dot_product($m[i], $x) " +
+        s"for i in range(1, ${dim + 1})], (a,b) -> a+b)"
+    val start1 = s"[t / ${norm("s0")} for t in s0]"
+    val start2 = s"[CASE WHEN ${norm("xo")} > 0 THEN [t / ${norm("xo")} for t in xo] " +
+      s"ELSE xo END for xo in [${orth1("s0", "v1")}]][1]"
+    val rng = s"range(1, ${dim + 1})"
+    s"""WITH RECURSIVE
+       |q AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000, 0)) AS qx
+       |  FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, unnest(qx) AS x, generate_subscripts(qx, 1) AS i FROM q),
+       |sums AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |         sum(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT)) AS so
+       |  FROM cells a JOIN cells b USING (vec_id)
+       |  GROUP BY a.i, b.i),
+       |svt AS MATERIALIZED (
+       |  SELECT list(sv ORDER BY i) AS sv, CAST(max(n) AS DOUBLE) AS n FROM (
+       |    SELECT i, sum(CAST(x AS HUGEINT)) AS sv, count(*) AS n FROM cells GROUP BY i)),
+       |covm AS MATERIALIZED (
+       |  SELECT list(r ORDER BY i) AS m FROM (
+       |    SELECT i, list((CAST(so AS DOUBLE) / s.n
+       |                    - (CAST(s.sv[i] AS DOUBLE) / s.n) * (CAST(s.sv[j] AS DOUBLE) / s.n))
+       |                   / 1000000000000.0 ORDER BY j) AS r
+       |    FROM sums, svt s GROUP BY i)),
+       |it1(k, x) AS (
+       |  SELECT 0, $start1 FROM (SELECT ${lcg(unsigned(1442695040888963407L))} AS s0)
+       |  UNION ALL
+       |  SELECT k + 1, ${step("m", "x", None)} FROM it1, covm WHERE k < 200),
+       |v1t AS MATERIALIZED (SELECT x AS v1 FROM it1 WHERE k = 200),
+       |dft AS MATERIALIZED (
+       |  SELECT [[m[i][j] - l1 * v1[i] * v1[j] for j in $rng] for i in $rng] AS dm, v1
+       |  FROM (SELECT m, v1, ${rayleigh("m", "v1")} AS l1 FROM covm, v1t)),
+       |it2(k, x) AS (
+       |  SELECT 0, $start2 FROM (SELECT ${lcg(unsigned(-8723657262896443283L))} AS s0, v1 FROM v1t)
+       |  UNION ALL
+       |  SELECT k + 1, ${step("dm", "x", Some("v1"))} FROM it2, dft WHERE k < 200),
+       |v2t AS MATERIALIZED (SELECT x AS v2 FROM it2 WHERE k = 200),
+       |basis AS MATERIALIZED (
+       |  SELECT [round(t / 1000000.0, 6) for t in [CAST(s.sv[i] AS DOUBLE) / s.n for i in $rng]] AS mu6,
+       |         [round(t, 6) for t in v1] AS u1,
+       |         [round(t, 6) for t in v2] AS u2
+       |  FROM svt s, v1t, v2t),
+       |proj AS (
+       |  SELECT vec_id, c, u1, u2,
+       |         list_dot_product(c, u1) AS p1, list_dot_product(c, u2) AS p2
+       |  FROM (SELECT vec_id, [v[i] - mu6[i] for i in $rng] AS c, u1, u2 FROM q, basis))
+       |SELECT vec_id, CAST(pos AS BIGINT) AS pos, val FROM (
+       |  SELECT vec_id,
+       |         unnest([round((c[i] - p1 * u1[i]) - p2 * u2[i], 6) for i in $rng]) AS val,
+       |         generate_subscripts(c, 1) AS pos
+       |  FROM proj)
+       |ORDER BY vec_id, pos""".stripMargin
   }
 
   /** SemDeDup — SEMANTIC deduplication by cluster-then-compare (Abbas
@@ -896,7 +1010,12 @@ object Similarity {
     * codegen'd, zero shuffle until the final sort; sums of ≤2^26-size
     * integers stay below 2^53 so every projection is EXACT and the
     * DuckDB `list_dot_product` oracle reproduces it bit-for-bit. */
-  def embRpProject(s: SparkSession, d: String, outDim: Int = 16): DataFrame = {
+  /** The JL target dimension shared by [[embRpProject]] and
+    * [[embRpProjectSql]] — one constant so operator and oracle cannot
+    * silently diverge (the FrameUnits/SceneCutThreshold discipline). */
+  val RpOutDim: Int = 16
+
+  def embRpProject(s: SparkSession, d: String, outDim: Int = RpOutDim): DataFrame = {
     graft.Graft.registerFunctions(s)
     val signs = rpSigns(64, outDim)
     val qx = transform(col("embedding").cast("array<double>"),
@@ -914,7 +1033,7 @@ object Similarity {
   }
 
   val embRpProjectSql: String = {
-    val signs = rpSigns(64, 16)
+    val signs = rpSigns(64, RpOutDim)
     val legs = signs.indices.map { j =>
       val row = signs(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
       s"""SELECT vec_id, CAST($j AS BIGINT) AS j,

@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_lm_bigram" -> "single-row corpus-total scalar broadcast to the OOV floor (the lm_score pattern)",
     "q22_sales_opportunity" -> "single-row exact-average scalar broadcast to the customer scan",
     "dq_freshness" -> "single-row corpus-max-timestamp scalar broadcast to the per-type rollup",
-    "graph_kcore" -> "single-row derived-k scalar broadcast into every peel round's HAVING")
+    "graph_kcore" -> "single-row derived-k scalar broadcast into every peel round's HAVING",
+    "q15_top_supplier" -> "single-row max-revenue scalar broadcast to the per-supplier revenue view")
 
   /** Windows with an empty partition spec: legitimate ONLY where the
     * windowed row set is already reduced to a bounded size (daily

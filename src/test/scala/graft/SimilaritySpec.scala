@@ -279,8 +279,13 @@ class SimilaritySpec extends SparkSpec {
     rows.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
       .toDF("vec_id", "embedding", "label")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
-    val got = Similarity.embWhiten(spark, d).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // (vec_id, pos, val) exploded rows → arrays, pos is 1-based
+    def collectWhiten(): Map[Long, Array[Double]] =
+      Similarity.embWhiten(spark, d).collect()
+        .groupBy(_.getLong(0)).map { case (id, rs) =>
+          id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+        }
+    val got = collectWhiten()
     assert(got.size === rows.length)
     rows.zipWithIndex.foreach { case (v, i) =>
       val wv = got(i.toLong)
@@ -296,8 +301,7 @@ class SimilaritySpec extends SparkSpec {
       (4 until dim).foreach(j => assert(math.abs(wv(j)) < 1e-4))
     }
     // determinism: the basis is a fixed IEEE sequence on exact inputs
-    val again = Similarity.embWhiten(spark, d).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val again = collectWhiten()
     assert(got.keySet === again.keySet)
     got.keySet.foreach(k => assert(got(k).toSeq === again(k).toSeq))
   }
