@@ -44,6 +44,9 @@ object BenchBudgets {
     "q17_small_quantity" -> 0.75,   // frozen r7 (median 0.55)
     "q18_large_orders" -> 1.25,     // frozen r7 (median 0.93)
     "q21_wait_suppliers" -> 1.45,   // frozen r7 (median 1.10)
+    "dq_profile_approx" -> 1.85,    // frozen r7 (median 1.42 — vs the
+                                    // exact Expand card at 2.66)
+    "mm_video_container" -> 0.85,   // frozen r7 (median 0.64)
     "dq_freshness" -> 0.7,  // frozen r6 (median 0.52, control q1 1.17)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
@@ -166,12 +169,14 @@ object BenchBudgets {
     "emb_dim_stats" -> 0.6,  // frozen r5 (median 0.43)
     "q_median_mad" -> 2.70,  // frozen r5 (median 2.18, control q1 0.94)
     "q_correlated_avg" -> 0.46,
-    "q_countmin" -> 0.47,
+    "q_countmin" -> 1.1,  // re-frozen r7: +count in the sketch agg and
+                          // the cms_ok witness (median 0.81, was 0.47-budget)
     "q_cube" -> 0.48,
     "q_full_outer" -> 0.31,
     "q_gapfill" -> 0.35,
     "q_grouping_sets" -> 0.58,
-    "q_heavy_hitters" -> 0.30,
+    "q_heavy_hitters" -> 1.05,  // re-frozen r7: sketch-prune + exact-verify
+                                // second pass (median 0.79, was 0.30-budget)
     "q_hll_presketch" -> 0.52,
     "q_open_orders" -> 1.7,
     "q_org_walk" -> 3.80,

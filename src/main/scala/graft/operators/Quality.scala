@@ -35,19 +35,35 @@ object Quality {
     * the Tables.events contract). One scan; every stat is
     * partial-aggregable.
     */
-  def dqProfile(s: SparkSession, d: String): DataFrame = {
+  def dqProfile(s: SparkSession, d: String): DataFrame =
+    profileCard(s, d, c => countDistinct(col(c)))
+
+  /** [[dqProfile]]'s 100 TB twin — the variant the profile doc-comment
+    * promises: the SAME one-scan card with the exact multi-distinct
+    * (a k-way Expand that replays the scan k times through the
+    * aggregate) swapped for `approx_count_distinct` HLL++ partials —
+    * plan shows NO Expand, per-column state is a fixed-size register
+    * set, merges are register maxima (order-free, so the card is
+    * partitioning-invariant and ContractSpec-stable). `n_distinct`
+    * becomes an estimate (rsd 2%) → rows-only + spec (error bound vs
+    * the exact card, Expand-free plan). */
+  def dqProfileApprox(s: SparkSession, d: String): DataFrame =
+    profileCard(s, d, c => approx_count_distinct(col(c), 0.02))
+
+  private def profileCard(s: SparkSession, d: String,
+      nd: String => Column): DataFrame = {
     val e = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"))
 
     def numStats(c: String) = Seq(
       count(when(col(c).isNull, 1)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
+      nd(c).as(s"nd_$c"),
       min(col(c)).cast("double").as(s"mn_$c"),
       max(col(c)).cast("double").as(s"mx_$c"))
     def strStats(c: String) = Seq(
       count(when(col(c).isNull, 1)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
+      nd(c).as(s"nd_$c"),
       min(col(c)).as(s"mn_$c"),
       max(col(c)).as(s"mx_$c"))
 

@@ -64,21 +64,45 @@ object Sketches {
     import org.apache.spark.util.sketch.CountMinSketch
     val terms = Tables.documents(s, d)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
-    val sketchBytes = terms
-      .agg(count_min_sketch(col("term"), lit(eps), lit(confidence), lit(42)).as("sk"))
-      .head().getAs[Array[Byte]]("sk")
-    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val skRow = terms
+      .agg(count_min_sketch(col("term"), lit(eps), lit(confidence), lit(42)).as("sk"),
+        count(lit(1)).as("n"))
+      .head()
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+    val slack = math.ceil(eps * skRow.getAs[Long]("n")).toLong
     // bounded driver step (same contract as the IVF centroid pull):
     // exactly `probes` (term, count) rows leave the cluster; the grid
-    // is probed driver-side so no UDF enters any distributed plan
+    // is probed driver-side so no UDF enters any distributed plan.
+    // `cms_ok` folds the probe's CMS guarantee (exact ≤ est ≤
+    // exact + ⌈ε·N⌉) into a DETERMINISTIC witness column, which makes
+    // the whole output oracle-comparable: DuckDB reproduces term +
+    // exact_ct and asserts the guarantee held (a regression in the
+    // sketch — wrong merge, wrong seed plumbing — flips cms_ok and
+    // fails the driver hash compare loudly). The raw estimate itself
+    // stays engine-specific and is spec-asserted, not emitted.
     val top = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_ct"))
       .orderBy(col("exact_ct").desc, col("term")).limit(probes)
       .collect()
-    val rows = top.map(r =>
-      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-    s.createDataFrame(rows.toSeq).toDF("term", "exact_ct", "cms_ct")
+    val rows = top.map { r =>
+      val est = cms.estimateCount(r.getString(0))
+      (r.getString(0), r.getLong(1),
+        if (est >= r.getLong(1) && est <= r.getLong(1) + slack) 1 else 0)
+    }
+    s.createDataFrame(rows.toSeq).toDF("term", "exact_ct", "cms_ok")
       .orderBy(col("exact_ct").desc, col("term"))
   }
+
+  /** Oracle for [[countMin]]: the exact top-20 term counts, with the
+    * CMS guarantee column pinned TRUE — see the operator doc. */
+  val countMinSql: String =
+    """WITH t AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents)
+      |SELECT term, CAST(count(*) AS BIGINT) AS exact_ct, 1 AS cms_ok
+      |FROM t GROUP BY term
+      |ORDER BY exact_ct DESC, term
+      |LIMIT 20""".stripMargin
 
   /** EXACT pre-aggregated COUNT DISTINCT serving via the native Roaring
     * bitmap aggregates ([[graft.functions.BitmapAgg]]) — `hllPreAgg`'s

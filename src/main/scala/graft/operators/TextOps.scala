@@ -242,25 +242,56 @@ object TextOps {
       |  CAST(sum(lp) AS DOUBLE) / count(*) AS mean_logprob
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Corpus heavy-hitter terms via the native Misra–Gries aggregate
-    * (`graft.functions.TopKFreqAgg`): bounded ≤ k counters per
-    * partial regardless of corpus size — the 100 TB top-k-frequent
-    * shape (an exact top-k's term→count map grows with the
-    * vocabulary). Counts are under-counts by ≤ the reported
-    * `max_deficit`; items with true frequency > n/k are guaranteed
-    * present. Rows-only check: marginal items/counts legitimately
-    * depend on merge order (inherent to MG — the spec asserts the
-    * guarantees instead of byte equality). */
-  def heavyHitters(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+  /** GUARANTEED frequent items via the native Misra–Gries aggregate
+    * (`graft.functions.TopKFreqAgg`) — sketch-prune then exact-verify,
+    * the shape that made the op fully ORACLE-comparable (r7): the MG
+    * pass keeps ≤ k counters per partial regardless of corpus size and
+    * cannot miss any item above the n/k frequency threshold, and a
+    * second pass exactly counts ONLY the ≤ k surviving candidates
+    * (broadcast semi-join — k-bounded keys, never the vocabulary).
+    * Items whose exact count clears n/k are emitted with their exact
+    * counts, so the output is deterministic however partials merge;
+    * the raw merge-order-dependent MG counters stay an internal
+    * pruning detail (still spec-covered by TopKFreqSpec). This is the
+    * 100 TB frequent-items plan: an exact groupBy's term→count state
+    * grows with the vocabulary, the sketch pass does not. */
+  def heavyHitters(s: SparkSession, d: String, k: Int = 64): DataFrame = {
     graft.Graft.registerFunctions(s)
-    Tables.documents(s, d)
+    val terms = Tables.documents(s, d)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
-      .agg(call_function("graft_topk_freq", col("term"), lit(k)).as("summary"))
-      .select(explode(col("summary")).as("e"))
-      .select(col("e.item").as("item"), col("e.count").as("count"),
-        col("e.max_deficit").as("max_deficit"))
-      .orderBy(col("count").desc, col("item"))
+    // pass 1 — MG sketch: ≤ k counters per partial whatever the
+    // vocabulary size; every item with true frequency > n/(k+1) is
+    // guaranteed among the survivors (and the filter below demands
+    // > n/k > n/(k+1), so no frequent item can be missed)
+    val sketch = terms
+      .agg(call_function("graft_topk_freq", col("term"), lit(k)).as("summary"),
+        count(lit(1)).as("n"))
+    val cand = sketch.select(explode(col("summary")).as("e"))
+      .select(col("e.item").as("item"))
+    // pass 2 — exact verification of the ≤ k candidates only: the
+    // candidate list broadcasts into a semi-join, so the exact count
+    // aggregates over a k-bounded key set, never the full vocabulary
+    terms.join(broadcast(cand), col("term") === col("item"), "left_semi")
+      .groupBy(col("term").as("item"))
+      .agg(count(lit(1)).as("exact_ct"))
+      .crossJoin(broadcast(sketch.select(col("n"))))
+      .filter(col("exact_ct") * k > col("n"))
+      .select(col("item"), col("exact_ct"))
+      .orderBy(col("exact_ct").desc, col("item"))
   }
+
+  /** Oracle for [[heavyHitters]]: the exact frequent-item set at the
+    * n/k threshold — the MG sketch only PRUNES candidates, so the
+    * guaranteed output is fully deterministic. */
+  def heavyHittersSql(k: Int = 64): String =
+    s"""WITH t AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n FROM t),
+       |c AS (SELECT term, count(*) AS ct FROM t GROUP BY term)
+       |SELECT term AS item, CAST(ct AS BIGINT) AS exact_ct
+       |FROM c, n WHERE ct * $k > n
+       |ORDER BY exact_ct DESC, item""".stripMargin
 
   /** Composite quality GATE — the C4/Gopher-style keep/drop verdict a
     * pretraining pipeline applies after scoring (Raffel et al. 2020

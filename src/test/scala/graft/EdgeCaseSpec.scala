@@ -96,7 +96,8 @@ class EdgeCaseSpec extends SparkSpec {
   test("count-min on a tiny corpus keeps probes bounded by row count") {
     val rows = graft.operators.Sketches.countMin(spark, dir, probes = 50).collect()
     assert(rows.nonEmpty && rows.length <= 50)
-    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+    // guarantee witness must hold even on a degenerate corpus
+    rows.foreach(r => assert(r.getInt(2) === 1))
   }
 
   test("pii scrub and token counts behave on empty text") {

@@ -243,4 +243,59 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     assert(real === want && real.nonEmpty)
   }
+
+  test("video container: AVI parse indexes real offsets, fused cut selector, rejects corrupt files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft-avi").toFile.getAbsolutePath
+    val jump = "a" * 128 + "z" * 128 + "z" * 128 + "z" * 128 // cut at frame 1
+    val flat = "m" * 384                                     // even frames only
+    val one = "q" * 130                                      // single frame
+    Seq((1L, jump, "en", "s", 1L), (2L, flat, "en", "s", 1L), (3L, one, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Multimodal.videoContainer(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    // jump: frames 0,2 by stride, frame 1 by the fused cut rule
+    // flat: frames 0,2; one-frame doc: frame 0
+    assert(got.toSeq === Seq(
+      (1L, 4, 0, 108L, 0), (1L, 4, 1, 244L, 1), (1L, 4, 2, 380L, 0),
+      (2L, 3, 0, 108L, 0), (2L, 3, 2, 380L, 0),
+      (3L, 1, 0, 108L, 0)))
+
+    // the indexed byte_offset must point at the REAL frame bytes
+    // inside the container (the range-read contract)
+    val blob = Tables.documents(spark, d).filter(col("doc_id") === 1)
+      .withColumn("frames", expr("CAST(length(text) div 128 AS INT)"))
+      .select(Multimodal.aviColumn(encode(col("text"), "utf-8"), col("frames")))
+      .head().getAs[Array[Byte]](0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Multimodal.videoContainer(spark, d).filter(col("doc_id") === 1).collect()
+      .foreach { r =>
+        val off = r.getLong(3).toInt
+        val slice = blob.slice(off, off + 128)
+        assert(new String(slice, "US-ASCII") ===
+          jump.substring(r.getInt(2) * 128, r.getInt(2) * 128 + 128))
+        assert(md.digest(slice).map("%02x".format(_)).mkString ===
+          r.getString(5), "frame_md5 is the md5 of the bytes at byte_offset")
+      }
+
+    // parser is a real validator, not a round-trip: corruptions reject
+    assert(Multimodal.parseAvi(blob).isDefined)
+    val badMagic = blob.clone(); badMagic(9) = 'X'.toByte
+    assert(Multimodal.parseAvi(badMagic).isEmpty, "broken AVI fourcc")
+    val badLen = blob.clone()
+    // inflate the first movi frame chunk's length field past the file
+    badLen(105) = 0x7f.toByte
+    assert(Multimodal.parseAvi(badLen).isEmpty, "truncated chunk")
+    val badCount = blob.clone()
+    badCount(12 + 8 + 4 + 8 + 16) = 9 // dwTotalFrames != indexed frames
+    assert(Multimodal.parseAvi(badCount).isEmpty, "header/index frame-count mismatch")
+
+    // real corpus smoke: nonempty, even-or-cut rule holds everywhere
+    val corpus = Multimodal.videoContainer(spark, sf0001).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r =>
+      assert(r.getInt(2) % 2 == 0 || r.getInt(4) == 1, "even frame or cut"))
+  }
 }

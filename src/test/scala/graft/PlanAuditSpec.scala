@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q22_sales_opportunity" -> "single-row exact-average scalar broadcast to the customer scan",
     "dq_freshness" -> "single-row corpus-max-timestamp scalar broadcast to the per-type rollup",
     "graph_kcore" -> "single-row derived-k scalar broadcast into every peel round's HAVING",
-    "q15_top_supplier" -> "single-row max-revenue scalar broadcast to the per-supplier revenue view")
+    "q15_top_supplier" -> "single-row max-revenue scalar broadcast to the per-supplier revenue view",
+    "q_heavy_hitters" -> "single-row corpus-total scalar broadcast to the k-bounded candidate counts (the n/k threshold)")
 
   /** Windows with an empty partition spec: legitimate ONLY where the
     * windowed row set is already reduced to a bounded size (daily
@@ -126,5 +127,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unwhitelisted global window in: ${offenders.mkString(", ")} — " +
         "either partition the window or whitelist it with the boundedness argument")
+  }
+
+  test("shuffle-exchange counts match the frozen ExchangeBudgets table exactly") {
+    // the plan-shape analog of the BenchBudgets wall-clock freeze: a
+    // lost broadcast or a new shuffle changes this count even when
+    // sf0.1 timing noise would hide it. EXACT equality both ways — a
+    // silent improvement is also a shape change that needs a stated
+    // re-freeze (run graft.tools.ExchangeAudit, paste, give the reason
+    // in the commit).
+    val live = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> ExchangeBudgets.countExchanges(fn(spark, sf0001))
+    }.toMap
+    val missing = live.keySet -- ExchangeBudgets.budgets.keySet
+    assert(missing.isEmpty, s"queries without a frozen exchange count: $missing")
+    val stale = ExchangeBudgets.budgets.keySet -- live.keySet
+    assert(stale.isEmpty, s"frozen exchange counts without a query: $stale")
+    val drifted = live.toSeq.sortBy(_._1).flatMap { case (name, n) =>
+      val frozen = ExchangeBudgets.budgets(name)
+      if (n != frozen) Some(s"$name: $n (frozen $frozen)") else None
+    }
+    assert(drifted.isEmpty,
+      s"plan-shape drift in: ${drifted.mkString(", ")} — fix the plan " +
+        "or re-freeze via graft.tools.ExchangeAudit with a stated reason")
   }
 }

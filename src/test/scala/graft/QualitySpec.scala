@@ -52,6 +52,35 @@ class QualitySpec extends SparkSpec {
     assert(et.isNullAt(4) && et.isNullAt(5) && eid.isNullAt(6) && eid.isNullAt(7))
   }
 
+  test("dq_profile_approx: Expand-free plan, distincts within the HLL bound, exact stats identical") {
+    val exact = Quality.dqProfile(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Quality.dqProfileApprox(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (c, a) =>
+      val e = exact(c)
+      // every stat except the distinct estimate is the SAME aggregate
+      assert(a.getLong(1) === e.getLong(1), s"$c n_rows")
+      assert(a.getLong(2) === e.getLong(2), s"$c n_nulls")
+      Seq(4, 5, 6, 7).foreach(i => assert(a.get(i) === e.get(i), s"$c stat $i"))
+      // HLL++ at rsd 0.02: hold a loose 5% band so host-independent
+      val (nd, ndExact) = (a.getLong(3), e.getLong(3))
+      assert(math.abs(nd - ndExact) <= math.max(1L, (ndExact * 0.05).toLong),
+        s"$c distinct estimate $nd vs exact $ndExact")
+    }
+    // the whole point of the variant: NO Expand (the exact multi-
+    // distinct replays the scan k ways through one); HLL partials keep
+    // the single-pass plan
+    val planApprox = Quality.dqProfileApprox(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    val planExact = Quality.dqProfile(spark, sf001)
+      .queryExecution.sparkPlan.toString
+    assert(!planApprox.contains("Expand"), "approx profile must be Expand-free")
+    assert(planExact.contains("Expand"),
+      "exact profile is the Expand baseline this variant replaces")
+  }
+
   test("dq_rules: every rule fires with the exact planted violation count") {
     import spark.implicits._
     val d = tmp("dqr")

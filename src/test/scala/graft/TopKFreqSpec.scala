@@ -63,12 +63,24 @@ class TopKFreqSpec extends SparkSpec {
     assert(a.counters.get("x").forall(_ <= 3L))
   }
 
-  test("heavy hitters operator returns a bounded, sorted summary on the corpus") {
+  test("heavy hitters operator returns EXACTLY the frequent-item set above n/k") {
+    import org.apache.spark.sql.functions._
+    val k = 64
+    val terms = graft.Tables.documents(spark, sf001)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+    val n = terms.count()
+    // ground truth: exact counts, thresholded — the MG sketch may only
+    // PRUNE candidates, so the operator must reproduce this set exactly
+    val want = terms.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (_, ct) => ct * k > n }.toMap
     val rows = graft.operators.TextOps.heavyHitters(spark, sf001).collect()
-    assert(rows.nonEmpty && rows.length <= 16)
+    assert(rows.nonEmpty && rows.length <= k)
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want, "guaranteed frequent set with exact counts")
     val counts = rows.map(_.getLong(1)).toSeq
     assert(counts === counts.sorted.reverse, "sorted by count desc")
-    // SQL surface
+    // SQL surface of the underlying MG aggregate
     graft.Graft.registerViews(spark, sf001)
     val viaSql = spark.sql(
       """SELECT explode(graft_topk_freq(t.term, 16)) FROM (
