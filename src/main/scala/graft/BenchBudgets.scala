@@ -47,6 +47,14 @@ object BenchBudgets {
     "dq_profile_approx" -> 1.85,    // frozen r7 (median 1.42 — vs the
                                     // exact Expand card at 2.66)
     "mm_video_container" -> 0.85,   // frozen r7 (median 0.64)
+    // round-7 second TPC-H wave
+    "q7_nation_volume" -> 2.4,      // frozen r7 (median 1.85)
+    "q9_product_profit" -> 3.0,     // frozen r7 (median 2.33 — the
+                                    // (part,supp) cost agg + rejoin)
+    "q11_important_parts" -> 1.45,  // frozen r7 (median 1.10)
+    "q14_promo_revenue" -> 0.7,     // frozen r7 (median 0.50)
+    "q19_discounted_or" -> 0.85,    // frozen r7 (median 0.63)
+    "q20_excess_supply" -> 1.1,     // frozen r7 (median 0.81)
     "dq_freshness" -> 0.7,  // frozen r6 (median 0.52, control q1 1.17)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the

@@ -1214,4 +1214,249 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
+
+  /** Cross-region trade volume (the TPC-H Q7 shape): revenue shipped
+    * by one region's suppliers to another region's customers, per
+    * (supplier nation, customer nation, ship year) — the two-sided
+    * dim-enrichment join. Both nation⋈region dims broadcast; the date
+    * filter lands on the lineitem scan; DECIMAL-exact revenue; year
+    * extraction on the ship date. */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val suppN = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Agg.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  year(l_shipdate) AS l_year,
+       |  ${Agg.sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+       |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+       |WHERE sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA'
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Product-line profit (the TPC-H Q9 shape): per (supplier nation,
+    * ship year), revenue minus supply cost — with no partsupp table
+    * the unit cost is each (part, supplier)'s best observed unit
+    * price (the [[q2MinCostSupplier]] cost model), FLOORED TO WHOLE
+    * CENTS: the quotient's exact decimal expansion lands on half-cent
+    * boundaries systematically (2-decimal price over small-integer
+    * quantity), where the two engines' `round` semantics can differ —
+    * `floor` of the same IEEE double is unambiguous on both. Cents
+    * ride as DECIMAL so the whole profit sum is exact and order-free;
+    * one final /100 division on identical doubles rescales. The cost
+    * table aggregates once and joins back on the same (part, supplier)
+    * key the fact already carries. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cost = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(floor(min(col("l_extendedprice") / col("l_quantity")) * 100)
+        .cast(DecimalType(18, 2)).as("uc_cents"))
+    val one = lit(BigDecimal(1)).cast(DecimalType(18, 2))
+    Tables.lineitem(s, d)
+      .join(cost, col("l_partkey") === col("pk") && col("l_suppkey") === col("sk"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg((sum(Agg.dec(col("l_extendedprice")) * (one - Agg.dec(col("l_discount"))) * 100
+          - col("uc_cents") * Agg.dec(col("l_quantity")))
+        .cast("double") / 100.0).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    CAST(floor(min(l_extendedprice / l_quantity) * 100) AS DECIMAL(18,2)) AS uc_cents
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT n_name AS nation, year(l_shipdate) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * 100
+      |           - uc_cents * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 100.0
+      |    AS sum_profit
+      |FROM lineitem
+      |JOIN cost ON l_partkey = pk AND l_suppkey = sk
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Important parts by value share (the TPC-H Q11 shape — HAVING
+    * against a global scalar over the same view): per-part value from
+    * one region's suppliers, keeping parts above 1.5× the average
+    * share. The threshold compares DECIMAL-exact cross-multiplied
+    * integers (`2·val·n > 3·total`) — no engine-order-dependent
+    * fraction; the totals ride as one broadcast row. */
+  def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(Agg.dec(col("l_extendedprice"))).as("vd"))
+    val tot = v.agg(sum(col("vd")).as("t"), count(lit(1)).as("np"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("vd") * col("np") * 2 > col("t") * 3)
+      .select(col("p_partkey"), col("vd").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS p_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS vd
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE' GROUP BY 1),
+      |tot AS (SELECT sum(vd) AS t, count(*) AS np FROM v)
+      |SELECT p_partkey, CAST(vd AS DOUBLE) AS value
+      |FROM v, tot
+      |WHERE vd * np * 2 > t * 3
+      |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** Promotion revenue share (the TPC-H Q14 shape — conditional
+    * aggregation ratio): the percentage of a month's revenue from
+    * PROMO-type parts. Both legs of the ratio are DECIMAL-exact sums
+    * over the same scan; the single division is one IEEE op on
+    * identical operands — engine-stable. */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val one = lit(BigDecimal(1)).cast(DecimalType(18, 2))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(18, 2))
+    val amount = Agg.dec(col("l_extendedprice")) * (one - Agg.dec(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01")
+        && col("l_shipdate") < lit("1996-10-01"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), amount)
+            .otherwise(zero)).cast("double")
+          / sum(amount).cast("double")).as("promo_revenue_pct"),
+        sum(amount).cast("double").as("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS promo_revenue_pct,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS total_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  /** Disjunctive-predicate revenue (the TPC-H Q19 shape): revenue over
+    * an OR of three (brand, size-range, quantity-range) conjunctions
+    * spanning BOTH join sides — the classic test that a disjunction
+    * across tables still pushes its common join key down and evaluates
+    * the residual as one post-join filter rather than three plans.
+    * One equi-join, DECIMAL-exact revenue, one witness row. */
+  def q19DiscountedOr(s: SparkSession, d: String): DataFrame = {
+    val p = col("p_brand")
+    val sz = col("p_size")
+    val q = col("l_quantity")
+    val pred =
+      (p === "Brand#1" && sz.between(1, 15) && q.between(1, 30)) ||
+      (p === "Brand#2" && sz.between(10, 30) && q.between(10, 40)) ||
+      (p === "Brand#3" && sz.between(20, 50) && q.between(20, 50))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(count(lit(1)).as("n_lines"),
+        Agg.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT count(*) AS n_lines,
+       |  ${Agg.sqlRevenue("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** Focal-year supply concentration (the TPC-H Q20 shape — a chained
+    * semi-join against a correlated aggregate threshold): suppliers
+    * who shipped more than half of their all-time volume of
+    * widget-named parts during 1996. The correlated `half of total`
+    * becomes one conditional-aggregation pass per (supplier, part)
+    * (focal-year sum rides the same DECIMAL aggregate as the total —
+    * no second scan), the threshold cross-multiplies to exact
+    * decimals, and qualifying parts roll up per supplier before the
+    * supplier⋈nation enrichment — the name filter semi-bounds the
+    * fact leg first. */
+  def q20ExcessSupply(s: SparkSession, d: String): DataFrame = {
+    val widgetParts = Tables.part(s, d)
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val g = Tables.lineitem(s, d)
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .agg(
+        sum(when(col("l_shipdate") >= lit("1996-01-01")
+            && col("l_shipdate") < lit("1997-01-01"),
+          Agg.dec(col("l_quantity"))).otherwise(lit(BigDecimal(0))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))).as("q96"),
+        sum(Agg.dec(col("l_quantity"))).as("qall"))
+    g.filter(col("q96") * 2 > col("qall"))
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("n_parts"))
+      .join(Tables.supplier(s, d), col("sk") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("n_parts"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Sql: String =
+    """WITH g AS (
+      |  SELECT l_suppkey AS sk, l_partkey AS pk,
+      |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |             THEN CAST(l_quantity AS DECIMAL(18,2))
+      |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS q96,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qall
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%widget%' GROUP BY 1, 2)
+      |SELECT s_name, n_name, n_parts
+      |FROM (SELECT sk, CAST(count(*) AS BIGINT) AS n_parts
+      |      FROM g WHERE q96 * 2 > qall GROUP BY sk) e
+      |JOIN supplier ON sk = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_name""".stripMargin
 }

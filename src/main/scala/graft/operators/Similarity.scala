@@ -566,8 +566,7 @@ object Similarity {
           val signed = if (x(k) < 0) x.map(v => -v) else x
           val share = if (basis.trace > 0) lambda / basis.trace else 0.0
           signed.zipWithIndex.map { case (l, i) =>
-            (component, (i + 1).toLong, math.rint(l * 1e6) / 1e6,
-              math.rint(share * 1e6) / 1e6)
+            (component, (i + 1).toLong, round6(l), round6(share))
           }.toSeq
         }
         basis.components.zipWithIndex
@@ -694,9 +693,7 @@ object Similarity {
         // HALF_UP, the same rule as SQL round) — belt over the oracle's
         // bit-identical iteration replay: a last-ulp divergence in the
         // basis would be absorbed by the rounding before projection
-        def r6(a: Array[Double]): Seq[Double] = a.toSeq.map(x =>
-          new java.math.BigDecimal(x)
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        def r6(a: Array[Double]): Seq[Double] = a.toSeq.map(round6)
         val muL = typedLit(r6(basis.mu))
         val u1L = typedLit(r6(v1))
         val u2L = typedLit(r6(v2))
@@ -713,23 +710,36 @@ object Similarity {
     }
   }
 
-  /** Generated DuckDB oracle for [[embWhiten]] — the full basis
-    * derivation REPLAYED in SQL, bit-for-bit: (1) the micro-unit
-    * quantized moment sums are exact HUGEINTs, so they equal Spark's
-    * order-free integer sums no matter how either engine parallelizes;
-    * (2) the covariance entries divide the same exact integers in the
-    * same expression order, giving bit-identical doubles; (3) the
-    * 200-step power iteration (and the deflated, re-orthogonalized
-    * second component) runs as a recursive CTE whose per-step
-    * arithmetic — `list_dot_product` matrix rows, `list_reduce`
-    * norms — folds in the same ascending index order as the driver's
-    * while-loops, so after 200 identical IEEE steps both engines hold
-    * the same basis; (4) projection and 6dp rounding then match by
-    * construction. One-element list comprehensions (`for y in [expr]`)
-    * bind intermediates, mirroring the Spark-side one-element-array
-    * lambda trick. */
-  val embWhitenSql: String = {
-    val dim = 64
+  /** Exact-binary HALF_UP 6dp rounding — the same rule as Spark's and
+    * DuckDB's `round(x, 6)`, used wherever the driver bakes basis
+    * values into plan literals or result rows that an oracle must
+    * reproduce. */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** DuckDB replay of [[pcaBasis]], shared by the [[embWhitenSql]] and
+    * [[embPcaSql]] oracles — the full basis derivation, bit-for-bit:
+    * (1) the micro-unit quantized moment sums are exact HUGEINTs, so
+    * they equal Spark's order-free integer sums no matter how either
+    * engine parallelizes; (2) the covariance entries divide the same
+    * exact integers in the same expression order, giving bit-identical
+    * doubles; (3) the 200-step power iteration (and the deflated,
+    * re-orthogonalized second component) runs as a recursive CTE whose
+    * per-step arithmetic — `list_dot_product` matrix rows,
+    * `list_reduce` norms — folds in the same ascending index order as
+    * the driver's while-loops, so after 200 identical IEEE steps both
+    * engines hold the same basis. One-element list comprehensions
+    * (`for y in [expr]`) bind intermediates, mirroring the Spark-side
+    * one-element-array lambda trick. Ends after the `v2t` CTE; append
+    * further CTEs with a leading comma. */
+  private val BasisDim = 64
+  private val basisRng = s"range(1, ${BasisDim + 1})"
+  private def basisRayleigh(m: String, x: String): String =
+    s"list_reduce([0.0] || [$x[i] * list_dot_product($m[i], $x) " +
+      s"for i in $basisRng], (a,b) -> a+b)"
+  private val basisSqlPrefix: String = {
+    val dim = BasisDim
     val m64 = "18446744073709551616"
     // unsigned-64 wrap of ((i)*LCG_MULT + seed) >>> 11, in HUGEINT
     def lcg(seedUnsigned: java.math.BigInteger): String =
@@ -754,13 +764,10 @@ object Similarity {
         s"ELSE $x END for y in [$y]][1]"
       s"[$body for y0 in [$y0]][1]"
     }
-    def rayleigh(m: String, x: String): String =
-      s"list_reduce([0.0] || [$x[i] * list_dot_product($m[i], $x) " +
-        s"for i in range(1, ${dim + 1})], (a,b) -> a+b)"
     val start1 = s"[t / ${norm("s0")} for t in s0]"
     val start2 = s"[CASE WHEN ${norm("xo")} > 0 THEN [t / ${norm("xo")} for t in xo] " +
       s"ELSE xo END for xo in [${orth1("s0", "v1")}]][1]"
-    val rng = s"range(1, ${dim + 1})"
+    val rng = basisRng
     s"""WITH RECURSIVE
        |q AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -789,12 +796,20 @@ object Similarity {
        |v1t AS MATERIALIZED (SELECT x AS v1 FROM it1 WHERE k = 200),
        |dft AS MATERIALIZED (
        |  SELECT [[m[i][j] - l1 * v1[i] * v1[j] for j in $rng] for i in $rng] AS dm, v1
-       |  FROM (SELECT m, v1, ${rayleigh("m", "v1")} AS l1 FROM covm, v1t)),
+       |  FROM (SELECT m, v1, ${basisRayleigh("m", "v1")} AS l1 FROM covm, v1t)),
        |it2(k, x) AS (
        |  SELECT 0, $start2 FROM (SELECT ${lcg(unsigned(-8723657262896443283L))} AS s0, v1 FROM v1t)
        |  UNION ALL
        |  SELECT k + 1, ${step("dm", "x", Some("v1"))} FROM it2, dft WHERE k < 200),
-       |v2t AS MATERIALIZED (SELECT x AS v2 FROM it2 WHERE k = 200),
+       |v2t AS MATERIALIZED (SELECT x AS v2 FROM it2 WHERE k = 200)""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for [[embWhiten]]: the shared
+    * [[basisSqlPrefix]] replay, then projection and 6dp rounding —
+    * bit-identical by construction. */
+  val embWhitenSql: String = {
+    val rng = basisRng
+    s"""$basisSqlPrefix,
        |basis AS MATERIALIZED (
        |  SELECT [round(t / 1000000.0, 6) for t in [CAST(s.sv[i] AS DOUBLE) / s.n for i in $rng]] AS mu6,
        |         [round(t, 6) for t in v1] AS u1,
@@ -810,6 +825,35 @@ object Similarity {
        |         generate_subscripts(c, 1) AS pos
        |  FROM proj)
        |ORDER BY vec_id, pos""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for [[embPca]] (r7 promotion from
+    * rows-only): the shared [[basisSqlPrefix]] replay, then the same
+    * Rayleigh quotients, trace shares, first-argmax sign
+    * normalization, and 6dp rounding the driver applies — every step
+    * mirrors the Scala expression order, so loadings and var shares
+    * match bit-for-bit. */
+  val embPcaSql: String = {
+    val rng = basisRng
+    s"""$basisSqlPrefix,
+       |lam AS MATERIALIZED (
+       |  SELECT ${basisRayleigh("m", "v1")} AS l1, ${basisRayleigh("m", "v2")} AS l2,
+       |         list_reduce([0.0] || [m[i][i] for i in $rng], (a,b) -> a+b) AS tr
+       |  FROM covm, v1t, v2t),
+       |comps AS (
+       |  SELECT 1 AS component, v1 AS x, l1 AS lambda FROM v1t, lam
+       |  UNION ALL
+       |  SELECT 2 AS component, v2 AS x, l2 AS lambda FROM v2t, lam),
+       |signed AS (
+       |  SELECT component,
+       |    [[CASE WHEN x[k] < 0 THEN -x[i] ELSE x[i] END for i in $rng]
+       |     for k in [list_position([abs(t) for t in x], list_max([abs(t) for t in x]))]][1] AS sx,
+       |    CASE WHEN tr > 0 THEN lambda / tr ELSE 0.0 END AS share
+       |  FROM comps, lam)
+       |SELECT CAST(component AS BIGINT) AS component, CAST(i AS BIGINT) AS dim,
+       |  round(sx[i], 6) AS loading, round(share, 6) AS var_share
+       |FROM signed, (SELECT unnest($rng) AS i) r
+       |ORDER BY component, dim""".stripMargin
   }
 
   /** SemDeDup — SEMANTIC deduplication by cluster-then-compare (Abbas

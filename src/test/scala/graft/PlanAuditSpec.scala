@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "dq_freshness" -> "single-row corpus-max-timestamp scalar broadcast to the per-type rollup",
     "graph_kcore" -> "single-row derived-k scalar broadcast into every peel round's HAVING",
     "q15_top_supplier" -> "single-row max-revenue scalar broadcast to the per-supplier revenue view",
-    "q_heavy_hitters" -> "single-row corpus-total scalar broadcast to the k-bounded candidate counts (the n/k threshold)")
+    "q_heavy_hitters" -> "single-row corpus-total scalar broadcast to the k-bounded candidate counts (the n/k threshold)",
+    "q11_important_parts" -> "single-row (total value, part count) scalar broadcast to the per-part value view")
 
   /** Windows with an empty partition spec: legitimate ONLY where the
     * windowed row set is already reduced to a bounded size (daily
