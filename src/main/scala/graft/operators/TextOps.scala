@@ -107,14 +107,86 @@ object TextOps {
 
   /** 64-bit rolling-hash fingerprint via the native Catalyst expression
     * (graft.functions.RollingHash64, registered as a SQL function).
-    * No SQL oracle — DuckDB has no matching hash — so the spec checks
-    * the expression against its driver-side reference implementation. */
+    * FULL ORACLE since r7: the FNV-1a fold replays in DuckDB as a
+    * `list_reduce` over the character codes with the 64-bit wrap
+    * multiply emulated in HUGEINT mod-2^64 arithmetic and the xor
+    * round-tripped through signed BIGINT (see [[fnv64Sql]]) — the
+    * corpus is ASCII, so `ord` IS the UTF-8 byte. The spec still
+    * cross-checks codegen ≡ interpreted ≡ driver reference. */
   def rollingFingerprint(s: SparkSession, d: String): DataFrame = {
     graft.Graft.registerFunctions(s)
     Tables.documents(s, d)
       .select(col("doc_id"),
         call_function("graft_rolling_hash64", col("text")).as("fp64"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[graft.functions.RollingHash64]] over a string
+    * variable `v` (ASCII input — `ord` = UTF-8 byte): the state is an
+    * UNSIGNED 64-bit value carried in HUGEINT; each step wraps the
+    * FNV multiply mod 2^64, converts to signed BIGINT for the xor
+    * (DuckDB's xor is signed; the bit pattern is what matters), and
+    * re-wraps to unsigned. The final fold result converts back to the
+    * signed BIGINT Spark returns. */
+  private def fnv64Sql(v: String): String = {
+    val seedU = java.lang.Long.toUnsignedString(graft.functions.RollingHash64.Seed)
+    val mul = graft.functions.RollingHash64.Mul
+    val m64 = "18446744073709551616"
+    val m63 = "9223372036854775808"
+    val wrapped = s"(h * $mul::HUGEINT) % $m64::HUGEINT"
+    s"""list_reduce(
+       |  [$seedU::HUGEINT] || [CAST(ord($v[i+1]) AS HUGEINT) for i in range(0, length($v))],
+       |  (h, b) -> CAST(CAST(xor(CAST(CASE WHEN $wrapped >= $m63::HUGEINT
+       |                  THEN $wrapped - $m64::HUGEINT ELSE $wrapped END AS BIGINT),
+       |                CAST(b AS BIGINT)) AS HUGEINT)
+       |            % $m64::HUGEINT + $m64::HUGEINT AS HUGEINT) % $m64::HUGEINT)""".stripMargin
+  }
+
+  /** Converts an unsigned HUGEINT fold state `f` back to the signed
+    * BIGINT the native expression returns. */
+  private def fnvSigned(f: String): String =
+    s"CAST(CASE WHEN $f >= 9223372036854775808::HUGEINT " +
+      s"THEN $f - 18446744073709551616::HUGEINT ELSE $f END AS BIGINT)"
+
+  val rollingFingerprintSql: String =
+    s"""SELECT doc_id, ${fnvSigned("f")} AS fp64 FROM (
+       |  SELECT doc_id, ${fnv64Sql("t")} AS f
+       |  FROM (SELECT doc_id, text AS t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[winnow]] (r7 promotion): word 4-gram shingles of the
+    * lowercased text, the same FNV-1a hash replay per shingle, then
+    * the w=4 sliding window with the RIGHTMOST-min tie rule —
+    * `len(cand) - list_position(list_reverse(cand), min)` is the
+    * rightmost 0-based offset, matching the operator's ascending
+    * overwrite fold. End-of-stream windows truncate naturally, which
+    * equals the operator's null-padded `arrays_zip` (Spark's `least`
+    * ignores nulls). */
+  def winnowSql(k: Int = 4, w: Int = 4): String = {
+    val gram = (0 until k).map(j => s"tk[i${if (j > 0) s"+$j" else ""}]")
+      .mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= $k THEN
+       |      [$gram for i in range(1, len(tk) - ${k - 2})]
+       |    ELSE [] END AS sh
+       |  FROM toks),
+       |h AS (
+       |  SELECT doc_id,
+       |    [${fnvSigned("f")} for f in [${fnv64Sql("g")} for g in sh]] AS hh
+       |  FROM sh WHERE len(sh) >= 1),
+       |win AS (
+       |  SELECT doc_id, i, hh[i+1:least(i+$w, len(hh))] AS cand
+       |  FROM (SELECT doc_id, hh, unnest(range(0, greatest(len(hh)-${w - 1}, 1))) AS i FROM h)),
+       |sel AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(i + len(cand) - list_position(list_reverse(cand), list_min(cand)) AS INTEGER) AS pos,
+       |    list_min(cand) AS fp
+       |  FROM win)
+       |SELECT doc_id, pos, fp FROM sel ORDER BY doc_id, pos""".stripMargin
   }
 
   /** TF-IDF top-k terms per document — the classic corpus-relevance
