@@ -333,6 +333,67 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Generated DuckDB oracle shared by [[minhashLsh]] and
+    * [[minhashLshNative]] (byte-identical outputs by construction —
+    * same canonical coefficient draw, same band-key hash): the FULL
+    * pipeline replays in SQL — per-shingle `xxhash64` via
+    * [[SqlHash.xxh64String]], the 128 universal hashes against the
+    * embedded [[graft.functions.MinHashSig]] coefficient literals,
+    * per-doc minima, the 4-long `xxhash64` band-key CHAIN as four
+    * sequential CTE stages (one [[SqlHash.hashLong]] each — DuckDB's
+    * binder recursion cap forbids chaining them in one expression),
+    * band-bucket candidates, and the exact-Jaccard verify. */
+  val minhashLshSql: String = {
+    import SqlHash._
+    val al = graft.functions.MinHashSig.coeffA.mkString("[", ",", "]")
+    val bl = graft.functions.MinHashSig.coeffB.mkString("[", ",", "]")
+    def bandStage(k: Int): String = {
+      val lane = bind(s"ln$k",
+        s"CAST(sg[$BandRows*band+${k + 1}] AS HUGEINT)",
+        hashLong(s"ln$k", "h", s"s$k"))
+      s"br${k + 1} AS (SELECT doc_id, band, sg, $lane AS h FROM br$k)"
+    }
+    s"""WITH al AS (SELECT $al::BIGINT[] AS a, $bl::BIGINT[] AS b),
+       |toks AS (
+       |  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+       |      [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)]
+       |    ELSE [] END AS sh
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+       |        FROM documents)),
+       |raw AS (SELECT doc_id, unnest(sh) AS shingle FROM toks),
+       |base AS (
+       |  SELECT doc_id, ((hs % $Prime) + $Prime) % $Prime AS base
+       |  FROM (SELECT doc_id, [${xxh64String("g")} for g in [shingle]][1] AS hs FROM raw)),
+       |hashes AS (
+       |  SELECT doc_id, i, (a[i+1] * base + b[i+1]) % $Prime AS h
+       |  FROM base, al, (SELECT unnest(range(0, $NumHashes)) AS i) r),
+       |sig AS (
+       |  SELECT doc_id, list(mh ORDER BY i) AS sg
+       |  FROM (SELECT doc_id, i, min(h) AS mh FROM hashes GROUP BY doc_id, i)
+       |  GROUP BY doc_id),
+       |br0 AS (
+       |  SELECT doc_id, band, sg, 42::HUGEINT AS h
+       |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS band) r),
+       |${(0 until BandRows).map(bandStage).mkString(",\n")},
+       |bandrows AS (
+       |  SELECT doc_id, band, ${toSigned("h")} AS bk FROM br$BandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |dsh AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.i, c.j, count(*) AS c
+       |  FROM cand c JOIN dsh a ON c.i = a.doc_id
+       |  JOIN dsh b2 ON c.j = b2.doc_id AND a.shingle = b2.shingle
+       |  GROUP BY 1, 2)
+       |SELECT i, j, CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) AS jac
+       |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+       |WHERE CAST(c AS DOUBLE)/(sa.sz + sb.sz - c) >= 0.5
+       |ORDER BY i, j""".stripMargin
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc + 16-bit-band candidate generation +
@@ -377,6 +438,53 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .select(col("i"), col("j"), col("hamming"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** Generated DuckDB oracle for [[simhash]] (r7 promotion): the
+    * per-shingle `xxhash64` replays via [[SqlHash.xxh64String]], bit
+    * votes extract from the UNSIGNED hash (`(hu // 2^i) % 2` — exact
+    * HUGEINT arithmetic, no engine-specific shift semantics), the
+    * 64-bit fingerprint reassembles unsigned then wraps to the signed
+    * BIGINT Spark sums to, and banding/Hamming replay directly
+    * (`bit_count(xor(...))` agrees on the signed bit patterns). */
+  val simhashSql: String = {
+    import SqlHash._
+    val bits = (0 until 64).map(i =>
+      s"sum(CASE WHEN (hu // ${BigInt(1) << i}::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val simu = (0 until 64).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${BigInt(1) << i}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    val bandDiv = "CASE b WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT " +
+      "WHEN 2 THEN 4294967296::HUGEINT ELSE 281474976710656::HUGEINT END"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(tk) >= 3 THEN
+       |      [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, len(tk)-1)]
+       |    ELSE [] END) AS tok
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+       |        FROM documents)),
+       |h AS (
+       |  SELECT doc_id, ${toUnsigned("hs")} AS hu
+       |  FROM (SELECT doc_id, [${xxh64String("g")} for g in [tok]][1] AS hs FROM toks)),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |    $bits
+       |  FROM h GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, CAST(su AS HUGEINT) AS shu, ${toSigned("su")} AS sh
+       |  FROM (SELECT doc_id, CAST($simu AS HUGEINT) AS su FROM bitsums)),
+       |bands AS (
+       |  SELECT doc_id, sh,
+       |    b, CAST((shu // ($bandDiv)) % 65536::HUGEINT AS BIGINT) AS bk
+       |  FROM sim, (SELECT unnest(range(0, 4)) AS b) r),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j, x.sh AS shi, y.sh AS shj
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+       |SELECT i, j, CAST(bit_count(xor(shi, shj)) AS INTEGER) AS hamming
+       |FROM pairs WHERE bit_count(xor(shi, shj)) <= 3
+       |ORDER BY i, j""".stripMargin
   }
 
   // ---- Embedding cosine ---------------------------------------------
