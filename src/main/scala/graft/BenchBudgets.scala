@@ -55,6 +55,11 @@ object BenchBudgets {
     "q14_promo_revenue" -> 0.7,     // frozen r7 (median 0.50)
     "q19_discounted_or" -> 0.85,    // frozen r7 (median 0.63)
     "q20_excess_supply" -> 1.1,     // frozen r7 (median 0.81)
+    // round-7 third TPC-H wave (completes all 22 shapes)
+    "q6_forecast_revenue" -> 0.65,  // frozen r7 (median 0.46)
+    "q8_market_share" -> 2.2,       // frozen r7 (median 1.58 — the
+                                    // eight-table star)
+    "q12_ship_priority" -> 0.75,    // frozen r7 (median 0.53)
     "dq_freshness" -> 0.7,  // frozen r6 (median 0.52, control q1 1.17)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the

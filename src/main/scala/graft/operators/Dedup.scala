@@ -546,6 +546,33 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Generated DuckDB oracle for [[embeddingNearDup]] (r7 promotion):
+    * the 64 seeded hyperplanes embed as ONE literal, each vector's 64
+    * sign bits replay exactly ([[Hyperplanes.sqlBucket]] note), the
+    * 8×8 table keys, band equi-join and cosine≥0.4 verify replay
+    * directly — `graft_dot` and `list_dot_product` share the same
+    * ascending-index fold. */
+  val embeddingNearDupSql: String = {
+    val pl = Hyperplanes.make(64, dim = 64, seed = 7)
+    s"""WITH pls AS (SELECT ${Hyperplanes.sqlLit(pl)} AS pl),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        [CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), pl[i+1]) >= 0
+       |           THEN 1 ELSE 0 END for i in range(0,64)] AS bits
+       |      FROM embeddings, pls),
+       |bands AS (SELECT vec_id, t,
+       |    list_sum([bits[t*8+b+1]*(1<<b) for b in range(0,8)]) AS bk
+       |  FROM c, (SELECT unnest(range(0,8)) AS t) r),
+       |pairs AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+       |  FROM bands x JOIN bands y
+       |    ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id),
+       |sc AS (SELECT i, j,
+       |    list_dot_product(a.v, b.v)
+       |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       |  FROM pairs JOIN c a ON a.vec_id = i JOIN c b ON b.vec_id = j)
+       |SELECT i, j, cosine FROM sc WHERE cosine >= 0.4
+       |ORDER BY i, j""".stripMargin
+  }
+
   private val SharedN = 8
 
   /** Cross-document duplicated-n-gram fraction — the corpus-level
@@ -1009,4 +1036,22 @@ object Hyperplanes {
     val rnd = new scala.util.Random(seed)
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** The same planes as a DuckDB 2-D DOUBLE[][] literal. Scala's
+    * `Double.toString` is shortest-round-trip, so the SQL text parses
+    * back to bit-identical doubles — the seeded draw and its oracle
+    * rendering live in ONE place (the AdamicAdarDegCap discipline:
+    * a re-seed cannot silently diverge from a registered oracle). */
+  def sqlLit(planes: Array[Array[Double]]): String =
+    planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]") + "::DOUBLE[][]"
+
+  /** `bucket` replay of `Similarity.hyperplaneSketch`: bit i set iff
+    * v · plane_i ≥ 0, packed as Σ 1<<i. `list_dot_product` folds in
+    * ascending index order exactly like the engine's
+    * `aggregate(zip_with(...))` (the annBruteforceSql precedent —
+    * bit-identical at all scale factors), so the sign of every dot is
+    * the same on both engines. Expects the planes bound as `pl`. */
+  def sqlBucket(v: String, nBits: Int): String =
+    s"list_sum([CASE WHEN list_dot_product($v, pl[i+1]) >= 0 " +
+      s"THEN (1<<i)::BIGINT ELSE 0 END for i in range(0,$nBits)])"
 }

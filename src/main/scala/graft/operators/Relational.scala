@@ -1459,4 +1459,122 @@ object Relational {
       |JOIN supplier ON sk = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY s_name""".stripMargin
+
+  /** Revenue-increase forecast (the TPC-H Q6 shape): the what-if
+    * "revenue gained if these discounts had been dropped" — ONE
+    * scan-only aggregate, no join; all three predicates (ship year,
+    * discount band, quantity cap) push to the parquet scan, and the
+    * forecast delta sums price×discount in exact DECIMAL. The
+    * discount band compares the stored doubles against the same
+    * literals in both engines, so the boundary behavior is identical
+    * by construction. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(sum(Agg.dec(col("l_extendedprice")) * Agg.dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** National market share (the TPC-H Q8 shape): one supplier
+    * nation's share of a part type's revenue inside one customer
+    * region, by order year — the case-sum-over-sum ratio query (the
+    * [[q14PromoRevenue]] discipline: both sums DECIMAL-exact, cast to
+    * double, ONE division of identical doubles — no rounding needed).
+    * The part filter broadcasts (1/6 of a bounded dim), nation/region
+    * broadcast, customer membership is a semi-join (region filter
+    * carries no payload), and the fact⋈fact orders join shuffles on
+    * the key both sides already carry. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val one = lit(BigDecimal(1)).cast(DecimalType(18, 2))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(18, 2))
+    val amount = Agg.dec(col("l_extendedprice")) * (one - Agg.dec(col("l_discount")))
+    val suppN = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custAsia = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_19", amount).otherwise(zero)).cast("double")
+        / sum(amount).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Sql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_19'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Shipping class × order priority (the TPC-H Q12 shape): how many
+    * critical-priority orders ride each shipping class, counting only
+    * LATE lines. The synthetic schema has no l_shipmode or
+    * commit/receipt dates, so the return flag plays the mode dimension
+    * and "late" is a ship lag > 45 days past the order date (the
+    * [[q4OrderPriority]] 30-day precedent). The year filter pushes to
+    * the lineitem scan; the lag predicate rides the equi-join as a
+    * residual; counts are exact longs. */
+  def q12ShipPriority(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

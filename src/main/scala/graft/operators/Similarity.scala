@@ -106,6 +106,31 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Generated DuckDB oracle for [[annLsh]] (r7 promotion): the seeded
+    * hyperplanes embed as a DOUBLE[][] literal, the 8-bit bucket
+    * replays sign-exactly ([[Hyperplanes.sqlBucket]]), and the
+    * Hamming≤3 multi-probe + exact-cosine re-rank replay directly —
+    * the candidate set and the cosines are both deterministic data
+    * arithmetic once the planes are plan literals. */
+  val annLshSql: String = {
+    val pl = Hyperplanes.make(8, dim = 64, seed = 11)
+    s"""WITH pls AS (SELECT ${Hyperplanes.sqlLit(pl)} AS pl),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        ${Hyperplanes.sqlBucket("CAST(embedding AS DOUBLE[])", 8)} AS bucket
+       |      FROM embeddings, pls),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM c WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q_id, c.vec_id,
+       |    list_dot_product(qv, v)
+       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+       |  FROM c JOIN q ON c.vec_id <> q.q_id AND bit_count(xor(bucket, qb)) <= 3),
+       |ranked AS (SELECT q_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** Exact k-nearest-neighbor GRAPH — every vector gets its top-k
     * cosine neighbors (the structure behind kNN-classification,
     * graph-based ANN indexes, and embedding-cluster diagnostics).
@@ -174,6 +199,31 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("nbr_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Generated DuckDB oracle for [[knnGraphLsh]] (r7 promotion): same
+    * plane-literal replay as [[annLshSql]]; the Hamming≤1 multi-probe
+    * is the 9-mask xor fan-out, the probe⋈bucket equi-join and top-3
+    * window replay directly. */
+  val knnGraphLshSql: String = {
+    val pl = Hyperplanes.make(8, dim = 64, seed = 11)
+    val masks = (0L +: (0 until 8).map(b => 1L << b)).mkString(",")
+    s"""WITH pls AS (SELECT ${Hyperplanes.sqlLit(pl)} AS pl),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        ${Hyperplanes.sqlBucket("CAST(embedding AS DOUBLE[])", 8)} AS bucket
+       |      FROM embeddings, pls),
+       |probes AS (SELECT vec_id AS q_id, v AS qv,
+       |    unnest([xor(bucket, m) for m in [$masks]]) AS probe FROM c),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS nbr_id,
+       |    list_dot_product(qv, v)
+       |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+       |  FROM probes JOIN c ON probe = bucket AND c.vec_id <> q_id),
+       |ranked AS (SELECT q_id, nbr_id, cosine,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, nbr_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, nbr_id, cosine FROM ranked WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Centroids with norms paired POSITIONALLY (list index 0..n-1), so
