@@ -251,11 +251,13 @@ object Similarity {
     * corpus vector to its cosine-nearest centroid with plan-time
     * literal arithmetic (no corpus shuffle for assignment), then takes
     * per-list per-dimension means via one posexplode + hash agg. Means
-    * sum in DECIMAL so the reduction is order-independent — centroids
-    * (and therefore the whole IVF plan) stay bit-deterministic across
-    * runs/partitionings. Only nLists × dim aggregated doubles ever
-    * reach the driver (bounded; documented collect). Empty clusters
-    * keep their previous centroid.
+    * are integer MICRO-UNIT sums (round(x·1e6) longs — exact, order
+    * independent) divided once on the driver — centroids (and
+    * therefore the whole IVF plan) stay bit-deterministic across
+    * runs/partitionings AND replay exactly in SQL ([[ivfSqlPrefix]]).
+    * Only nLists × dim aggregated (sum, count) pairs ever reach the
+    * driver (bounded; documented collect). Empty clusters keep their
+    * previous centroid.
     *
     * Training runs on a BOUNDED sample (`trainCap` vectors, ~128 per
     * list), not the full corpus — the standard IVF recipe: at 100 TB
@@ -264,7 +266,6 @@ object Similarity {
     * touches the whole corpus. */
   private[graft] def kmeansCentroids(c: DataFrame, nLists: Int, iters: Int,
     trainCap: Int = 2048): Array[Centroid] = {
-    import org.apache.spark.sql.types.DecimalType
     // Sample by xxhash64(vec_id) order, NOT by id value: ids may be
     // sparse, non-zero-based, or clustered by ingest order (hash order
     // is ingest-independent). orderBy+limit plans as TakeOrdered — one
@@ -277,16 +278,24 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).map(_._2))
     for (_ <- 1 to iters) {
+      // means in integer MICRO-UNITS (the emb_whiten recipe): the
+      // per-cell round(x·1e6) longs sum exactly under any
+      // partitioning, and floor(sx/n)/1e6 is floor of identical IEEE
+      // doubles on every engine (the q9 floor-not-round lesson) — so
+      // the WHOLE Lloyd run replays bit-for-bit in the DuckDB oracles
+      // ([[ivfSqlPrefix]]). The ≤1e-6 centroid perturbation is far
+      // below any assignment-relevant scale on unit-ish vectors.
       val means = train
         .withColumn("list_id", topCents(cents, col("v"), 1)(0)("cent_id"))
         .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("list_id"), col("pos"))
-        .agg((sum(col("x").cast(DecimalType(38, 18))) /
-          count(lit(1))).cast("double").as("m"))
+        .agg(sum(round(col("x") * 1e6, 0).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (id, rows) =>
-          id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          id -> rows.sortBy(_.getInt(1))
+            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)) / 1e6)
         }
       cents = toCentroids(cents.map(c => means.getOrElse(c.id, c.v)))
     }
@@ -343,6 +352,106 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** cosine(v, centroid) in DuckDB — the [[topCents]] arithmetic:
+    * `list_dot_product` matches the engine's index-order fold (the
+    * annBruteforceSql precedent) and the centroid norm recomputes the
+    * driver's index-order square fold, so similarity ranks agree
+    * bit-for-bit. */
+  private def ivfCos(v: String, cv: String): String =
+    s"list_dot_product($v, $cv) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($cv, $cv)))"
+
+  /** Shared DuckDB replay of [[kmeansCentroids]] — the r7 oracle
+    * promotion of `ann_ivf` and `dedup_semantic`. The whole Lloyd run
+    * is deterministic integer/IEEE arithmetic, so it replays stage by
+    * stage: (1) the hash-ordered training draw re-sorts on
+    * [[SqlHash.hashLong]] of vec_id (bit-exact `xxhash64`, seed 42)
+    * with the vec_id tie-break; (2) seeds are the first nLists rows
+    * re-sorted by vec_id (cent_id = rank − 1, the driver's
+    * sortBy(_._1) contract); (3) each unrolled iteration assigns train
+    * vectors by descending (cosine, cent_id) — the [[topCents]]
+    * reversed-struct-sort tie-break — and takes per-list per-dim
+    * MICRO-UNIT means: round(x·1e6) BIGINTs sum exactly on both
+    * engines, floor(sx/n)/1e6 is floor of identical IEEE doubles (the
+    * q9 floor-not-round lesson); empty lists COALESCE to the previous
+    * centroid. Every multiply-referenced CTE is MATERIALIZED (the
+    * graph_kcore exponential-inline lesson). Ends with
+    * `fin(cent_id, cv)`; append further CTEs with a leading comma. */
+  private def ivfSqlPrefix(nLists: Int, iters: Int, trainCap: Int = 2048): String = {
+    import SqlHash._
+    val hash = bind("lv", "CAST(vec_id AS HUGEINT)",
+      toSigned(hashLong("lv", "42::HUGEINT", "iv")))
+    def iterStage(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, cent_id AS list_id
+         |  FROM (SELECT t.vec_id, c.cent_id,
+         |          row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |            ${ivfCos("t.v", "c.cv")} DESC, c.cent_id DESC) AS rk
+         |        FROM train t CROSS JOIN $prev c)
+         |  WHERE rk = 1),
+         |m$i AS (
+         |  SELECT a.list_id AS cent_id,
+         |         list(floor(sx / n) / 1000000.0 ORDER BY pos) AS mv
+         |  FROM (SELECT a$i.list_id, u.pos,
+         |          sum(CAST(round(u.x * 1000000, 0) AS BIGINT)) AS sx,
+         |          count(*) AS n
+         |        FROM a$i JOIN train USING (vec_id),
+         |          LATERAL (SELECT unnest(train.v) AS x,
+         |                          generate_subscripts(train.v, 1) AS pos) u
+         |        GROUP BY 1, 2) a
+         |  GROUP BY 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cent_id, coalesce(m.mv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$i m USING (cent_id))"""
+    }
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |hord AS MATERIALIZED (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) AS rn
+       |  FROM (SELECT corpus.*, $hash AS h FROM corpus)),
+       |train AS MATERIALIZED (SELECT vec_id, v FROM hord WHERE rn <= $trainCap),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
+       |         v AS cv
+       |  FROM hord WHERE rn <= $nLists),
+       |${(1 to iters).map(iterStage).mkString(",\n")},
+       |fin AS MATERIALIZED (SELECT cent_id, cv FROM c$iters)"""
+  }
+
+  /** Generated DuckDB oracle for [[annIvf]] (r7 promotion): the full
+    * IVF pipeline — Lloyd training ([[ivfSqlPrefix]]), corpus
+    * assignment, nProbe=4 probing and the exact-cosine top-5 — replays
+    * bit-for-bit; ties rank by descending cent_id exactly like
+    * [[topCents]]'s reversed struct sort. */
+  val annIvfSql: String =
+    s"""${ivfSqlPrefix(nLists = 16, iters = 3)},
+       |assigned AS (
+       |  SELECT vec_id, cent_id AS list_id
+       |  FROM (SELECT corpus.vec_id, f.cent_id,
+       |          row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+       |            ${ivfCos("corpus.v", "f.cv")} DESC, f.cent_id DESC) AS rk
+       |        FROM corpus CROSS JOIN fin f)
+       |  WHERE rk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, cent_id AS probe_list
+       |  FROM (SELECT corpus.vec_id, f.cent_id,
+       |          row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+       |            ${ivfCos("corpus.v", "f.cv")} DESC, f.cent_id DESC) AS rk
+       |        FROM corpus CROSS JOIN fin f
+       |        WHERE corpus.vec_id < 8)
+       |  WHERE rk <= 4),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id, ${ivfCos("qc.v", "cc.v")} AS cosine
+       |  FROM qprobe p
+       |  JOIN assigned a ON a.list_id = p.probe_list AND a.vec_id <> p.q_id
+       |  JOIN corpus qc ON qc.vec_id = p.q_id
+       |  JOIN corpus cc ON cc.vec_id = a.vec_id),
+       |ranked AS (SELECT q_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
 
   // ---- Product quantization (IVF-PQ) --------------------------------
 
@@ -932,7 +1041,9 @@ object Similarity {
     * loose tau=0.4 against the k=1 exact run; at SemDeDup's own ~0.95
     * operating point near-identical vectors share a nearest centroid).
     *
-    * Not SQL-expressible (k-means) → rows-only + spec. */
+    * r7: fully oracle-checked — the micro-unit Lloyd means make the
+    * whole training + probe pipeline SQL-replayable
+    * ([[semanticDedupSql]]). */
   def semanticDedup(s: SparkSession, d: String, nClusters: Int = 16,
     tau: Double = 0.4, kmeansIters: Int = 3, nProbe: Int = 2): DataFrame = {
     val c = corpus(s, d)
@@ -965,6 +1076,32 @@ object Similarity {
       .select(col("vec_id"), col("dup_of"), col("max_cos"))
       .orderBy(col("vec_id"))
   }
+
+  /** Generated DuckDB oracle for [[semanticDedup]] (r7 promotion):
+    * same trained centroids as [[annIvfSql]] ([[ivfSqlPrefix]] — the
+    * shared centroidCache contract made literal), nProbe=2 probe
+    * fan-out vs single assignment, exact cosine ≥ τ verify (dot and
+    * norm products commute, so the least/greatest reorientation keeps
+    * the doubles identical), min-partner / max-evidence rollup. */
+  val semanticDedupSql: String =
+    s"""${ivfSqlPrefix(nLists = 16, iters = 3)},
+       |simt AS MATERIALIZED (
+       |  SELECT corpus.vec_id, f.cent_id,
+       |    row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+       |      ${ivfCos("corpus.v", "f.cv")} DESC, f.cent_id DESC) AS rk
+       |  FROM corpus CROSS JOIN fin f),
+       |lft AS (SELECT vec_id AS i, cent_id AS cluster FROM simt WHERE rk <= 2),
+       |rgt AS (SELECT vec_id AS j, cent_id AS cluster FROM simt WHERE rk = 1),
+       |cand AS (
+       |  SELECT least(i, j) AS i2, greatest(i, j) AS j2,
+       |    ${ivfCos("a.v", "b.v")} AS cos
+       |  FROM lft JOIN rgt USING (cluster)
+       |  JOIN corpus a ON a.vec_id = i JOIN corpus b ON b.vec_id = j
+       |  WHERE i <> j),
+       |pr AS (SELECT i2 AS i, j2 AS j, max(cos) AS cos
+       |       FROM cand WHERE cos >= 0.4 GROUP BY 1, 2)
+       |SELECT j AS vec_id, min(i) AS dup_of, round(max(cos), 6) AS max_cos
+       |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Per-DIMENSION embedding health card (mean / variance / range per
     * coordinate): the drift-and-degeneracy diagnostic run before
