@@ -60,6 +60,17 @@ object BenchBudgets {
     "q8_market_share" -> 2.2,       // frozen r7 (median 1.58 — the
                                     // eight-table star)
     "q12_ship_priority" -> 0.75,    // frozen r7 (median 0.53)
+    // round-7 time-series + serving/eval wave (control q1 0.65)
+    "ts_acf" -> 1.3,                // frozen r7 (median 0.97)
+    "ts_cusum" -> 0.7,              // frozen r7 (median 0.51)
+    "ts_holt" -> 2.0,               // frozen r7 (median 1.50 — the
+                                    // in-row integer-cent fold)
+    "graph_jaccard" -> 3.9,         // frozen r7 (median 2.97 — shares
+                                    // adamic_adar's wedge fan-out)
+    "ads_ab_test" -> 0.45,          // frozen r7 (median 0.30)
+    "ads_revenue_conc" -> 0.85,     // frozen r7 (median 0.63)
+    "emb_ann_recall" -> 1.2,        // frozen r7 (median 0.86 — runs
+                                    // BOTH ANN pipelines)
     "dq_freshness" -> 0.7,  // frozen r6 (median 0.52, control q1 1.17)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Agg._
 
 /** ADS serving queries — the Spark-native versions of the publisher's
@@ -529,4 +530,176 @@ object Ads {
        |FROM o JOIN firsts USING (o_custkey)
        |GROUP BY cohort_m, age_months
        |ORDER BY cohort, age_months""".stripMargin
+
+  /** Knuth multiplicative-hash constant for [[abTest]]'s arm split. */
+  private val AbHashMul = 2654435761L
+  /** Two-sided 5% z critical value — shared with the oracle. */
+  private val AbZCrit = "1.959964"
+
+  /** Two-arm A/B conversion readout — the experimentation serving
+    * query every growth team runs: users split deterministically into
+    * arms by a multiplicative hash of user_id (the text_hash_split
+    * discipline — assignment is a pure function of the key, so
+    * re-runs and late events land in the same arm), conversion = any
+    * `purchase` event, then the two-proportion pooled z-test.
+    * Exactness: counts are exact integers; the rates/z are ONE shared
+    * double expression over those integers, rounded at 6 dp — both
+    * engines compute identical doubles (the ts_acf discipline). Plan:
+    * one events scan → per-user rollup → single-row agg; nothing here
+    * grows past user cardinality. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    // conversion = purchases OVER-REPRESENTED in the user's event mix
+    // (share > the uniform 1/5), as an exact integer comparison — a
+    // scale-free definition: "any purchase ever" saturates to 100% as
+    // the event history grows with SF, killing the variance term
+    val users = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(when(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5 >
+          count(lit(1)), 1L).otherwise(0L).as("conv"))
+      .withColumn("arm",
+        when((col("user_id") * AbHashMul) % 4294967296L % 2 === 0, "A")
+          .otherwise("B"))
+    val agg = users.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("a_users"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("b_users"),
+      sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("a_conv"),
+      sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("b_conv"))
+    // ANSI degenerate-case discipline (the gmvAnomaly shape): every
+    // division appears EXACTLY ONCE, inside its own guard's value;
+    // downstream columns derive from the guarded result, so nothing
+    // is subexpression-hoisted out of a guard
+    val rates = agg.select(
+      col("a_users"), col("b_users"), col("a_conv"), col("b_conv"),
+      when(col("a_users") > 0,
+        col("a_conv").cast("double") / col("a_users").cast("double"))
+        .as("pa"),
+      when(col("b_users") > 0,
+        col("b_conv").cast("double") / col("b_users").cast("double"))
+        .as("pb"),
+      when(col("a_users") + col("b_users") > 0,
+        (col("a_conv") + col("b_conv")).cast("double") /
+          (col("a_users") + col("b_users")).cast("double")).as("pp"))
+    val withSe = rates.withColumn("se",
+      when(col("a_users") > 0 && col("b_users") > 0,
+        sqrt(col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / col("a_users").cast("double") +
+            lit(1.0) / col("b_users").cast("double")))))
+    val withZ = withSe.withColumn("z",
+      when(col("se") > 0, (col("pa") - col("pb")) / col("se")))
+    withZ.select(
+      col("a_users"), col("b_users"), col("a_conv"), col("b_conv"),
+      round(col("pa"), 6).as("a_rate"), round(col("pb"), 6).as("b_rate"),
+      round(when(col("pb") > 0, col("pa") / col("pb") - lit(1.0)), 6)
+        .as("lift"),
+      round(col("z"), 6).as("z_score"),
+      (abs(col("z")) > expr(AbZCrit)).as("significant"))
+  }
+
+  val abTestSql: String =
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+       |           > count(*) THEN 1 ELSE 0 END AS conv,
+       |    CASE WHEN (user_id * $AbHashMul) % 4294967296 % 2 = 0
+       |      THEN 'A' ELSE 'B' END AS arm
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_users,
+       |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS b_users,
+       |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS a_conv,
+       |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS b_conv
+       |  FROM users),
+       |rates AS (
+       |  SELECT *,
+       |    CASE WHEN a_users > 0
+       |      THEN CAST(a_conv AS DOUBLE) / CAST(a_users AS DOUBLE) END AS pa,
+       |    CASE WHEN b_users > 0
+       |      THEN CAST(b_conv AS DOUBLE) / CAST(b_users AS DOUBLE) END AS pb,
+       |    CASE WHEN a_users + b_users > 0
+       |      THEN CAST(a_conv + b_conv AS DOUBLE)
+       |        / CAST(a_users + b_users AS DOUBLE) END AS pp
+       |  FROM agg),
+       |with_se AS (
+       |  SELECT *, CASE WHEN a_users > 0 AND b_users > 0
+       |    THEN sqrt(pp * (1.0 - pp) * (1.0 / CAST(a_users AS DOUBLE)
+       |      + 1.0 / CAST(b_users AS DOUBLE))) END AS se
+       |  FROM rates),
+       |with_z AS (
+       |  SELECT *, CASE WHEN se > 0 THEN (pa - pb) / se END AS z FROM with_se)
+       |SELECT a_users, b_users, a_conv, b_conv,
+       |  round(pa, 6) AS a_rate, round(pb, 6) AS b_rate,
+       |  round(CASE WHEN pb > 0 THEN pa / pb - 1.0 END, 6) AS lift,
+       |  round(z, 6) AS z_score,
+       |  abs(z) > $AbZCrit AS significant
+       |FROM with_z""".stripMargin
+
+  /** Revenue-concentration card — decile shares plus the Gini
+    * coefficient over per-customer lifetime revenue (the "do 20% of
+    * customers carry 80% of revenue" dashboard). Customers roll up to
+    * exact DECIMAL cents, rank by (cents, custkey) — a deterministic
+    * total order — and each decile's mass is an exact integer sum;
+    * Gini comes from the exact rank-weighted sum G = (2·Σi·x_i −
+    * (n+1)·Σx) / (n·Σx), evaluated once on the final integers. The
+    * global rank runs on the per-customer ROLLUP (customer-grain, not
+    * fact-grain — the ads_rfm precedent); at 100 TB the rollup is the
+    * only fact-sized stage. */
+  def revenueConcentration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(Agg.dec(col("o_totalprice"))).cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val ranked = cust
+      .withColumn("i", row_number().over(w).cast("long"))
+    val tot = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast(DecimalType(38, 0))).as("s"),
+      sum(col("i").cast(DecimalType(38, 0)) * col("cents")).as("iw"))
+    val deciles = ranked.crossJoin(broadcast(tot.select(col("n"))))
+      .withColumn("decile",
+        least(lit(9L), expr("(i - 1) * 10 div n")).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("customers"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("dc"))
+    val gini = round(
+      (lit(2.0) * col("iw").cast("double") -
+        (col("n") + 1).cast("double") * col("s").cast("double")) /
+        (col("n").cast("double") * col("s").cast("double")), 6)
+    deciles.crossJoin(broadcast(tot))
+      .select(col("decile"), col("customers"),
+        round(col("dc").cast("double") / lit(100.0), 2).as("revenue"),
+        round(col("dc").cast("double") / col("s").cast("double"), 6)
+          .as("share"),
+        gini.as("gini"))
+      .orderBy(col("decile"))
+  }
+
+  val revenueConcentrationSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+      |  FROM cust),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+      |    CAST(sum(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS iw
+      |  FROM ranked),
+      |deciles AS (
+      |  SELECT CAST(least(9, (i - 1) * 10 // n) AS INTEGER) AS decile,
+      |    CAST(count(*) AS BIGINT) AS customers,
+      |    CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dc
+      |  FROM ranked, tot GROUP BY 1)
+      |SELECT decile, customers,
+      |  round(CAST(dc AS DOUBLE) / 100.0, 2) AS revenue,
+      |  round(CAST(dc AS DOUBLE) / CAST(s AS DOUBLE), 6) AS share,
+      |  round((2.0 * CAST(iw AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+      |FROM deciles, tot ORDER BY decile""".stripMargin
 }

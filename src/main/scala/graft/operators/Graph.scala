@@ -625,6 +625,68 @@ object Graph {
       .limit(20)
   }
 
+  /** Neighbor-set Jaccard link prediction over the same bipartite
+    * trade graph as [[adamicAdar]]: supplier pairs scored by
+    * |customers(a) ∩ customers(b)| / |customers(a) ∪ customers(b)|.
+    * The metric is defined over the HUB-CAPPED graph — customers with
+    * more than [[AdamicAdarDegCap]] suppliers are dropped before BOTH
+    * the wedge count and the degree table, so numerator and
+    * denominator describe the same graph (and every in-row pair
+    * fan-out stays bounded at cap²). Wedges fan out IN-ROW from each
+    * customer's sorted supplier list (the [[adamicAdar]] /
+    * [[triangles]] idiom — never a supplier⋈supplier self-join);
+    * degrees ride in on a broadcast (supplier-cardinality-sized).
+    * The score is one integer division per pair — no sum-order
+    * concerns at all. Top-20, deterministic tie-break. */
+  def jaccardLinks(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("c"), col("o_custkey").as("z"))
+      .distinct()
+    val kept = pairs.groupBy(col("z"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"), count(lit(1)).as("deg"))
+      .filter(col("deg") <= AdamicAdarDegCap)
+    val sdeg = kept.select(explode(col("cs")).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("deg"))
+    val wedges = kept.filter(col("deg") >= 2)
+      .select(col("cs"), posexplode(col("cs")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(cs, i + 2, size(cs))")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    wedges
+      .join(broadcast(sdeg.select(col("c").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(sdeg.select(col("c").as("b"), col("deg").as("db"))), "b")
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val jaccardLinksSql: String =
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_suppkey AS c, o_custkey AS z
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |deg AS (
+       |  SELECT z, CAST(count(*) AS BIGINT) AS deg FROM p GROUP BY z),
+       |kept AS (
+       |  SELECT p.c, p.z, deg.deg FROM p JOIN deg USING (z)
+       |  WHERE deg.deg <= $AdamicAdarDegCap),
+       |sdeg AS (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS deg FROM kept GROUP BY c),
+       |wedges AS (
+       |  SELECT p1.c AS a, p2.c AS b, CAST(count(*) AS BIGINT) AS common
+       |  FROM kept p1 JOIN kept p2 ON p1.z = p2.z AND p1.c < p2.c
+       |  WHERE p1.deg >= 2
+       |  GROUP BY p1.c, p2.c)
+       |SELECT a, b, common,
+       |  round(CAST(common AS DOUBLE) /
+       |    CAST(da.deg + db.deg - common AS DOUBLE), 6) AS jaccard
+       |FROM wedges
+       |JOIN sdeg da ON da.c = a
+       |JOIN sdeg db ON db.c = b
+       |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
+
   val adamicAdarSql: String =
     s"""WITH p AS (
       |  SELECT DISTINCT l_suppkey AS c, o_custkey AS z

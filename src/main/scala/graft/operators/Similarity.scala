@@ -131,6 +131,40 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Recall@k of [[annLsh]] against the exact [[annBruteforce]]
+    * ground truth — the evaluation harness every ANN deployment runs
+    * before trusting an index (and re-runs after every re-tune of
+    * bits/probes). Both sides are deterministic data arithmetic
+    * (plan-literal hyperplanes, exact cosines), so the recall table
+    * itself is fully oracle-able — the oracle replays BOTH pipelines
+    * and diffs them exactly as this does. Per-query hit counts come
+    * from a left join of the two k-sized result sets (output is
+    * nQueries rows; the dominant cost is the two ANN passes
+    * themselves). */
+  def annRecall(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val truth = annBruteforce(s, d).select(col("q_id"), col("vec_id"))
+    val cand = annLsh(s, d)
+      .select(col("q_id").as("cq"), col("vec_id").as("cv"))
+    truth
+      .join(cand, col("q_id") === col("cq") && col("vec_id") === col("cv"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("cv").isNotNull, 1L).otherwise(0L)).as("hits"))
+      .select(col("q_id"), col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 6).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH truth AS (SELECT q_id, vec_id FROM ($annBruteforceSql) t),
+       |cand AS (SELECT q_id AS cq, vec_id AS cv FROM ($annLshSql) c)
+       |SELECT truth.q_id,
+       |  CAST(sum(CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  round(CAST(sum(CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / 5.0, 6) AS recall
+       |FROM truth LEFT JOIN cand ON truth.q_id = cq AND truth.vec_id = cv
+       |GROUP BY truth.q_id ORDER BY truth.q_id""".stripMargin
+
   /** Exact k-nearest-neighbor GRAPH — every vector gets its top-k
     * cosine neighbors (the structure behind kNN-classification,
     * graph-based ANN indexes, and embedding-cluster diagnostics).

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     "ads_gmv_ewma" -> "daily-grain input: one row per day before the 28-term lag chain",
     "graph_kcore" -> "derived-k CDF walk over DISTINCT degree values (value-cardinality-bounded, the q_quantile precedent)",
     "dq_volume_anomaly" -> "daily-grain input: one row per day before the 7-day stats frame (the gmv_anomaly shape)",
-    "ads_reach_curve" -> "day-grain running sum over per-day new-user counts (calendar-bounded)")
+    "ads_reach_curve" -> "day-grain running sum over per-day new-user counts (calendar-bounded)",
+    "ts_acf" -> "daily-grain input: one sort of the day series produces all lag leads",
+    "ts_cusum" -> "daily-grain input: two running windows over the day series",
+    "ads_revenue_conc" -> "global rank over the per-customer rollup (the ads_rfm precedent)")
 
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
