@@ -44,7 +44,9 @@ object BenchBudgets {
     "q17_small_quantity" -> 0.75,   // frozen r7 (median 0.55)
     "q18_large_orders" -> 1.25,     // frozen r7 (median 0.93)
     "q21_wait_suppliers" -> 1.45,   // frozen r7 (median 1.10)
-    "dq_profile_approx" -> 1.85,    // frozen r7 (median 1.42 — vs the
+    "dq_profile_approx" -> 3.8,     // re-frozen r8: the witness card
+                                    // joins the exact Expand profile
+                                    // (load-adj median 2.92 — vs the
                                     // exact Expand card at 2.66)
     "mm_video_container" -> 0.85,   // frozen r7 (median 0.64)
     // round-7 second TPC-H wave
@@ -90,12 +92,16 @@ object BenchBudgets {
                                  // left_semi cut (median 4.97; first
                                  // freeze 9.0 from the uncut 7.38 plan)
     "dedup_semantic" -> 1.4,  // frozen r5 (quiet-host median 1.07)
-    "dedup_embedding" -> 1.7,  // re-frozen r4: native graft_dot
+    "dedup_embedding" -> 2.4,  // re-frozen r8 per the r7 verdict:
+                           // the r7 multi-probe reshape holds
+                           // (load-adj median 1.87); was r4: native graft_dot
     "dedup_exact" -> 0.3,
     "dedup_minhash_lsh" -> 3.65,
     "dedup_minhash_lsh_native" -> 2.11,
     "dedup_ngram_jaccard" -> 4.8,
     "dedup_simhash" -> 2.72,
+    "dedup_simhash_wide" -> 2.1,  // frozen r8 (load-adj median 1.52,
+                                  // control q1 1.62 vs 1.09 quiet)
     "dedup_survivors" -> 6.47,
     "dim_scd2" -> 0.47,
     "dim_scd2_incr" -> 2.1,  // frozen r5 (median 1.63)
@@ -133,7 +139,10 @@ object BenchBudgets {
     "ea_path_analysis" -> 1.50,
     "emb_centroids" -> 0.55,
     "emb_knn_graph" -> 5.7,       // exact all-pairs baseline by design
-    "emb_knn_graph_lsh" -> 1.25,
+    "emb_knn_graph_lsh" -> 1.85,  // re-frozen r8: derived nbits=6 at
+                              // sf0.1 (< the old fixed 8) admits more
+                              // candidates at THIS size; the lever
+                              // buys O(n log n) growth past it
     "graph_triangles" -> 6.2,     // adjacency-intersection closure
     "graph_label_prop" -> 6.5,    // frozen r5 (quiet-host median 5.35;
                                   // 5 sync rounds, priced like the
@@ -201,11 +210,12 @@ object BenchBudgets {
     "q_grouping_sets" -> 0.58,
     "q_heavy_hitters" -> 1.05,  // re-frozen r7: sketch-prune + exact-verify
                                 // second pass (median 0.79, was 0.30-budget)
-    "q_hll_presketch" -> 0.52,
+    "q_hll_presketch" -> 0.85,  // re-frozen r8: + exact witness pass
     "q_open_orders" -> 1.7,
     "q_org_walk" -> 3.80,
     "q_quantile" -> 1.88,
-    "q_quantile_approx" -> 0.77,
+    "q_quantile_approx" -> 1.75,  // re-frozen r8: + exact CDF probe pass
+                              // (load-adj median 1.28)
     "q_range_join" -> 0.43,
     // re-frozen r5: 0.30-floor budgets that sat at the gate's noise
     // level (driver r4 flagged 0.614 s vs the 0.60 cut on a loaded

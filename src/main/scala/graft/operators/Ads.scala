@@ -531,8 +531,15 @@ object Ads {
        |GROUP BY cohort_m, age_months
        |ORDER BY cohort, age_months""".stripMargin
 
-  /** Knuth multiplicative-hash constant for [[abTest]]'s arm split. */
-  private val AbHashMul = 2654435761L
+  /** Knuth multiplicative-hash constant for [[abTest]]'s arm split:
+    * floor(phi * 2^31), odd. Scaled to 2^31 (not the classic 2^32
+    * constant 2654435761) so that `(user_id % 2^32) * K` stays below
+    * 2^63 — Spark 4's ANSI mode and DuckDB both abort on BIGINT
+    * overflow, and 100TB-scale id spaces exceed 2^32. The arm is the
+    * HIGH bit (bit 31) of the mixed product: low bits of u*K mod 2^32
+    * are parity-confounded (K odd means bit 0 of u*K == bit 0 of u),
+    * while bit 31 mixes every input bit. */
+  private val AbHashMul = 1327217885L
   /** Two-sided 5% z critical value — shared with the oracle. */
   private val AbZCrit = "1.959964"
 
@@ -559,8 +566,8 @@ object Ads {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5 >
           count(lit(1)), 1L).otherwise(0L).as("conv"))
       .withColumn("arm",
-        when((col("user_id") * AbHashMul) % 4294967296L % 2 === 0, "A")
-          .otherwise("B"))
+        when(((col("user_id") % 4294967296L) * AbHashMul) % 4294967296L
+          < 2147483648L, "A").otherwise("B"))
     val agg = users.agg(
       sum(when(col("arm") === "A", 1L).otherwise(0L)).as("a_users"),
       sum(when(col("arm") === "B", 1L).otherwise(0L)).as("b_users"),
@@ -602,8 +609,8 @@ object Ads {
        |  SELECT user_id,
        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
        |           > count(*) THEN 1 ELSE 0 END AS conv,
-       |    CASE WHEN (user_id * $AbHashMul) % 4294967296 % 2 = 0
-       |      THEN 'A' ELSE 'B' END AS arm
+       |    CASE WHEN ((user_id % 4294967296) * $AbHashMul) % 4294967296
+       |           < 2147483648 THEN 'A' ELSE 'B' END AS arm
        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
        |agg AS (
        |  SELECT

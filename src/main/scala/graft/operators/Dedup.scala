@@ -407,6 +407,32 @@ object Dedup {
     * stays registered for the SQL API; SimHashAggSpec proves the two
     * agree). Pairs agree on ≥1 of 4 bands, Hamming ≤ 3. */
   def simhash(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashSigs(s, d)
+    val bandRows = sim.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bk")))
+    val pairs = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.simhash").as("sh_i"), col("y.simhash").as("sh_j"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+      .filter(col("hamming") <= 3)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** The 64-bit SimHash signature table (doc_id, simhash) shared by
+    * [[simhash]] and [[simhashWide]]: frequency-weighted bit votes
+    * over the raw 3-gram shingle stream as 64 codegen'd sum columns
+    * (see [[simhash]]'s doc for the measured 4× over the native
+    * aggregate). */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("tok"))
     val h = xxhash64(col("tok"))
@@ -415,17 +441,98 @@ object Dedup {
         sum(when(h.bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("s0"),
         (1 until 64).map(i =>
           sum(when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as(s"s$i")): _*)
-    val sim = bitSums.select(
+    bitSums.select(
       col("doc_id"),
       (0 until 64).map(i =>
         when(col(s"s$i") > 0, lit(1L) * lit(1L << i)).otherwise(lit(0L)).as(s"bit$i")
       ).reduce(_ + _).as("simhash"))
+  }
 
-    val bandRows = sim.select(
-      col("doc_id"), col("simhash"),
+  /** Block widths of [[simhashWide]]'s 6-way fingerprint split
+    * (Σ = 64); block b starts at bit offset Σ widths(0..b-1). */
+  private[graft] val WideBlockWidths: Array[Int] = Array(11, 11, 11, 11, 10, 10)
+
+  /** Candidate diagnostics of the two banding schemes: per scheme,
+    * (DISTINCT candidate pairs, FALSE candidates among them — pairs
+    * the Hamming ≤ 3 filter then discards). Both schemes catch every
+    * true pair (pigeonhole), so the schemes differ ONLY in the false
+    * column — narrow's grows ~4·n²/2¹⁶, wide's ~20·n²/2³² — which is
+    * what the make_scale.py 2×/5× table reads. */
+  private[graft] def simhashCandidateCounts(
+      s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val sim = simhashSigs(s, d).cache()
+    def diag(bandRows: DataFrame): (Long, Long) = {
+      val pairs = bandRows.as("x")
+        .join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+          col("x.simhash").as("sh_i"), col("y.simhash").as("sh_j"))
+        .distinct()
+      val r = pairs.agg(count(lit(1)).as("cand"),
+        sum(when(bit_count(col("sh_i").bitwiseXOR(col("sh_j"))) > 3, 1L)
+          .otherwise(0L)).as("falsec")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val narrow = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bk")))
+    val offsets = WideBlockWidths.scanLeft(0)(_ + _)
+    def block(b: Int): Column =
+      shiftright(col("simhash"), offsets(b))
+        .bitwiseAND(lit((1L << WideBlockWidths(b)) - 1))
+    val keys = (0 until WideBlockWidths.length).combinations(3).toSeq.map { ss =>
+      val Seq(a, b, c) = ss
+      block(a) +
+        block(b) * lit(1L << WideBlockWidths(a)) +
+        block(c) * lit(1L << (WideBlockWidths(a) + WideBlockWidths(b)))
+    }
+    val wide = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array(keys: _*)).as(Seq("band", "bk")))
+    val (nc, nf) = diag(narrow)
+    val (wc, wf) = diag(wide)
+    sim.unpersist()
+    (nc, nf, wc, wf)
+  }
+
+  /** [[simhash]]'s 100× SCALE TWIN — the Manku/Jain/Sarma WWW'07
+    * wide-key banding (reference analog: same candidate semantics as
+    * dedup_simhash). The narrow form's 4 × 16-bit bands stop scaling:
+    * 65,536 buckets per band means candidate pairs grow ~n²/2¹⁶ no
+    * matter how the corpus spreads. Here the fingerprint splits into
+    * SIX blocks (11/11/11/11/10/10 bits) and every band key is the
+    * concatenation of a 3-block COMBINATION — C(6,3) = 20 bands of
+    * ~32-bit keys, so random-regime bucket occupancy is n/2³², and
+    * candidate volume stays near-linear until corpora reach billions
+    * of docs (then: widen to 4-block keys, same construction).
+    *
+    * EXACTNESS: both schemes emit exactly {(i, j) : Hamming(shᵢ, shⱼ)
+    * ≤ 3} — pigeonhole: ≤ 3 flipped bits dirty ≤ 3 blocks, so ≥ 3 of
+    * 6 blocks are clean and the band keyed on that clean 3-subset
+    * matches (narrow: ≥ 1 of 4 blocks clean). The post-filter then
+    * keeps Hamming ≤ 3 only, so the candidate scheme affects COST,
+    * never output — the twin shares [[simhashSql]] verbatim (the
+    * `_chunked` convention). Fan-out is ONE posexplode of the 20
+    * literal key expressions (the shingles lesson); the pair join is
+    * an equi-join on (band, key). */
+  def simhashWide(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashSigs(s, d)
+    val offsets = WideBlockWidths.scanLeft(0)(_ + _)
+    def block(b: Int): Column =
+      shiftright(col("simhash"), offsets(b))
+        .bitwiseAND(lit((1L << WideBlockWidths(b)) - 1))
+    // key = blk(a) ++ blk(b) ++ blk(c), packed little-endian by width
+    val keys = (0 until WideBlockWidths.length).combinations(3).toSeq.map {
+      ss =>
+        val Seq(a, b, c) = ss
+        block(a) +
+          block(b) * lit(1L << WideBlockWidths(a)) +
+          block(c) * lit(1L << (WideBlockWidths(a) + WideBlockWidths(b)))
+    }
+    val bandRows = sim.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array(keys: _*)).as(Seq("band", "bk")))
     val pairs = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
@@ -865,11 +972,12 @@ object Dedup {
     * true duplicate has bloom_hit = 1 — so `is_dup ⇒ bloom_hit` is an
     * invariant, spec-pinned.
     *
-    * Output per batch row: (doc_id, fp, bloom_hit, is_dup). Declared
-    * rows-only (a Bloom probe is not SQL-expressible in the oracle);
-    * the EXACT component (is_dup) is spec-checked against planted
-    * ground truth and the false-positive rate against the sized fpp. */
-  def bloomGate(s: SparkSession, d: String,
+    * Output per batch row: (doc_id, fp, bloom_hit, is_dup). The Bloom
+    * probe itself is not SQL-expressible, so THIS raw form is
+    * spec-checked (planted ground truth, FP rate vs the sized fpp) and
+    * the REGISTERED [[bloomGate]] folds the probe into the
+    * no-false-negative witness card the oracle can pin. */
+  private[graft] def bloomGateRaw(s: SparkSession, d: String,
       expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
     graft.Graft.registerFunctions(s)
     val docs = Tables.documents(s, d)
@@ -892,6 +1000,55 @@ object Dedup {
       .join(verified, Seq("doc_id"), "left")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(0)))
       .orderBy(col("doc_id"))
+  }
+
+  /** Bloom no-false-negative WITNESS (the q_countmin precedent): the
+    * exact duplicate verdict is recomputed for EVERY batch row (a
+    * full fingerprint join — the witness pays what the gate saves;
+    * the gated hits-only path stays [[bloomGateRaw]]'s production
+    * shape), and `nfn_ok` = ¬(is_dup ∧ ¬bloom_hit) pins the Bloom
+    * guarantee per row: a probe that misses a true duplicate — a
+    * broken partial-OR merge, a seed drift between agg and probe —
+    * flips the flag and fails the driver hash compare. The
+    * fingerprints are md5 of normalized text (the text_fingerprint
+    * oracle), so the whole emitted card replays in SQL; the raw
+    * bloom_hit column stays engine-internal, spec-asserted. */
+  def bloomGate(s: SparkSession, d: String,
+      expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    graft.Graft.registerFunctions(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+    val isDelta = col("source").isin(DeltaSources: _*)
+    val corpus = docs.filter(!isDelta)
+    val batch = docs.filter(isDelta)
+    val bloomBytes = corpus.agg(call_function("graft_bloom_agg",
+      xxhash64(col("fp")), lit(expectedItems), lit(fpp))).head().getAs[Array[Byte]](0)
+    batch
+      .withColumn("bloom_hit",
+        call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))
+      .join(corpus.select(col("fp")).distinct().withColumn("m", lit(1)),
+        Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("m"), lit(0)).as("is_dup"),
+        when(coalesce(col("m"), lit(0)) === 1 && !col("bloom_hit"), 0)
+          .otherwise(1).as("nfn_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[bloomGate]]: the exact cross-corpus duplicate card
+    * with the no-false-negative flag pinned TRUE. */
+  val bloomGateSql: String = {
+    val srcs = DeltaSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM documents),
+       |corpus AS (SELECT DISTINCT fp FROM docs WHERE source NOT IN ($srcs)),
+       |batch AS (SELECT doc_id, fp FROM docs WHERE source IN ($srcs))
+       |SELECT b.doc_id, b.fp,
+       |  CAST(c.fp IS NOT NULL AS INT) AS is_dup, 1 AS nfn_ok
+       |FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+       |ORDER BY b.doc_id""".stripMargin
   }
 
   /** Oracle: the identical asymmetric join + verdict windows. */

@@ -45,10 +45,31 @@ object Quality {
     * plan shows NO Expand, per-column state is a fixed-size register
     * set, merges are register maxima (order-free, so the card is
     * partitioning-invariant and ContractSpec-stable). `n_distinct`
-    * becomes an estimate (rsd 2%) → rows-only + spec (error bound vs
-    * the exact card, Expand-free plan). */
-  def dqProfileApprox(s: SparkSession, d: String): DataFrame =
+    * becomes an estimate (rsd 2%) → spec-asserted (error bound vs
+    * the exact card, Expand-free plan); the REGISTERED
+    * [[dqProfileApprox]] folds it into a witness card. */
+  private[graft] def dqProfileApproxRaw(s: SparkSession, d: String): DataFrame =
     profileCard(s, d, c => approx_count_distinct(col(c), 0.02))
+
+  /** HLL profile-card WITNESS (the q_countmin precedent): the exact
+    * card ([[dqProfile]]) joins the Expand-free approx card on the
+    * column name; every non-estimate stat is emitted exactly, and
+    * `nd_ok` = |est − exact| ≤ max(5%·exact, 1 absolute) — the spec's
+    * band, deterministic because register maxima are order-free. The
+    * exact pass exists FOR the witness (at 100 TB you would ship only
+    * [[dqProfileApproxRaw]]'s card); a sketch regression flips nd_ok
+    * and fails the driver hash compare. */
+  def dqProfileApprox(s: SparkSession, d: String): DataFrame =
+    dqProfile(s, d)
+      .join(dqProfileApproxRaw(s, d)
+          .select(col("col").as("acol"), col("n_distinct").as("nd_est")),
+        col("col") === col("acol"))
+      .select(col("col"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        when(abs(col("nd_est") - col("n_distinct")) * 20L <=
+          greatest(col("n_distinct"), lit(20L)), 1).otherwise(0).as("nd_ok"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      .orderBy(col("col"))
+
 
   private def profileCard(s: SparkSession, d: String,
       nd: String => Column): DataFrame = {
@@ -137,6 +158,12 @@ object Quality {
         num("value", "")) ++ Seq(str("event_type"), str("props")))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col")
   }
+
+  /** Oracle for [[dqProfileApprox]]: the exact profile card with the
+    * HLL error-band flag pinned TRUE. */
+  val dqProfileApproxSql: String =
+    s"SELECT col, n_rows, n_nulls, n_distinct, 1 AS nd_ok,\n" +
+      s"  min_num, max_num, min_str, max_str\nFROM (\n$dqProfileSql\n) t ORDER BY col"
 
   // ---------------------------------------------------------------
   // dq_rules — declarative rule-violation audit

@@ -242,9 +242,10 @@ object Relational {
 
   /** Sketch-based distinct counting (HyperLogLog++): the 100 TB path
     * for COUNT DISTINCT dashboards — mergeable, fixed memory, no exact
-    * two-phase distinct shuffle. Not SQL-oracle-able (engine-specific
-    * sketch); the spec bounds its error against the exact count. */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    * two-phase distinct shuffle. The raw estimate is engine-specific
+    * (spec-bounded); the REGISTERED [[approxDistinct]] folds it into a
+    * 5%-band witness the oracle pins. */
+  private[graft] def approxDistinctRaw(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       // HLL state is set-like (duplicate-insensitive), so sketching the
       // pre-deduped (group, key) pairs gives the IDENTICAL estimate —
@@ -260,6 +261,28 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         count(lit(1)).as("exact_orders"))
       .orderBy(col("l_returnflag"))
+
+  /** HLL++ error-band WITNESS (the q_countmin precedent): the estimate
+    * and the exact count ride the SAME pre-deduped scan; `hll_ok` =
+    * |est − exact| ≤ 5%·exact (the spec's band — 2.5σ at rsd 0.02,
+    * deterministic because register maxima are order-free). The raw
+    * estimate stays spec-asserted on [[approxDistinctRaw]]; the
+    * emitted card is engine-portable, so a sketch regression flips the
+    * flag and fails the driver hash compare. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    approxDistinctRaw(s, d)
+      .select(col("l_returnflag"), col("exact_orders"),
+        when(abs(col("approx_orders") - col("exact_orders")) * 20L <=
+          col("exact_orders"), 1).otherwise(0).as("hll_ok"))
+      .orderBy(col("l_returnflag"))
+
+  /** Oracle for [[approxDistinct]]: exact distinct counts with the
+    * HLL error-band flag pinned TRUE. */
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  1 AS hll_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** GROUPING SETS beyond rollup: independent (region) and (segment)
     * subtotals in one pass over the join. */
@@ -286,13 +309,15 @@ object Relational {
        |GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
        |ORDER BY r_name, c_mktsegment""".stripMargin
 
-  /** Approximate percentiles — the 100 TB companion to [[quantiles]]:
-    * `approx_percentile` (KLL-style mergeable summary) holds FIXED
-    * memory per group regardless of value cardinality, where even the
-    * bounded-state exact CDF walk carries one row per distinct value.
-    * Not SQL-oracle-able (the summary is engine-specific); the spec
-    * bounds each estimate between exact neighboring quantiles. */
-  def quantilesApprox(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame =
+  /** Raw approximate percentiles — the 100 TB companion to
+    * [[quantiles]]: `approx_percentile` (KLL-style mergeable summary)
+    * holds FIXED memory per group regardless of value cardinality,
+    * where even the bounded-state exact CDF walk carries one row per
+    * distinct value. The raw estimates are engine-specific, so this
+    * form is spec-tested; the REGISTERED [[quantilesApprox]] folds
+    * them into a rank-guarantee witness the oracle can pin. */
+  private[graft] def quantilesApproxRaw(s: SparkSession, d: String,
+      accuracy: Int = 10000): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -300,6 +325,54 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("median"),
         percentile_approx(col("l_extendedprice"), lit(0.75), lit(accuracy)).as("q75"))
       .orderBy(col("l_returnflag"))
+
+  /** Rank slack granted on top of `percentile_approx`'s 1/accuracy
+    * guarantee, in 1e-4 rank units (guarantee = 1 unit; we pin 2). */
+  private val QaRankSlack = 2L
+
+  /** Approx-percentile GUARANTEE WITNESS (the q_countmin precedent):
+    * the sketch's estimates leave the cluster as a bounded driver step
+    * (3 groups × 3 values), come back as one broadcast literal, and a
+    * single exact scan computes each estimate's EXACT rank interval
+    * [#{x < v} + 1, #{x ≤ v}] per group. `*_ok` = that interval
+    * intersects [p − ε, p + ε]·n with ε = [[QaRankSlack]]e-4 — i.e.
+    * the 1/accuracy rank guarantee held, as pure BIGINT arithmetic.
+    * The estimates themselves stay engine-specific (spec-asserted on
+    * [[quantilesApproxRaw]]); the emitted card is deterministic, so
+    * the DuckDB oracle reproduces the exact columns and pins the
+    * guarantee flags TRUE — a sketch regression flips a flag and
+    * fails the hash compare loudly. */
+  def quantilesApprox(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val probeDf = s.createDataFrame(
+      quantilesApproxRaw(s, d, accuracy).collect().toSeq.map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toDF("flag", "v25", "v50", "v75")
+    val checks = Seq(2500L -> "v25", 5000L -> "v50", 7500L -> "v75")
+    val aggs = count(lit(1)).as("n_rows") +: checks.flatMap { case (_, v) => Seq(
+      sum(when(col("l_extendedprice") < col(v), 1L).otherwise(0L)).as(s"lo_$v"),
+      sum(when(col("l_extendedprice") <= col(v), 1L).otherwise(0L)).as(s"hi_$v"))
+    }
+    def ok(p: Long, v: String): Column =
+      when(col(s"lo_$v") * 10000L <= (lit(p) + QaRankSlack) * col("n_rows") &&
+        col(s"hi_$v") * 10000L >= (lit(p) - QaRankSlack) * col("n_rows"),
+        1).otherwise(0)
+    li.join(broadcast(probeDf), col("l_returnflag") === col("flag"))
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), col("n_rows"),
+        ok(2500L, "v25").as("q25_ok"), ok(5000L, "v50").as("median_ok"),
+        ok(7500L, "v75").as("q75_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Oracle for [[quantilesApprox]]: exact per-group counts with the
+    * rank-guarantee flags pinned TRUE. */
+  val quantilesApproxSql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  1 AS q25_ok, 1 AS median_ok, 1 AS q75_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** RANGE-frame moving aggregate: 7-day rolling GMV. The frame is a
     * VALUE range over day numbers (`rangeBetween(-6, 0)`), not a row

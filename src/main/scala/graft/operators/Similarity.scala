@@ -33,10 +33,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
 
+  /** Shared top-k for the ANN family — [[annBruteforce]], [[annLsh]],
+    * [[annIvf]], [[annIvfPq]] and [[annRecall]] all rank to the SAME
+    * depth, and every oracle interpolates this constant, so the
+    * recall denominator can never drift from the result-set size. */
+  private[graft] val AnnK = 5
+
   /** Exact top-k cosine neighbors for the first `nQueries` vectors.
     * The query side is broadcast; ranking is a per-query window with a
     * deterministic tie-break. */
-  def annBruteforce(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+  def annBruteforce(s: SparkSession, d: String, nQueries: Int = 8, k: Int = AnnK): DataFrame = {
     val c = corpus(s, d)
     val q = c.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -54,7 +60,7 @@ object Similarity {
     * index order exactly like Spark's `aggregate(zip_with(...))`, so
     * the cosines are bit-identical. */
   val annBruteforceSql: String =
-    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS q_id, v AS qv FROM c WHERE vec_id < 8),
       |scored AS (
       |  SELECT q_id, c.vec_id,
@@ -64,7 +70,7 @@ object Similarity {
       |ranked AS (SELECT q_id, vec_id, cosine,
       |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
       |  FROM scored)
-      |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= 5
+      |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= $AnnK
       |ORDER BY q_id, rnk""".stripMargin
 
   /** Random-hyperplane sign sketch as ONE 2-D literal + transform
@@ -85,7 +91,7 @@ object Similarity {
     * are isotropic Gaussians — the hardest case for any sublinear ANN;
     * on real (clustered) embedding corpora the same sketch gives far
     * better recall at far lower probe fractions. */
-  def annLsh(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+  def annLsh(s: SparkSession, d: String, nQueries: Int = 8, k: Int = AnnK): DataFrame = {
     val planes = Hyperplanes.make(8, dim = 64, seed = 11)
     def sketch(v: Column): Column = hyperplaneSketch(v, planes)
 
@@ -127,7 +133,7 @@ object Similarity {
        |ranked AS (SELECT q_id, vec_id, cosine,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
        |  FROM scored)
-       |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= 5
+       |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= $AnnK
        |ORDER BY q_id, rnk""".stripMargin
   }
 
@@ -141,7 +147,7 @@ object Similarity {
     * from a left join of the two k-sized result sets (output is
     * nQueries rows; the dominant cost is the two ANN passes
     * themselves). */
-  def annRecall(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def annRecall(s: SparkSession, d: String): DataFrame = {
     val truth = annBruteforce(s, d).select(col("q_id"), col("vec_id"))
     val cand = annLsh(s, d)
       .select(col("q_id").as("cq"), col("vec_id").as("cv"))
@@ -151,7 +157,7 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(sum(when(col("cv").isNotNull, 1L).otherwise(0L)).as("hits"))
       .select(col("q_id"), col("hits"),
-        round(col("hits").cast("double") / lit(k.toDouble), 6).as("recall"))
+        round(col("hits").cast("double") / lit(AnnK.toDouble), 6).as("recall"))
       .orderBy(col("q_id"))
   }
 
@@ -161,7 +167,7 @@ object Similarity {
        |SELECT truth.q_id,
        |  CAST(sum(CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        |  round(CAST(sum(CASE WHEN cv IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / 5.0, 6) AS recall
+       |    / $AnnK.0, 6) AS recall
        |FROM truth LEFT JOIN cand ON truth.q_id = cq AND truth.vec_id = cv
        |GROUP BY truth.q_id ORDER BY truth.q_id""".stripMargin
 
@@ -203,27 +209,48 @@ object Similarity {
       |SELECT q_id, rnk, nbr_id, cosine FROM ranked WHERE rnk <= 3
       |ORDER BY q_id, rnk""".stripMargin
 
-  /** LSH-bucketed k-NN graph — the 100 TB construction: no broadcast,
-    * no all-pairs. Every vector lands in its 8-bit hyperplane bucket;
-    * the probe side fans out to its own bucket plus the 8 one-bit
-    * flips (9× — constant), and candidates come from ONE bucket
-    * equi-join (both sides hash-partitioned on the bucket key), i.e.
-    * all pairs within Hamming distance ≤ 1. Expected pair volume is
-    * Σ|bucket|²·9/256 — linear-ish under spread buckets; a hot bucket
-    * (clustered corpora) is a skew-join salting/AQE case, not a plan
-    * change. Recall vs [[knnGraph]] is spec-checked; isotropic
-    * Gaussian test vectors are the worst case (see [[annLsh]] note).
-    * Declared rows-only for the driver (bucket recall is not
-    * SQL-expressible); every emitted cosine is exact. */
+  /** Max hyperplanes precomputed for [[knnGraphLsh]]'s derived-width
+    * sketch: 24 bits supports corpora to ~2²⁸ vectors at the ~16-per-
+    * bucket target before the clamp binds. */
+  private[graft] val KnnLshMaxBits = 24
+
+  /** LSH-bucketed k-NN graph — the 100 TB construction: no broadcast
+    * of the corpus, no all-pairs. The bucket WIDTH is derived in-plan
+    * from the corpus size (the graph_kcore derived-k recipe): nbits =
+    * clamp(⌊log₂ n⌋ − 4, 4, [[KnnLshMaxBits]]) from ONE bounded count
+    * (a 1-row broadcast scalar), so expected occupancy stays ~2⁴ per
+    * bucket at ANY corpus size and candidate volume is
+    * n·(1+nbits)·2⁴ = O(n log n) — a fixed width is quadratic once n
+    * outgrows 2^bits. ⌊log₂ n⌋ computes as the bit length of n
+    * (length(bin(n)) − 1) — integer-exact on both engines, no
+    * float-log edge at powers of two. The sketch is always the full
+    * [[KnnLshMaxBits]]-plane literal, masked down to nbits at runtime;
+    * the probe side fans out through ONE posexplode over the 1+24
+    * xor masks, keeping mask rows ≤ nbits (self + one-bit flips), and
+    * candidates come from ONE bucket equi-join (both sides
+    * hash-partitioned on the bucket key) = all pairs within Hamming
+    * ≤ 1. A hot bucket (clustered corpora) is a skew-join salting/AQE
+    * case, not a plan change — spec-pinned. Recall vs [[knnGraph]] is
+    * spec-checked; isotropic Gaussian test vectors are the worst case
+    * (see [[annLsh]] note). Every emitted cosine is exact, and the
+    * whole construction (count → width → mask → probe) replays in the
+    * DuckDB oracle. */
   def knnGraphLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val planes = Hyperplanes.make(8, dim = 64, seed = 11)
-    val c = corpus(s, d)
-      .withColumn("bucket", hyperplaneSketch(col("v"), planes))
+    val planes = Hyperplanes.make(KnnLshMaxBits, dim = 64, seed = 11)
+    val c0 = corpus(s, d)
+    val nb = c0.agg(count(lit(1)).as("n"))
+      .select(least(lit(KnnLshMaxBits), greatest(lit(4),
+        length(bin(col("n"))) - 1 - 4)).as("nbits"))
+    val c = c0.crossJoin(broadcast(nb))
+      .withColumn("bucket", hyperplaneSketch(col("v"), planes)
+        .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), nbits) - 1")))
       .withColumn("nrm", norm(col("v")))
     val probes = c.select(col("vec_id").as("q_id"), col("v").as("qv"),
-      col("nrm").as("qn"),
-      explode(array((lit(0L) +: (0 until 8).map(b => lit(1L << b))).map(m =>
-        col("bucket").bitwiseXOR(m)): _*)).as("probe"))
+      col("nrm").as("qn"), col("nbits"),
+      posexplode(array((lit(0L) +: (0 until KnnLshMaxBits).map(b =>
+        lit(1L << b))).map(m => col("bucket").bitwiseXOR(m)): _*))
+        .as(Seq("pos", "probe")))
+      .filter(col("pos") <= col("nbits"))
     val scored = probes.join(c,
         col("probe") === col("bucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nbr_id"),
@@ -235,19 +262,31 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** Generated DuckDB oracle for [[knnGraphLsh]] (r7 promotion): same
-    * plane-literal replay as [[annLshSql]]; the Hamming≤1 multi-probe
-    * is the 9-mask xor fan-out, the probe⋈bucket equi-join and top-3
-    * window replay directly. */
+  /** Generated DuckDB oracle for [[knnGraphLsh]] (r7 promotion; r8:
+    * the derived-width lever replays too): same plane-literal replay
+    * as [[annLshSql]]; nbits recomputes from the same count via the
+    * integer bit-length, the bucket masks down identically, the
+    * Hamming≤1 multi-probe is the (1+24)-mask xor fan-out cut at
+    * nbits, and the probe⋈bucket equi-join and top-3 window replay
+    * directly. */
   val knnGraphLshSql: String = {
-    val pl = Hyperplanes.make(8, dim = 64, seed = 11)
-    val masks = (0L +: (0 until 8).map(b => 1L << b)).mkString(",")
+    val pl = Hyperplanes.make(KnnLshMaxBits, dim = 64, seed = 11)
+    val masks = (0L +: (0 until KnnLshMaxBits).map(b => 1L << b)).mkString(",")
     s"""WITH pls AS (SELECT ${Hyperplanes.sqlLit(pl)} AS pl),
+       |nb AS (SELECT least($KnnLshMaxBits,
+       |         greatest(4, length(bin(count(*))) - 1 - 4)) AS nbits
+       |       FROM embeddings),
        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |        ${Hyperplanes.sqlBucket("CAST(embedding AS DOUBLE[])", 8)} AS bucket
-       |      FROM embeddings, pls),
-       |probes AS (SELECT vec_id AS q_id, v AS qv,
-       |    unnest([xor(bucket, m) for m in [$masks]]) AS probe FROM c),
+       |        ((${Hyperplanes.sqlBucket("CAST(embedding AS DOUBLE[])", KnnLshMaxBits)})
+       |          & ((1::BIGINT << nbits) - 1)) AS bucket
+       |      FROM embeddings, pls, nb),
+       |probes AS (SELECT q_id, qv, probe FROM (
+       |    SELECT vec_id AS q_id, v AS qv,
+       |      unnest(ms) AS probe, generate_subscripts(ms, 1) - 1 AS pos
+       |    FROM (SELECT vec_id, v,
+       |            [xor(bucket, m) for m in [$masks]] AS ms
+       |          FROM c)) t, nb
+       |  WHERE pos <= nbits),
        |scored AS (
        |  SELECT q_id, c.vec_id AS nbr_id,
        |    list_dot_product(qv, v)
@@ -359,7 +398,7 @@ object Similarity {
     * pure column arithmetic: the corpus is never shuffled for
     * assignment, and the probe side is a broadcast join. The only
     * shuffle is the per-query top-k window over matched candidates. */
-  def annIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+  def annIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = AnnK,
     nLists: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val c = corpus(s, d)
     val key = (d, nLists, kmeansIters)
@@ -484,7 +523,7 @@ object Similarity {
        |ranked AS (SELECT q_id, vec_id, cosine,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
        |  FROM scored)
-       |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= 5
+       |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= $AnnK
        |ORDER BY q_id, rnk""".stripMargin
 
   // ---- Product quantization (IVF-PQ) --------------------------------
@@ -505,11 +544,13 @@ object Similarity {
   /** Per-subspace PQ codebooks: an independent L2 Lloyd run on each of
     * the `m` dsub-dimensional slices of a bounded training sample.
     * Same determinism contract as [[kmeansCentroids]]: hash-ordered
-    * sample, decimal-exact means, only m × ksub × dsub doubles reach
-    * the driver. */
+    * sample, MICRO-UNIT integer means (round(x·1e6) long sums,
+    * floor(sx/n)/1e6 — exact under any partitioning AND bit-replayable
+    * in the DuckDB oracle, the ivfSqlPrefix recipe), only
+    * m × ksub × dsub doubles reach the driver. Empty clusters keep
+    * their previous centroid. */
   private[graft] def pqCodebooks(c: DataFrame, m: Int, dsub: Int, ksub: Int,
     iters: Int, trainCap: Int = 2048): Array[Array[Centroid]] = {
-    import org.apache.spark.sql.types.DecimalType
     val byHash = c.orderBy(xxhash64(col("vec_id")), col("vec_id"))
     val train = byHash.limit(trainCap)
     val seeds = byHash.limit(ksub).collect()
@@ -523,12 +564,13 @@ object Similarity {
           .withColumn("code", l2NearestId(cents, col("x")))
           .select(col("code"), posexplode(col("x")).as(Seq("pos", "xi")))
           .groupBy(col("code"), col("pos"))
-          .agg((sum(col("xi").cast(DecimalType(38, 18))) /
-            count(lit(1))).cast("double").as("mu"))
+          .agg(sum(round(col("xi") * 1e6, 0).cast("long")).as("sx"),
+            count(lit(1)).as("n"))
           .collect()
           .groupBy(_.getInt(0))
           .map { case (id, rows) =>
-            id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+            id -> rows.sortBy(_.getInt(1))
+              .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)) / 1e6)
           }
         cents = toCentroids(cents.map(c => means.getOrElse(c.id, c.v)))
       }
@@ -559,7 +601,7 @@ object Similarity {
     * lookups (element_at on a 2-D literal) + subvector dots; the
     * reconstruction norm ‖recon(v)‖² = Σₘ ‖codebookₘ[codeₘ]‖² is
     * computed once at encode time from a literal norm table. */
-  def annIvfPq(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+  def annIvfPq(s: SparkSession, d: String, nQueries: Int = 8, k: Int = AnnK,
     nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
     kmeansIters: Int = 3, rerank: Int = 24): DataFrame = {
     val dsub = 64 / m
@@ -620,6 +662,136 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cosine"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Generated DuckDB oracle for [[annIvfPq]] (r8 promotion — the
+    * last ANN-family rows-only op): [[ivfSqlPrefix]]'s coarse Lloyd
+    * replay extends to the m=8 per-subspace PQ codebooks. Each
+    * codebook is an independent L2 Lloyd run on the SAME hash-ordered
+    * training draw (seeds = `c0` sliced per subspace — ksub equals the
+    * coarse nLists, so the seed rows coincide); assignments order by
+    * ascending (‖c‖² − 2⟨x,c⟩, cent_id) exactly like [[l2NearestId]]'s
+    * struct sort (‖c‖² replays as sqrt(Σc²)·sqrt(Σc²) — the literal is
+    * the driver's norm·norm, sqrt-then-square, NOT Σc² itself); means
+    * are the micro-unit integer recipe shared with the coarse run.
+    * Encoding, ADC (left-assoc subspace-dot sum over the codebook
+    * rows, ÷ ‖q‖·√recon²) and the exact top-`rerank` re-rank are all
+    * deterministic data arithmetic, so the final card replays
+    * bit-for-bit. Every multiply-referenced CTE is MATERIALIZED (the
+    * graph_kcore exponential-inline lesson). */
+  val annIvfPqSql: String = {
+    val (m, dsub, iters, nProbe, rerank) = (8, 8, 3, 4, 24)
+    def lo(sub: Int) = sub * dsub + 1
+    def hi(sub: Int) = (sub + 1) * dsub
+    def ldp(a: String, b: String) = s"list_dot_product($a, $b)"
+    def nrm2(v: String) = s"sqrt(${ldp(v, v)}) * sqrt(${ldp(v, v)})"
+    def l2(x: String, cv: String) = s"${nrm2(cv)} - 2.0 * ${ldp(x, cv)}"
+
+    def subStages(sub: Int): String = {
+      val slices =
+        s"""ps$sub AS MATERIALIZED (
+           |  SELECT vec_id, v[${lo(sub)}:${hi(sub)}] AS x FROM train),
+           |pb${sub}_0 AS MATERIALIZED (
+           |  SELECT cent_id, cv[${lo(sub)}:${hi(sub)}] AS cv FROM c0)"""
+      val its = (1 to iters).map { i =>
+        val prev = s"pb${sub}_${i - 1}"
+        s"""pa${sub}_$i AS (
+           |  SELECT vec_id, cent_id AS code
+           |  FROM (SELECT t.vec_id, c.cent_id,
+           |          row_number() OVER (PARTITION BY t.vec_id ORDER BY
+           |            ${l2("t.x", "c.cv")} ASC, c.cent_id ASC) AS rk
+           |        FROM ps$sub t CROSS JOIN $prev c)
+           |  WHERE rk = 1),
+           |pm${sub}_$i AS (
+           |  SELECT code AS cent_id,
+           |         list(floor(sx / n) / 1000000.0 ORDER BY pos) AS mv
+           |  FROM (SELECT a.code, u.pos,
+           |          sum(CAST(round(u.xi * 1000000, 0) AS BIGINT)) AS sx,
+           |          count(*) AS n
+           |        FROM pa${sub}_$i a JOIN ps$sub t USING (vec_id),
+           |          LATERAL (SELECT unnest(t.x) AS xi,
+           |                          generate_subscripts(t.x, 1) AS pos) u
+           |        GROUP BY 1, 2) s
+           |  GROUP BY 1),
+           |pb${sub}_$i AS MATERIALIZED (
+           |  SELECT p.cent_id, coalesce(mm.mv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN pm${sub}_$i mm USING (cent_id))"""
+      }
+      (slices +: its).mkString(",\n")
+    }
+
+    val encodes = (0 until m).map { sub =>
+      s"""pe$sub AS MATERIALIZED (
+         |  SELECT vec_id, cent_id AS code
+         |  FROM (SELECT corpus.vec_id, c.cent_id,
+         |          row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+         |            ${l2(s"corpus.v[${lo(sub)}:${hi(sub)}]", "c.cv")} ASC,
+         |            c.cent_id ASC) AS rk
+         |        FROM corpus CROSS JOIN pb${sub}_$iters c)
+         |  WHERE rk = 1)"""
+    }.mkString(",\n")
+
+    val encCodeCols = (0 until m).map(s => s"e$s.code AS code$s").mkString(", ")
+    val encJoins = (0 until m).map(s =>
+      s"JOIN pe$s e$s ON e$s.vec_id = corpus.vec_id").mkString("\n|  ")
+    val reconSum = (0 until m).map(s => nrm2(s"cb$s.cv")).mkString(" + ")
+    val cbJoinsEnc = (0 until m).map(s =>
+      s"JOIN pb${s}_$iters cb$s ON cb$s.cent_id = e$s.code").mkString("\n|  ")
+    val adcSum = (0 until m).map(s =>
+      ldp(s"qc.v[${lo(s)}:${hi(s)}]", s"cb$s.cv")).mkString("\n|      + ")
+    val cbJoinsAdc = (0 until m).map(s =>
+      s"JOIN pb${s}_$iters cb$s ON cb$s.cent_id = en.code$s").mkString("\n|  ")
+
+    s"""${ivfSqlPrefix(nLists = 16, iters = iters)},
+       |${(0 until m).map(subStages).mkString(",\n")},
+       |$encodes,
+       |passign AS (
+       |  SELECT vec_id, cent_id AS list_id
+       |  FROM (SELECT corpus.vec_id, f.cent_id,
+       |          row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+       |            ${ivfCos("corpus.v", "f.cv")} DESC, f.cent_id DESC) AS rk
+       |        FROM corpus CROSS JOIN fin f)
+       |  WHERE rk = 1),
+       |encoded AS MATERIALIZED (
+       |  SELECT corpus.vec_id, a.list_id, $encCodeCols,
+       |    ($reconSum) AS recon2
+       |  FROM corpus
+       |  JOIN passign a ON a.vec_id = corpus.vec_id
+       |  $encJoins
+       |  $cbJoinsEnc),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, cent_id AS probe_list
+       |  FROM (SELECT corpus.vec_id, f.cent_id,
+       |          row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+       |            ${ivfCos("corpus.v", "f.cv")} DESC, f.cent_id DESC) AS rk
+       |        FROM corpus CROSS JOIN fin f
+       |        WHERE corpus.vec_id < 8)
+       |  WHERE rk <= $nProbe),
+       |padc AS (
+       |  SELECT p.q_id, en.vec_id,
+       |    ($adcSum)
+       |      / (sqrt(${ldp("qc.v", "qc.v")}) * sqrt(en.recon2)) AS adc_cos
+       |  FROM qprobe p
+       |  JOIN encoded en ON en.list_id = p.probe_list AND en.vec_id <> p.q_id
+       |  JOIN corpus qc ON qc.vec_id = p.q_id
+       |  $cbJoinsAdc),
+       |pshort AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc_cos DESC, vec_id) AS arnk
+       |    FROM padc) t
+       |  WHERE arnk <= $rerank),
+       |pexact AS (
+       |  SELECT s.q_id, s.vec_id, ${ivfCos("qc.v", "cc.v")} AS cosine
+       |  FROM pshort s
+       |  JOIN corpus qc ON qc.vec_id = s.q_id
+       |  JOIN corpus cc ON cc.vec_id = s.vec_id),
+       |pranked AS (SELECT q_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM pexact)
+       |SELECT q_id, rnk, vec_id, cosine FROM pranked WHERE rnk <= $AnnK
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Per-label embedding centroids — the vector-column GROUP BY every

@@ -23,10 +23,10 @@ object Sketches {
 
   /** Monthly distinct-customer sketches rolled up to years by sketch
     * UNION — the raw orders table is scanned exactly once; the rollup
-    * aggregates kilobyte sketches, not data. `exact_custs` (two-phase
-    * distinct over the same scan) rides along as the in-query witness
-    * the spec bounds the estimate against. */
-  def hllPreAgg(s: SparkSession, d: String): DataFrame = {
+    * aggregates kilobyte sketches, not data. Raw estimates are
+    * engine-specific (spec-bounded, merge ≡ direct); the REGISTERED
+    * [[hllPreAgg]] folds them into a 3%-band witness. */
+  private[graft] def hllPreAggRaw(s: SparkSession, d: String): DataFrame = {
     val monthly = Tables.orders(s, d)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
       .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
@@ -36,6 +36,31 @@ object Sketches {
         count(lit(1)).as("months"))
       .orderBy(col("year"))
   }
+
+  /** Sketch-union guarantee WITNESS (the q_countmin precedent): the
+    * yearly union estimates join the exact per-year distincts (a
+    * second, witness-only pass — at 100 TB you would persist only the
+    * sketch table and drop this column); `hll_ok` = |est − exact| ≤
+    * 3%·exact (≈3.7σ at lgK=14's 0.81% rsd — deterministic: register
+    * maxima are order-free). The raw estimate stays spec-asserted on
+    * [[hllPreAggRaw]]; the emitted card is engine-portable, so a merge
+    * or seed regression flips the flag and fails the hash compare. */
+  def hllPreAgg(s: SparkSession, d: String): DataFrame =
+    hllPreAggRaw(s, d)
+      .join(exactByYear(s, d), "year")
+      .select(col("year"), col("months"), col("exact_custs"),
+        when(abs(col("approx_custs") - col("exact_custs")) * 100L <=
+          col("exact_custs") * 3L, 1).otherwise(0).as("hll_ok"))
+      .orderBy(col("year"))
+
+  /** Oracle for [[hllPreAgg]]: exact per-year distinct customers and
+    * month counts, with the sketch error-band flag pinned TRUE. */
+  val hllPreAggSql: String =
+    """SELECT strftime(o_orderdate, '%Y') AS year,
+      |  CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS months,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+      |  1 AS hll_ok
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The witness the spec compares against: exact per-year distinct
     * customers from the raw table. */
@@ -199,9 +224,11 @@ object Sketches {
     * the witness and keep only the kilobyte sketches).
     *
     * Theta estimates are partitioning-independent (a sketch retains
-    * the k smallest hashes of the SET — insertion order never matters),
-    * but not SQL-expressible → rows-only + spec. */
-  def thetaIntersect(s: SparkSession, d: String): DataFrame = {
+    * the k smallest hashes of the SET — insertion order never matters)
+    * but not SQL-expressible, so the raw estimate is spec-asserted
+    * here and the REGISTERED [[thetaIntersect]] folds it into the
+    * q_countmin-style witness card. */
+  private[graft] def thetaIntersectRaw(s: SparkSession, d: String): DataFrame = {
     graft.Graft.registerFunctions(s)
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("view", "purchase"))
@@ -220,4 +247,30 @@ object Sketches {
       .select(round(col("est_overlap"), 2).as("est_overlap"),
         col("exact_overlap"), col("n_sides"))
   }
+
+  /** Theta-intersection guarantee WITNESS (the q_countmin precedent):
+    * the exact overlap rides the same scan; `theta_ok` = |est − exact|
+    * ≤ max(5%·exact, 1 absolute) — the spec's band, deterministic
+    * because the retained-hash set is insertion-order-free. The raw
+    * estimate stays spec-asserted on [[thetaIntersectRaw]]; a merge or
+    * seed regression flips the flag and fails the hash compare. */
+  def thetaIntersect(s: SparkSession, d: String): DataFrame =
+    thetaIntersectRaw(s, d)
+      .select(col("exact_overlap"), col("n_sides"),
+        when(abs(col("est_overlap") - col("exact_overlap").cast("double")) * 20.0 <=
+          greatest(col("exact_overlap"), lit(20L)).cast("double"), 1)
+          .otherwise(0).as("theta_ok"))
+
+  /** Oracle for [[thetaIntersect]]: the exact (user, day) overlap with
+    * the sketch error-band flag pinned TRUE. */
+  val thetaIntersectSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT event_type,
+      |    user_id * 100000 + (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS ud
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |overlap AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+      |    SELECT ud FROM ev GROUP BY ud HAVING count(*) = 2) t),
+      |sides AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sides FROM ev)
+      |SELECT exact_overlap, n_sides, 1 AS theta_ok FROM overlap, sides""".stripMargin
 }

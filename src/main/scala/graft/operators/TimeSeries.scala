@@ -74,8 +74,12 @@ object TimeSeries {
       m * col("sy").cast("double") - m * col("sx").cast("double") +
       col("n_pairs").cast("double") * m * m
     val den = col("q").cast("double") - col("s").cast("double") * m
+    // den = n·Var(x) = 0 for a constant series — the ACF is undefined
+    // there, so the division lives inside its own guard and emits NULL
+    // (the gmvAnomaly every-division-guarded discipline)
     perLag.crossJoin(broadcast(tot))
-      .select(col("lag"), col("n_pairs"), round(num / den, 6).as("acf"))
+      .select(col("lag"), col("n_pairs"),
+        round(when(den =!= 0.0, num / den), 6).as("acf"))
       .orderBy(col("lag"))
   }
 
@@ -105,13 +109,15 @@ object TimeSeries {
        |    CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS cxy
        |  FROM pairs GROUP BY lag)
        |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
-       |  round((CAST(cxy AS DOUBLE)
+       |  round(CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) <> 0 THEN
+       |    (CAST(cxy AS DOUBLE)
        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE)
        |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sx AS DOUBLE)
        |      + CAST(n_pairs AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
        |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
        |    / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
-       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS acf
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) END, 6) AS acf
        |FROM per_lag, tot ORDER BY lag""".stripMargin
 
   /** CUSUM threshold in σ units — shared with the oracle. */
@@ -150,8 +156,11 @@ object TimeSeries {
     val cs = base
       .withColumn("r", sum(col("dd")).over(wRun))
       .withColumn("floor_r", least(lit(0L), min(col("r")).over(wRun)))
-      .withColumn("cusum", round((col("r") - col("floor_r")).cast("double") /
-        (col("n").cast("double") * col("sd")), 6))
+      // sd = 0 for a constant series — CUSUM drift is undefined, so
+      // the division is guarded and emits NULL (gmvAnomaly discipline)
+      .withColumn("cusum", round(when(col("sd") =!= 0.0,
+        (col("r") - col("floor_r")).cast("double") /
+          (col("n").cast("double") * col("sd"))), 6))
     cs.select(
         date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("x").as("orders"), col("cusum"),
@@ -189,8 +198,10 @@ object TimeSeries {
        |      AS BIGINT)) AS floor_r
        |  FROM r1)
        |SELECT strftime(day, '%Y-%m-%d') AS day, x AS orders,
-       |  round(CAST(r - floor_r AS DOUBLE) / (CAST(n AS DOUBLE) * sd), 6) AS cusum,
-       |  round(CAST(r - floor_r AS DOUBLE) / (CAST(n AS DOUBLE) * sd), 6)
+       |  round(CASE WHEN sd <> 0 THEN
+       |    CAST(r - floor_r AS DOUBLE) / (CAST(n AS DOUBLE) * sd) END, 6) AS cusum,
+       |  round(CASE WHEN sd <> 0 THEN
+       |    CAST(r - floor_r AS DOUBLE) / (CAST(n AS DOUBLE) * sd) END, 6)
        |    > $CusumThresholdSigma AS drift_flag
        |FROM run ORDER BY day""".stripMargin
 

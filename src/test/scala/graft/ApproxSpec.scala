@@ -6,10 +6,38 @@ import graft.operators.Relational
   * standard deviation of the exact count. */
 class ApproxSpec extends SparkSpec {
   test("approx_count_distinct within 5% of exact") {
-    Relational.approxDistinct(spark, sf001).collect().foreach { r =>
+    Relational.approxDistinctRaw(spark, sf001).collect().foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))
       assert(math.abs(approx - exact).toDouble / exact < 0.05,
         s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("q_approx_distinct witness card: exact counts, hll_ok pinned TRUE") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Relational.approxDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)), s"${r.getString(0)} exact")
+      assert(r.getInt(2) === 1, s"${r.getString(0)}: hll_ok must hold")
+    }
+  }
+
+  test("q_quantile_approx witness card: exact n, rank-guarantee flags TRUE") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Relational.quantilesApprox(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === n(r.getString(0)), s"${r.getString(0)} n_rows")
+      Seq(2, 3, 4).foreach(i =>
+        assert(r.getInt(i) === 1, s"${r.getString(0)}: flag $i must hold"))
     }
   }
 
@@ -21,7 +49,7 @@ class ApproxSpec extends SparkSpec {
       .groupBy(col("l_returnflag"))
       .agg(collect_set(col("l_extendedprice")).as("vals")).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1).toSet).toMap
-    val approx = Relational.quantilesApprox(spark, sf001).collect()
+    val approx = Relational.quantilesApproxRaw(spark, sf001).collect()
     assert(approx.nonEmpty)
     approx.foreach { r =>
       val flag = r.getString(0)

@@ -225,6 +225,22 @@ class DedupSpec extends SparkSpec {
       s"simhash recall too low: ${sh.intersect(exact).size}/${exact.size}")
   }
 
+  test("simhash wide-key twin: identical Hamming<=3 pair set, 20-band single fan-out") {
+    // both block splits are pigeonhole-exact for Hamming<=3, so the
+    // outputs must be ROW-IDENTICAL (the shared-oracle contract)
+    val narrow = Dedup.simhash(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    val wide = Dedup.simhashWide(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(wide === narrow, "wide twin must emit the identical pair set")
+    assert(graft.operators.Dedup.WideBlockWidths.sum === 64)
+    // all 20 bands ride one posexplode per join side — no unionAll
+    // per band (the CLAUDE.md band-fan-out rule)
+    val plan = Dedup.simhashWide(spark, sf0001).queryExecution.sparkPlan.toString
+    assert(!plan.contains("Union"),
+      "band fan-out must be a single posexplode, not a unionAll per band")
+  }
+
   test("bloom gate: no false negatives, exact verdicts, bounded FPs, partitioning-independent") {
     import spark.implicits._
     def plant(dir: String, parts: Int): Unit = {
@@ -243,7 +259,7 @@ class DedupSpec extends SparkSpec {
     }
     val d1 = java.nio.file.Files.createTempDirectory("graft-bloom").toFile.getAbsolutePath
     plant(d1, 1)
-    val rows = Dedup.bloomGate(spark, d1).collect()
+    val rows = Dedup.bloomGateRaw(spark, d1).collect()
       .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
     assert(rows.size === 320, "one verdict per batch row")
     // exact verdicts: the 20 planted duplicates and nothing else
@@ -260,9 +276,16 @@ class DedupSpec extends SparkSpec {
     // the identical verdict set (merge path exercised)
     val d2 = java.nio.file.Files.createTempDirectory("graft-bloom7").toFile.getAbsolutePath
     plant(d2, 7)
-    val again = Dedup.bloomGate(spark, d2).collect()
+    val again = Dedup.bloomGateRaw(spark, d2).collect()
       .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
     assert(again === rows, "bloom verdicts must not depend on partitioning")
+    // the REGISTERED witness card: exact is_dup for every batch row,
+    // nfn_ok pinned TRUE (a probe that missed a true dup would flip it)
+    val card = Dedup.bloomGate(spark, d1).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(card.size === 320)
+    assert(card.filter(_._2._1 == 1).keySet === dupIds)
+    card.values.foreach { case (_, nfn) => assert(nfn === 1, "nfn_ok must hold") }
   }
 
   test("embedding near-dup pairs report correct cosine and respect threshold") {

@@ -41,7 +41,12 @@ class PlanAuditSpec extends SparkSpec {
     "graph_kcore" -> "single-row derived-k scalar broadcast into every peel round's HAVING",
     "q15_top_supplier" -> "single-row max-revenue scalar broadcast to the per-supplier revenue view",
     "q_heavy_hitters" -> "single-row corpus-total scalar broadcast to the k-bounded candidate counts (the n/k threshold)",
-    "q11_important_parts" -> "single-row (total value, part count) scalar broadcast to the per-part value view")
+    "q11_important_parts" -> "single-row (total value, part count) scalar broadcast to the per-part value view",
+    "ads_revenue_conc" -> "single-row total-revenue scalar broadcast to the ranked customer rollup",
+    "emb_ann_recall" -> "single-row truth-set-size scalar broadcast to the per-query hit counts",
+    "ts_acf" -> "single-row (mean, variance) scalars broadcast to the lag products",
+    "ts_cusum" -> "single-row (mean, sd, n) scalars broadcast to the running sums",
+    "emb_knn_graph_lsh" -> "single-row derived-nbits scalar broadcast to the sketch mask (the graph_kcore derived-k recipe)")
 
   /** Windows with an empty partition spec: legitimate ONLY where the
     * windowed row set is already reduced to a bounded size (daily

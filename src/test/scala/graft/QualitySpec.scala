@@ -55,7 +55,7 @@ class QualitySpec extends SparkSpec {
   test("dq_profile_approx: Expand-free plan, distincts within the HLL bound, exact stats identical") {
     val exact = Quality.dqProfile(spark, sf001).collect()
       .map(r => r.getString(0) -> r).toMap
-    val approx = Quality.dqProfileApprox(spark, sf001).collect()
+    val approx = Quality.dqProfileApproxRaw(spark, sf001).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(approx.keySet === exact.keySet)
     approx.foreach { case (c, a) =>
@@ -72,13 +72,24 @@ class QualitySpec extends SparkSpec {
     // the whole point of the variant: NO Expand (the exact multi-
     // distinct replays the scan k ways through one); HLL partials keep
     // the single-pass plan
-    val planApprox = Quality.dqProfileApprox(spark, sf001)
+    val planApprox = Quality.dqProfileApproxRaw(spark, sf001)
       .queryExecution.sparkPlan.toString
     val planExact = Quality.dqProfile(spark, sf001)
       .queryExecution.sparkPlan.toString
     assert(!planApprox.contains("Expand"), "approx profile must be Expand-free")
     assert(planExact.contains("Expand"),
       "exact profile is the Expand baseline this variant replaces")
+    // the REGISTERED witness card: exact stats identical to dq_profile,
+    // nd_ok pinned TRUE on every column
+    val card = Quality.dqProfileApprox(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.keySet === exact.keySet)
+    card.foreach { case (c, w) =>
+      val e = exact(c)
+      Seq(1, 2, 3).foreach(i => assert(w.get(i) === e.get(i), s"$c stat $i"))
+      assert(w.getInt(4) === 1, s"$c: nd_ok must hold")
+      Seq(5, 6, 7, 8).foreach(i => assert(w.get(i) === e.get(i - 1), s"$c stat $i"))
+    }
   }
 
   test("dq_rules: every rule fires with the exact planted violation count") {

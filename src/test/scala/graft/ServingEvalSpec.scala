@@ -40,9 +40,16 @@ class ServingEvalSpec extends SparkSpec {
     // arm is a pure function of user_id — recompute it here and plant
     // a conversion pattern where arm A converts strictly more
     def arm(u: Long): String =
-      if ((u * 2654435761L) % 4294967296L % 2 == 0) "A" else "B"
+      if (((u % 4294967296L) * 1327217885L) % 4294967296L < 2147483648L) "A"
+      else "B"
     val users = (1L to 40L)
     val byArm = users.groupBy(arm)
+    // the hash must NOT degenerate to an even/odd user_id split (the
+    // old low-bit formula did): each arm must mix both parities
+    Seq("A", "B").foreach { a =>
+      assert(byArm(a).exists(_ % 2 == 0) && byArm(a).exists(_ % 2 == 1),
+        s"arm $a is parity-pure — hash confounded with user_id % 2")
+    }
     val converters = byArm("A").take(byArm("A").size * 3 / 4) ++
       byArm("B").take(byArm("B").size / 4)
     users.zipWithIndex.map { case (u, i) =>

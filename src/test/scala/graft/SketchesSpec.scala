@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class SketchesSpec extends SparkSpec {
 
   test("year rollup of monthly sketches tracks exact distinct counts") {
-    val approx = Sketches.hllPreAgg(spark, sf001).collect()
+    val approx = Sketches.hllPreAggRaw(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Sketches.exactByYear(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -22,7 +22,7 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("merging monthly sketches equals sketching the year directly") {
-    val merged = Sketches.hllPreAgg(spark, sf001).collect()
+    val merged = Sketches.hllPreAggRaw(spark, sf001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val direct = Tables.orders(spark, sf001)
       .groupBy(date_format(col("o_orderdate"), "yyyy").as("year"))
@@ -37,9 +37,20 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("sketch estimates are deterministic across repartitionings") {
-    val a = Sketches.hllPreAgg(spark, sf001).collect().toSeq
-    val b = Sketches.hllPreAgg(spark, sf001).collect().toSeq
+    val a = Sketches.hllPreAggRaw(spark, sf001).collect().toSeq
+    val b = Sketches.hllPreAggRaw(spark, sf001).collect().toSeq
     assert(a === b)
+  }
+
+  test("q_hll_presketch witness card: exact distincts and months, hll_ok TRUE") {
+    val exact = Sketches.exactByYear(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Sketches.hllPreAgg(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSet === exact.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(2) === exact(r.getString(0)), s"${r.getString(0)} exact")
+      assert(r.getInt(3) === 1, s"${r.getString(0)}: hll_ok must hold")
+    }
   }
 
   test("count-min guarantee witness: top-20 exact counts with cms_ok TRUE on every probe") {

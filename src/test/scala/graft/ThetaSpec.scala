@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class ThetaSpec extends SparkSpec {
 
   test("theta intersection tracks the exact overlap within 5%") {
-    val r = Sketches.thetaIntersect(spark, sf001).collect()
+    val r = Sketches.thetaIntersectRaw(spark, sf001).collect()
     assert(r.length === 1)
     val est = r.head.getDouble(0)
     val exact = r.head.getLong(1)
@@ -18,6 +18,14 @@ class ThetaSpec extends SparkSpec {
     assert(exact > 0)
     assert(math.abs(est - exact) / exact <= 0.05,
       s"theta estimate $est vs exact $exact")
+  }
+
+  test("q_theta_intersect witness card: exact overlap, theta_ok pinned TRUE") {
+    val r = Sketches.thetaIntersect(spark, sf001).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) > 0, "exact overlap present")
+    assert(r.head.getLong(1) === 2L)
+    assert(r.head.getInt(2) === 1, "theta_ok must hold")
   }
 
   test("theta estimates are exact below nominal entries and set-order-independent") {
