@@ -65,6 +65,8 @@ object BenchBudgets {
     // round-7 time-series + serving/eval wave (control q1 0.65)
     "ts_acf" -> 1.3,                // frozen r7 (median 0.97)
     "ts_cusum" -> 0.7,              // frozen r7 (median 0.51)
+    "ts_seasonality" -> 1.3,        // frozen r8 (load-adj median 0.80)
+    "ea_sequence_count" -> 1.1,     // frozen r8 (load-adj median 0.66)
     "ts_holt" -> 2.0,               // frozen r7 (median 1.50 — the
                                     // in-row integer-cent fold)
     "graph_jaccard" -> 3.9,         // frozen r7 (median 2.97 — shares

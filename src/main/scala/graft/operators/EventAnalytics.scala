@@ -659,4 +659,61 @@ object EventAnalytics {
       |  CAST(max(late_us) AS BIGINT) AS max_late_us,
       |  CAST(sum(late_us) AS BIGINT) AS total_late_us
       |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Sequence-pattern COUNT (ClickHouse `sequenceCount('(?1)(?2)')`
+    * analog): per user, how many NON-OVERLAPPING view → purchase
+    * matches the ordered event stream contains — the repeat-conversion
+    * metric the one-shot [[funnel]] can't express (a funnel says
+    * whether a user converted; this says how many times).
+    *
+    * The greedy left-to-right matcher is NOT run as a serial fold:
+    * with d = +1 per purchase / −1 per view and R_t its prefix sum in
+    * (ts_us, event_id) order, the purchases a greedy matcher leaves
+    * unmatched are exactly max(0, max_t R_t) — a purchase goes
+    * unmatched iff at its position purchases-so-far exceed
+    * views-so-far, and that excess is monotone in the prefix maximum
+    * (the bracket-matching identity; same two-window shape as
+    * ts_cusum's CUSUM rewrite). So matches = P − max(0, max R_t) from
+    * ONE per-user running window + one rollup — no per-event state
+    * machine, no UDF, and a billion-event user costs a partitioned
+    * window scan, not a driver fold. Output is the bounded histogram
+    * (conversions → user count); per-user detail stays in-cluster. */
+  def sequenceCount(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(-1L).as("d"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = ev.withColumn("r", sum(col("d")).over(w))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("p"),
+        greatest(max(col("r")), lit(0L)).as("deficit"))
+      .select((col("p") - col("deficit")).as("conversions"))
+    per.groupBy(col("conversions"))
+      .agg(count(lit(1)).as("user_ct"))
+      .orderBy(col("conversions"))
+  }
+
+  /** Oracle for [[sequenceCount]] — the identical bracket-matching
+    * windows ((ts_us, event_id) order, micros via epoch_us). */
+  val sequenceCountSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS d
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+      |pref AS (
+      |  SELECT user_id, d,
+      |    sum(d) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      |  FROM ev),
+      |per AS (
+      |  SELECT CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      - greatest(CAST(max(r) AS BIGINT), 0) AS conversions
+      |  FROM pref GROUP BY user_id)
+      |SELECT conversions, CAST(count(*) AS BIGINT) AS user_ct
+      |FROM per GROUP BY conversions ORDER BY conversions""".stripMargin
 }

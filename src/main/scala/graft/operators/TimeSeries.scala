@@ -308,4 +308,105 @@ object TimeSeries {
        |    (SELECT unnest(range(1, ${HoltHorizon + 1})) AS h) hs)
        |SELECT * FROM fitted UNION ALL SELECT * FROM fc ORDER BY day""".stripMargin
   }
+
+  /** Weekday-of-week names indexed by (epoch_days + 4) % 7 — epoch day
+    * 0 (1970-01-01) was a Thursday; the integer formula sidesteps the
+    * engines' disagreeing dayofweek() conventions. */
+  private val DowNames = Array(
+    "sun", "mon", "tue", "wed", "thu", "fri", "sat")
+
+  /** Day-of-week seasonal profile of daily GMV — the decomposition
+    * run after [[acf]] flags a lag-7 spike: per-weekday day counts,
+    * exact mean GMV and revenue share, plus the SEASONAL STRENGTH
+    * scalar 1 − SS_within/SS_total (the variance fraction the weekday
+    * factor explains; ≈0 means the weekly cycle is noise, →1 means
+    * the weekday predicts the day's revenue). Exactness discipline of
+    * the family: day-grain integer cents; every moment is an exact
+    * DECIMAL(38,0) sum (Σx² at 100 TB cent scales overflows BIGINT);
+    * each statistic is ONE shared double expression over those
+    * integers with every division inside its own guard (NULL on a
+    * constant or single-day-per-group series). Weekday = (epoch_days
+    * + 4) % 7 — integer-exact on both engines, no dayofweek()
+    * convention skew. Plan: fact scan → day grain → 7-row weekday
+    * rollup → 1-row strength scalar broadcast back (whitelisted
+    * one-row cross join, the ts_acf shape). */
+  def seasonality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val daily = dailyCents(s, d)
+      .select(((datediff(col("day"), to_date(lit("1970-01-01"))) + 4) % 7)
+        .as("dow"), col("x"))
+    val byDow = daily.groupBy(col("dow")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"),
+      sum(dec(col("x")) * dec(col("x"))).as("qx"))
+    // SS_within = Σ_w (q_w − s_w²/n_w); SS_total = Q − S²/N — exact
+    // integer moments, divided once in doubles. The 7-term double sum
+    // folds in ASCENDING dow order on both engines (in-row aggregate
+    // here, ORDER BY dow in the oracle — the ts_holt ordered-fold
+    // discipline; an unordered double sum could drift an ulp across
+    // partitionings)
+    val ssw = col("qx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / col("n").cast("double")
+    val tot = byDow.agg(
+      sum(col("n")).as("nn"),
+      sum(col("sx")).as("ss"),
+      sum(col("qx")).as("qq"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("dow"), ssw.as("v")))),
+          p => p("v")),
+        lit(0.0), (a, x) => a + x).as("ss_within"))
+    val sst = col("qq").cast("double") -
+      col("ss").cast("double") * col("ss").cast("double") / col("nn").cast("double")
+    val dowName = element_at(typedLit(DowNames.toSeq), col("dow").cast("int") + 1)
+    byDow.crossJoin(broadcast(tot))
+      .select(
+        col("dow").cast("int").as("dow"), dowName.as("day_name"),
+        col("n").as("day_ct"),
+        round(when(col("n") > 0,
+          col("sx").cast("double") / col("n").cast("double") / 100.0), 6)
+          .as("avg_gmv"),
+        round(when(col("ss").cast("double") =!= 0.0,
+          col("sx").cast("double") / col("ss").cast("double")), 6).as("share"),
+        round(when(sst =!= 0.0, lit(1.0) - col("ss_within") / sst), 6)
+          .as("seasonal_strength"))
+      .orderBy(col("dow"))
+  }
+
+  val seasonalitySql: String = {
+    val names = DowNames.zipWithIndex
+      .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+       |dowd AS (
+       |  SELECT ((day - DATE '1970-01-01') + 4) % 7 AS dow, x FROM daily),
+       |by_dow AS (
+       |  SELECT dow, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+       |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS qx
+       |  FROM dowd GROUP BY dow),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(sx) AS DECIMAL(38,0)) AS ss,
+       |    CAST(sum(qx) AS DECIMAL(38,0)) AS qq,
+       |    sum(CAST(qx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+       |      ORDER BY dow) AS ss_within
+       |  FROM by_dow)
+       |SELECT CAST(dow AS INTEGER) AS dow,
+       |  CASE dow $names END AS day_name,
+       |  n AS day_ct,
+       |  round(CASE WHEN n > 0
+       |    THEN CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 END, 6) AS avg_gmv,
+       |  round(CASE WHEN CAST(ss AS DOUBLE) <> 0
+       |    THEN CAST(sx AS DOUBLE) / CAST(ss AS DOUBLE) END, 6) AS share,
+       |  round(CASE WHEN (CAST(qq AS DOUBLE)
+       |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) <> 0
+       |    THEN 1.0 - ss_within / (CAST(qq AS DOUBLE)
+       |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) END, 6)
+       |    AS seasonal_strength
+       |FROM by_dow, tot ORDER BY dow""".stripMargin
+  }
 }

@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "emb_ann_recall" -> "single-row truth-set-size scalar broadcast to the per-query hit counts",
     "ts_acf" -> "single-row (mean, variance) scalars broadcast to the lag products",
     "ts_cusum" -> "single-row (mean, sd, n) scalars broadcast to the running sums",
-    "emb_knn_graph_lsh" -> "single-row derived-nbits scalar broadcast to the sketch mask (the graph_kcore derived-k recipe)")
+    "emb_knn_graph_lsh" -> "single-row derived-nbits scalar broadcast to the sketch mask (the graph_kcore derived-k recipe)",
+    "ts_seasonality" -> "single-row (N, S, Q, SS_within) scalars broadcast to the 7-row weekday rollup")
 
   /** Windows with an empty partition spec: legitimate ONLY where the
     * windowed row set is already reduced to a bounded size (daily

@@ -56,4 +56,43 @@ class StreaksSpec extends SparkSpec {
     val b = EventAnalytics.streaks(spark, sf0001).collect().toSeq
     assert(a === b)
   }
+
+  test("sequence count: bracket-matching windows equal a driver-side greedy matcher") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-seqcount").toFile.getAbsolutePath
+    // planted per-user sequences (v = view, p = purchase, x = noise):
+    // u1 "v p v p"  -> 2;  u2 "p v p"   -> 1 (leading p unmatched)
+    // u3 "v v p"    -> 1;  u4 "p p"     -> 0;  u5 "v x v"  -> 0
+    // u6 "p v v p p p" -> 2 (purchases 4,5 matched by views 2,3)
+    val seqs = Map(
+      1L -> "v p v p", 2L -> "p v p", 3L -> "v v p",
+      4L -> "p p", 5L -> "v x v", 6L -> "p v v p p p")
+    val rows = seqs.toSeq.flatMap { case (u, s) =>
+      s.split(" ").zipWithIndex.map { case (c, i) =>
+        val et = c match {
+          case "v" => "view"; case "p" => "purchase"; case _ => "click"
+        }
+        (u * 100 + i, java.time.LocalDateTime.parse("2024-01-01T10:00:00")
+          .plusMinutes(i.toLong), u, et, 1.0, """{"k":1}""")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventAnalytics.sequenceCount(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent driver-side greedy matcher over the same sequences
+    def greedy(s: String): Long = {
+      var open = 0L; var m = 0L
+      s.split(" ").foreach {
+        case "v" => open += 1
+        case "p" => if (open > 0) { open -= 1; m += 1 }
+        case _ =>
+      }
+      m
+    }
+    val expect = seqs.values.map(greedy).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(got === expect)
+    assert(got === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
 }

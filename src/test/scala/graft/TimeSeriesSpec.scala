@@ -75,6 +75,38 @@ class TimeSeriesSpec extends SparkSpec {
       s"F+7 ${f7.getDouble(4)} vs linear continuation $expected")
   }
 
+  test("seasonality: planted weekend bump gives exact means, shares and a strong factor") {
+    // 12 weeks: Sundays (dow 0) carry 500, every other day 100 —
+    // 2024-01-01 is a Monday, so days with i % 7 == 6 are Sundays
+    val d = writeOrders((0 until 84).map(i =>
+      (day(i), 1, if (i % 7 == 6) 500.0 else 100.0)))
+    val rows = TimeSeries.seasonality(spark, d).collect()
+    assert(rows.length === 7)
+    val byName = rows.map(r => r.getString(1) -> r).toMap
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat"))
+    rows.foreach(r => assert(r.getLong(2) === 12L))
+    assert(byName("sun").getDouble(3) === 500.0)
+    assert(byName("mon").getDouble(3) === 100.0)
+    // shares: sunday 500/(500 + 6*100) = 5/11, others 1/11
+    assert(byName("sun").getDouble(4) === math.rint(5.0 / 11.0 * 1e6) / 1e6)
+    assert(byName("wed").getDouble(4) === math.rint(1.0 / 11.0 * 1e6) / 1e6)
+    // all within-weekday variance is zero → the weekday factor
+    // explains everything
+    rows.foreach(r => assert(r.getDouble(5) === 1.0,
+      s"strength ${r.getDouble(5)} should be exactly 1"))
+  }
+
+  test("seasonality: a constant series yields NULL strength, uniform shares") {
+    val d = writeOrders((0 until 14).map(i => (day(i), 1, 100.0)))
+    val rows = TimeSeries.seasonality(spark, d).collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(r.getDouble(3) === 100.0)
+      assert(r.isNullAt(5), "SS_total = 0 must guard to NULL")
+    }
+  }
+
   test("corpus: acf bounded by 1, cusum non-negative, holt row count matches days + horizon") {
     val acf = TimeSeries.acf(spark, sf0001).collect()
     assert(acf.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
