@@ -306,6 +306,55 @@ object StreamOps {
       }
   }
 
+  /** [[sequenceCountStream]] per-key state: the two greedy-matcher
+    * counters plus the not-yet-watermark-final event buffer. */
+  case class SeqCState(buf: Seq[(Long, Long, Boolean)], open: Long, matches: Long)
+  case class ConvCount(user_id: Long, conversions: Long)
+
+  /** `EventAnalytics.sequenceCount` served LIVE — the repeat-conversion
+    * counter maintained per user across micro-batches. The batch op's
+    * bracket-matching window needs the whole history; the STREAMING
+    * form is where the greedy matcher's O(1) recurrence actually runs:
+    * per-key state is exactly TWO longs (unmatched views `open`,
+    * completed matches) plus the ≤-watermark-horizon event buffer —
+    * the same buffer-until-final discipline as [[jumpDetectStrict]],
+    * so out-of-order arrival within the watermark cannot mis-order a
+    * view/purchase pair (events apply in (ts, event_id) event-time
+    * order, matching the batch op verdict-for-verdict). Emits a
+    * (user_id, conversions) snapshot whenever the count advances
+    * (Append mode); keys persist their two counters (user-dim-bounded,
+    * the newUserFlag contract) while the buffer drains to zero on
+    * quiet keys via the event-time timeout. */
+  def sequenceCountStream(ds: Dataset[Evt]): Dataset[ConvCount] = {
+    import ds.sparkSession.implicits._
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    ds.filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqCState, ConvCount](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, events, state: GroupState[SeqCState]) =>
+          val prev = state.getOption.getOrElse(SeqCState(Nil, 0L, 0L))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = events.map(e =>
+            (e.event_id, usOf(e.ts), e.event_type == "purchase")).toSeq
+          val all = (prev.buf ++ incoming).sortBy(e => (e._2, e._1))
+          val (ripe, unripe) = all.partition(_._2 <= wmUs)
+          var open = prev.open
+          var matches = prev.matches
+          ripe.foreach { case (_, _, isPurchase) =>
+            if (isPurchase) { if (open > 0) { open -= 1; matches += 1 } }
+            else open += 1
+          }
+          if (unripe.nonEmpty)
+            state.setTimeoutTimestamp(unripe.head._2 / 1000L + 1)
+          state.update(SeqCState(unripe, open, matches))
+          if (matches > prev.matches) Iterator(ConvCount(uid, matches))
+          else Iterator.empty
+      }
+  }
+
   /** The reference's EXACT CEP bounce pattern as a stream
     * (UserJumpDetailApp.java:84-95: session-entry `.times(2)
     * .consecutive().within(10 s)` plus the timeout side output):

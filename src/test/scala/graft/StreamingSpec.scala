@@ -30,6 +30,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sequenceCountStream: out-of-order arrivals match the batch greedy matcher") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.sequenceCountStream(input.toDS())
+      .writeStream.format("memory").queryName("seqc")
+      .outputMode("append").start()
+    try {
+      // user 1's purchase at t=2 ARRIVES before its matching view at
+      // t=1 (same batch, reversed); user 2's view arrives a batch
+      // EARLIER than a purchase that event-time-precedes it — the
+      // buffer must reorder both before matching
+      input.addData(Seq(
+        Evt(12, 1, "purchase", 1.0, ts(2)), Evt(11, 1, "view", 0, ts(1)),
+        Evt(22, 2, "view", 0, ts(5))))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Evt(21, 2, "purchase", 1.0, ts(4)),   // before user 2's view!
+        Evt(23, 2, "purchase", 1.0, ts(6)),   // after it -> matches
+        Evt(13, 1, "view", 0, ts(7)), Evt(14, 1, "purchase", 1.0, ts(8))))
+      q.processAllAvailable()
+      // ripen everything
+      input.addData(Seq(Evt(99, 9, "view", 0, ts(120))))
+      q.processAllAvailable()
+      val got = spark.table("seqc").collect()
+        .groupBy(_.getLong(0)).map { case (u, rows) =>
+          u -> rows.map(_.getLong(1)).max }
+      // user 1: v@1 p@2 v@7 p@8 -> 2; user 2: p@4 v@5 p@6 -> 1
+      assert(got === Map(1L -> 2L, 2L -> 1L))
+      // batch equivalence on the same event set
+      val d = java.nio.file.Files.createTempDirectory("graft-seqc").toFile.getAbsolutePath
+      Seq(
+        (11L, ts(1), 1L, "view", 0.0, """{"k":1}"""),
+        (12L, ts(2), 1L, "purchase", 1.0, """{"k":1}"""),
+        (13L, ts(7), 1L, "view", 0.0, """{"k":1}"""),
+        (14L, ts(8), 1L, "purchase", 1.0, """{"k":1}"""),
+        (21L, ts(4), 2L, "purchase", 1.0, """{"k":1}"""),
+        (22L, ts(5), 2L, "view", 0.0, """{"k":1}"""),
+        (23L, ts(6), 2L, "purchase", 1.0, """{"k":1}"""),
+        (99L, ts(120), 9L, "view", 0.0, """{"k":1}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d/events.parquet")
+      val batch = graft.operators.EventAnalytics.sequenceCount(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // histogram: conversions -> users; stream totals fold to the same
+      assert(batch === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("route tags streams like the batch splitter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
