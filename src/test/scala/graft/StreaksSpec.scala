@@ -95,4 +95,24 @@ class StreaksSpec extends SparkSpec {
     assert(got === expect)
     assert(got === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
+
+  test("sequence count: equal timestamps break on event_id (the ea composite order)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-seqtie").toFile.getAbsolutePath
+    val t = java.time.LocalDateTime.parse("2024-01-01T10:00:00")
+    Seq(
+      // user 1: view (id 1) and purchase (id 2) share ts — the view
+      // sorts first by event_id, so the purchase matches -> 1
+      (1L, t, 1L, "view", 0.0, """{"k":1}"""),
+      (2L, t, 1L, "purchase", 1.0, """{"k":1}"""),
+      // user 2: purchase (id 1) sorts BEFORE the equal-ts view (id 2)
+      // -> unmatched, 0 conversions
+      (1L, t, 2L, "purchase", 1.0, """{"k":1}"""),
+      (2L, t, 2L, "view", 0.0, """{"k":1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventAnalytics.sequenceCount(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L))
+  }
 }
