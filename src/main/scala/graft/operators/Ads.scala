@@ -137,7 +137,11 @@ object Ads {
       |  SELECT day, g,
       |    count(*) OVER w AS cnt,
       |    sum(g) OVER w AS s1,
-      |    sum(g * g) OVER w AS s2
+      |    -- widen BEFORE squaring: DuckDB multiplies DECIMAL(18)s in
+      |    -- int64 and a 1.5e9-cent day (sf0.1 scale) overflows;
+      |    -- DECIMAL(19,2)^2 = DECIMAL(38,4) computes in hugeint and
+      |    -- matches Spark's exact DECIMAL(37,4) product
+      |    sum(CAST(g AS DECIMAL(19,2)) * CAST(g AS DECIMAL(19,2))) OVER w AS s2
       |  FROM daily
       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
       |z AS (

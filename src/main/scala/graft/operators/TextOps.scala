@@ -672,12 +672,25 @@ object TextOps {
     val scored = terms.withColumn("w", w)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("w").cast("long")).as("sw"))
+    // 6-dp rounding in EXACT INTEGER arithmetic (half away from zero):
+    // score = sw/(500n) rounds as sign(sw)·⌊(|sw|·4000 + n) / 2n⌋ µ-units.
+    // A float round here is a real cross-engine trap — at sf0.1 a doc
+    // lands exactly on a …xxx5e-6 tie and Spark's shortest-repr
+    // BigDecimal HALF_UP disagrees with DuckDB's scaled-double round
+    // by one ulp of the last digit. Integer µ-units are tie-exact.
+    val nT = coalesce(col("n_terms"), lit(0L))
+    val swc = coalesce(col("sw"), lit(0L))
+    // `div` = exact integral division; the greatest(...) floor keeps
+    // the divisor nonzero on termless docs (the guard zeroes them)
+    val qMicro = expr("(abs(coalesce(sw, 0)) * 4000 + coalesce(n_terms, 0))" +
+      " div greatest(coalesce(n_terms, 0) * 2, 2)")
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
-        round(coalesce(col("sw").cast("double") / (col("n_terms") * 500.0), lit(0.0)), 6)
-          .as("score"))
+      .select(col("doc_id"), nT.as("n_terms"),
+        when(nT > 0,
+          when(swc < 0, lit(-1L)).otherwise(lit(1L)).cast("double") *
+            qMicro.cast("double") / 1e6)
+          .otherwise(lit(0.0)).as("score"))
       .withColumn("keep",
         (col("n_terms") > 0 && col("score") >= 0).cast("int"))
       .orderBy(col("doc_id"))
@@ -704,9 +717,17 @@ object TextOps {
        |  FROM hashed GROUP BY doc_id)
        |SELECT d.doc_id,
        |  coalesce(n_terms, 0) AS n_terms,
-       |  coalesce(round(CAST(sw AS DOUBLE) / (n_terms * 500.0), 6), 0.0) AS score,
+       |  CASE WHEN coalesce(n_terms, 0) > 0 THEN
+       |    (CASE WHEN sw < 0 THEN -1.0 ELSE 1.0 END) *
+       |      CAST((abs(sw) * 4000 + n_terms) // (n_terms * 2) AS DOUBLE)
+       |      / 1000000.0
+       |  ELSE 0.0 END AS score,
        |  CAST((coalesce(n_terms, 0) > 0 AND
-       |        coalesce(round(CAST(sw AS DOUBLE) / (n_terms * 500.0), 6), 0.0) >= 0)
+       |    CASE WHEN coalesce(n_terms, 0) > 0 THEN
+       |      (CASE WHEN sw < 0 THEN -1.0 ELSE 1.0 END) *
+       |        CAST((abs(sw) * 4000 + n_terms) // (n_terms * 2) AS DOUBLE)
+       |        / 1000000.0
+       |    ELSE 0.0 END >= 0)
        |    AS INTEGER) AS keep
        |FROM documents d LEFT JOIN scored USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin

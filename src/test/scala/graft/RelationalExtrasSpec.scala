@@ -250,8 +250,11 @@ class RelationalExtrasSpec extends SparkSpec {
     def bucket(t: String): Int =
       (t.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % 1048573L) % 64L).toInt
     val sw = toks.map(t => weights(bucket(t)).toLong).sum
-    val expected = BigDecimal(sw.toDouble / (toks.length * 500.0))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the op's integer micro-unit rounding (half away from zero):
+    // score = sign(sw) * floor((|sw|*4000 + n) / 2n) / 1e6
+    val n = toks.length.toLong
+    val expected =
+      math.signum(sw.toDouble) * ((math.abs(sw) * 4000L + n) / (2L * n)) / 1e6
     val row = TextOps.classifierScore(spark, sf0001)
       .filter(col("doc_id") === 3L).collect()(0)
     assert(row.getLong(1) === toks.length.toLong)
