@@ -111,9 +111,14 @@ object Bench {
       case (ControlQuery, v, true) => v
     }.getOrElse(controlBudget)
     val hostFactor = math.max(1.0, controlMedian / controlBudget)
+    // suspects re-measure from 1.5x (not the 2x violation bar): two
+    // rounds in a row the sweep minted a one-query phantom above 2x,
+    // and r8's real drift (adamic_adar at 1.8x) hid UNDER the old
+    // trigger — a 1.5x net catches drifts early while the violation
+    // verdict itself stays at the frozen 2x gate
     val suspects = results.collect {
       case (k, v, true) if gated &&
-        BenchBudgets.budgets.get(k).exists(v > 2 * hostFactor * _) =>
+        BenchBudgets.budgets.get(k).exists(v > 1.5 * hostFactor * _) =>
         (k, v)
     }
     // Contention guard: the full ~110-query sweep shares the host with
@@ -150,9 +155,13 @@ object Bench {
       if (stillOver)
         System.err.println(f"[bench] BUDGET VIOLATION: $k%s first ${firstMedian}%.2fs, " +
           f"re-measured ${re}%.2fs > 2x budget ${budget}%.2fs x host factor ${reFactor}%.2f (BASELINE.md)")
+      else if (re > 1.5 * reFactor * budget)
+        System.err.println(f"[bench] DRIFT WATCH (not a violation): $k%s first " +
+          f"${firstMedian}%.2fs, re-measured ${re}%.2fs in (1.5x, 2x] of budget ${budget}%.2fs " +
+          f"x host factor ${reFactor}%.2f — investigate or re-freeze with a reason")
       else
         System.err.println(f"[bench] contention artifact dismissed: $k%s first " +
-          f"${firstMedian}%.2fs, re-measured ${re}%.2fs <= 2x budget ${budget}%.2fs x host factor ${reFactor}%.2f")
+          f"${firstMedian}%.2fs, re-measured ${re}%.2fs <= 1.5x budget ${budget}%.2fs x host factor ${reFactor}%.2f")
       (k, firstMedian, re, stillOver)
     }
     val violations = confirmed.collect { case (k, _, re, true) =>

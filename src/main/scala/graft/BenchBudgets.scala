@@ -28,7 +28,10 @@ object BenchBudgets {
     "emb_rp_project" -> 0.45,  // frozen r6 (median 0.28)
     "graph_kcore" -> 4.0,  // re-frozen r6: early exit on a settled peel
                            // (median 2.94, was 5.01 at the full 8 rounds)
-    "graph_adamic_adar" -> 4.5,  // frozen r6 (median 3.50)
+    "graph_adamic_adar" -> 4.5,  // kept r9: the r8 1.8x sweep drift was
+                                 // settled by a quiet-host BenchOne
+                                 // (control 0.8x) at 4.20 after the
+                                 // int64-weight + fused-distinct replan
     "dq_volume_anomaly" -> 0.7,  // frozen r6 (median 0.51, control q1 1.10)
     "ads_new_vs_returning" -> 1.7,  // frozen r6 (median 1.31)
     "ads_reach_curve" -> 0.6,  // frozen r6 (median 0.44)
@@ -87,7 +90,9 @@ object BenchBudgets {
     // replaced the interpreted aggregate(zip_with) fold
     "ann_bruteforce" -> 0.45,
     "ann_ivf" -> 0.7,
-    "ann_ivf_pq" -> 1.2,
+    "ann_ivf_pq" -> 1.65,  // re-frozen r9: the r8 Lloyd-replay witness
+                           // reshape made 1.2 a zero-cushion number
+                           // (quiet-host median 1.27)
     "ann_lsh" -> 0.6,
     "dedup_clusters" -> 6.92,
     "dedup_containment" -> 6.5,  // re-frozen r5 after the hotDocs

@@ -977,6 +977,23 @@ object Dedup {
     * spec-checked (planted ground truth, FP rate vs the sized fpp) and
     * the REGISTERED [[bloomGate]] folds the probe into the
     * no-false-negative witness card the oracle can pin. */
+  /** Pull the standing corpus's Bloom image (the one bounded driver
+    * row). An EMPTY corpus degrades to an empty filter of the same
+    * sizing — bloom_hit = false for every probe, exactly the
+    * no-duplicates-possible verdict — instead of feeding a null
+    * through `lit()` into `graft_bloom_contains`. */
+  private[graft] def corpusBloom(corpus: DataFrame,
+      expectedItems: Long, fpp: Double): Array[Byte] =
+    Option(corpus.agg(call_function("graft_bloom_agg",
+        xxhash64(col("fp")), lit(expectedItems), lit(fpp)))
+      .head().getAs[Array[Byte]](0))
+      .getOrElse {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter
+          .create(expectedItems, fpp).writeTo(out)
+        out.toByteArray
+      }
+
   private[graft] def bloomGateRaw(s: SparkSession, d: String,
       expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
     graft.Graft.registerFunctions(s)
@@ -985,8 +1002,7 @@ object Dedup {
     val isDelta = col("source").isin(DeltaSources: _*)
     val corpus = docs.filter(!isDelta)
     val batch = docs.filter(isDelta)
-    val bloomBytes = corpus.agg(call_function("graft_bloom_agg",
-      xxhash64(col("fp")), lit(expectedItems), lit(fpp))).head().getAs[Array[Byte]](0)
+    val bloomBytes = corpusBloom(corpus, expectedItems, fpp)
     val probed = batch.withColumn("bloom_hit",
       call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))
     // exact verify: only the hits pay the join; the corpus side is a
@@ -1021,8 +1037,7 @@ object Dedup {
     val isDelta = col("source").isin(DeltaSources: _*)
     val corpus = docs.filter(!isDelta)
     val batch = docs.filter(isDelta)
-    val bloomBytes = corpus.agg(call_function("graft_bloom_agg",
-      xxhash64(col("fp")), lit(expectedItems), lit(fpp))).head().getAs[Array[Byte]](0)
+    val bloomBytes = corpusBloom(corpus, expectedItems, fpp)
     batch
       .withColumn("bloom_hit",
         call_function("graft_bloom_contains", lit(bloomBytes), xxhash64(col("fp"))))

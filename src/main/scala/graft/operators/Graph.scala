@@ -608,19 +608,29 @@ object Graph {
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("c"), col("o_custkey").as("z"))
-      .distinct()
+    // dedup FUSED into the neighbor-list build: collect_set partials
+    // dedup map-side, so the raw (c, z) stream shuffles ONCE on z —
+    // the r6 shape paid a distinct() exchange on (c, z) first, a
+    // second shuffle of the same data the set-agg makes redundant
     val nbrs = pairs.groupBy(col("z"))
-      .agg(sort_array(collect_list(col("c"))).as("cs"), count(lit(1)).as("deg"))
+      .agg(sort_array(collect_set(col("c"))).as("cs"))
+      .withColumn("deg", size(col("cs")))
       .filter(col("deg") >= 2 && col("deg") <= degCap)
+      // the 6-dp weight leaves the per-CUSTOMER row as micro-unit
+      // LONGs (decimal→int64 is exact), so the deg²-row fan-out sums
+      // int64 instead of Decimal — measured 25% off the whole query;
+      // sum(wu)/1e6 and the oracle's SUM(DECIMAL(18,6))→double are
+      // both correctly-rounded images of the same exact rational, so
+      // the hash compare still matches bit-for-bit
       .select(col("cs"),
-        round(lit(1.0) / log(col("deg").cast("double")), 6)
-          .cast(DecimalType(18, 6)).as("w"))
+        (round(lit(1.0) / log(col("deg").cast("double")), 6)
+          .cast(DecimalType(18, 6)) * 1000000).cast("long").as("wu"))
     nbrs
-      .select(col("w"), col("cs"), posexplode(col("cs")).as(Seq("i", "a")))
-      .select(col("w"), col("a"),
+      .select(col("wu"), col("cs"), posexplode(col("cs")).as(Seq("i", "a")))
+      .select(col("wu"), col("a"),
         explode(expr("slice(cs, i + 2, size(cs))")).as("b"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common"), sum(col("w")).cast("double").as("aa"))
+      .agg(count(lit(1)).as("common"), (sum(col("wu")) / 1000000.0).as("aa"))
       .orderBy(col("aa").desc, col("a"), col("b"))
       .limit(20)
   }
@@ -642,9 +652,11 @@ object Graph {
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("c"), col("o_custkey").as("z"))
-      .distinct()
+    // same fused dedup-into-collect_set as [[adamicAdar]]: one z
+    // shuffle instead of distinct-then-regroup
     val kept = pairs.groupBy(col("z"))
-      .agg(sort_array(collect_list(col("c"))).as("cs"), count(lit(1)).as("deg"))
+      .agg(sort_array(collect_set(col("c"))).as("cs"))
+      .withColumn("deg", size(col("cs")))
       .filter(col("deg") <= AdamicAdarDegCap)
     val sdeg = kept.select(explode(col("cs")).as("c"))
       .groupBy(col("c")).agg(count(lit(1)).as("deg"))

@@ -127,7 +127,7 @@ object Quality {
     // ts profiles as micros (CAST to micro TIMESTAMP first so a nanos
     // encoding truncates exactly like Tables.events' ts_us = ns div 1000)
     """WITH e AS (
-      |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  SELECT event_id, epoch_us(ts) AS ts_us,
       |    user_id, event_type, value, props
       |  FROM events),
       |s AS (SELECT count(*) AS n,
@@ -363,7 +363,7 @@ object Quality {
 
   val dqFreshnessSql: String =
     """WITH e AS (
-      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |  SELECT event_type, epoch_us(ts) AS ts_us FROM events),
       |pt AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS rows_in,
       |    CAST(max(ts_us) AS BIGINT) AS mx

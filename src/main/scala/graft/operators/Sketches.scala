@@ -266,7 +266,7 @@ object Sketches {
   val thetaIntersectSql: String =
     """WITH ev AS (
       |  SELECT DISTINCT event_type,
-      |    user_id * 100000 + (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS ud
+      |    user_id * 100000 + (epoch_us(ts) // 86400000000) AS ud
       |  FROM events WHERE event_type IN ('view', 'purchase')),
       |overlap AS (
       |  SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (

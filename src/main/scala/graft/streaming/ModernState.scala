@@ -173,7 +173,7 @@ object ModernState {
     private def advance(uid: Long, incoming: Seq[CepEvt], wmUs: Long): Iterator[Jump] = {
       val all = (bufSt.get().toSeq ++ incoming).sortBy(b => (b.tsUs, b.eventId))
       var pending = if (pendingSt.exists()) Option(pendingSt.get()) else None
-      val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+      val (ripe, unripe) = all.partition(_.tsUs < wmUs)
       val out = Seq.newBuilder[Jump]
       ripe.foreach { e =>
         pending.foreach { p =>
@@ -260,7 +260,7 @@ object ModernState {
     private def advance(uid: Long, incoming: Seq[TouchEvt],
         wmUs: Long): Iterator[ConvCredit] = {
       val all = (bufSt.get().toSeq ++ incoming).sortBy(e => (e.tsUs, e.eventId))
-      val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+      val (ripe, unripe) = all.partition(_.tsUs < wmUs)
       var pending = pendingSt.get().toSeq
       val out = Seq.newBuilder[ConvCredit]
       ripe.foreach { e =>

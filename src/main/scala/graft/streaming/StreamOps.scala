@@ -205,7 +205,12 @@ object StreamOps {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val incoming = events.map(e => FunnelEvt(e.event_id, usOf(e.ts), e.event_type)).toSeq
           val all = (prev.buf ++ incoming).sortBy(e => (e.tsUs, e.eventId))
-          val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+          // ripeness is STRICT: Spark still admits incoming rows with
+          // event time == the batch watermark, so an event AT the
+          // watermark may have an equal-ts, lower-event_id peer in a
+          // future batch — consuming it now would break (ts, event_id)
+          // replay order (same rule at every buffer-until-final op)
+          val (ripe, unripe) = all.partition(_.tsUs < wmUs)
           var (t1, t2, done) = (prev.t1, prev.t2, prev.done)
           val out = Seq.newBuilder[StageHit]
           ripe.foreach { e =>
@@ -271,7 +276,7 @@ object StreamOps {
             TouchEvt(e.event_id, usOf(e.ts), e.event_type,
               e.event_type == "purchase", e.value)).toSeq
           val all = (prev.buf ++ incoming).sortBy(e => (e.tsUs, e.eventId))
-          val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+          val (ripe, unripe) = all.partition(_.tsUs < wmUs)
           var pending = prev.pending
           val out = Seq.newBuilder[ConvCredit]
           ripe.foreach { e =>
@@ -340,7 +345,7 @@ object StreamOps {
           val incoming = events.map(e =>
             (e.event_id, usOf(e.ts), e.event_type == "purchase")).toSeq
           val all = (prev.buf ++ incoming).sortBy(e => (e._2, e._1))
-          val (ripe, unripe) = all.partition(_._2 <= wmUs)
+          val (ripe, unripe) = all.partition(_._2 < wmUs)
           var open = prev.open
           var matches = prev.matches
           ripe.foreach { case (_, _, isPurchase) =>
@@ -392,7 +397,7 @@ object StreamOps {
           val incoming = events
             .map(e => CepEvt(e.event_id, usOf(e.ts), e.event_type == "signup")).toSeq
           val all = (prev.buf ++ incoming).sortBy(b => (b.tsUs, b.eventId))
-          val (ripe, unripe) = all.partition(_.tsUs <= wmUs)
+          val (ripe, unripe) = all.partition(_.tsUs < wmUs)
           var pending = prev.pending
           val out = Seq.newBuilder[Jump]
           ripe.foreach { e =>

@@ -92,5 +92,15 @@ class ContractSpec extends SparkSpec {
       case (q, b) if math.abs(table(q) - b) > 0.005 => s"$q md=${table(q)} scala=$b"
     }
     assert(stale.isEmpty, s"stale values: ${stale.mkString(", ")}")
+    // the prose summary drifts silently unless pinned too: r8 shipped
+    // three new rows with the '195 queries / 285.3 s' line untouched
+    val totalRe = """Total of budgets: ([0-9.]+) s \((\d+) queries\)""".r
+    val total = lines.flatMap(l => totalRe.findFirstMatchIn(l)).headOption
+      .getOrElse(fail("BASELINE.md is missing the 'Total of budgets: X s (N queries)' line"))
+    assert(total.group(2).toInt == BenchBudgets.budgets.size,
+      s"summary line says ${total.group(2)} queries, BenchBudgets has ${BenchBudgets.budgets.size}")
+    val sum = BenchBudgets.budgets.values.sum
+    assert(math.abs(total.group(1).toDouble - sum) < 0.05,
+      f"summary line says ${total.group(1)} s, budgets sum to $sum%.1f s")
   }
 }

@@ -288,6 +288,26 @@ class DedupSpec extends SparkSpec {
     card.values.foreach { case (_, nfn) => assert(nfn === 1, "nfn_ok must hold") }
   }
 
+  test("bloom gate: EMPTY standing corpus degrades to admit-everything, not a null filter") {
+    import spark.implicits._
+    // every doc is a delta source → the corpus side of the gate is empty
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom0").toFile.getAbsolutePath
+    (0 until 25).map(i => (i.toLong, s"only new crawl page $i", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val raw = Dedup.bloomGateRaw(spark, dir).collect()
+    assert(raw.length === 25)
+    raw.foreach { r =>
+      assert(r.getInt(2) === 0, "empty corpus: no probe may hit")
+      assert(r.getInt(3) === 0, "empty corpus: nothing is a duplicate")
+    }
+    val card = Dedup.bloomGate(spark, dir).collect()
+    assert(card.length === 25)
+    card.foreach { r =>
+      assert(r.getInt(2) === 0 && r.getInt(3) === 1, "card: is_dup=0, nfn_ok pinned")
+    }
+  }
+
   test("embedding near-dup pairs report correct cosine and respect threshold") {
     val rows: Array[Row] = Dedup.embeddingNearDup(spark, sf0001, threshold = 0.3).collect()
     val vecs = Tables.embeddings(spark, sf0001).collect()
