@@ -124,8 +124,9 @@ object Quality {
          |  nd_$c AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,
          |  CAST(NULL AS DOUBLE) AS max_num, mn_$c AS min_str, mx_$c AS max_str
          |FROM s""".stripMargin
-    // ts profiles as micros (CAST to micro TIMESTAMP first so a nanos
-    // encoding truncates exactly like Tables.events' ts_us = ns div 1000)
+    // ts profiles as micros: DuckDB's implicit TIMESTAMP_NS -> TIMESTAMP
+    // coercion inside epoch_us truncates to micros, matching
+    // Tables.events' ts_us = ns div 1000 — no explicit CAST needed.
     """WITH e AS (
       |  SELECT event_id, epoch_us(ts) AS ts_us,
       |    user_id, event_type, value, props
