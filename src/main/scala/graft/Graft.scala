@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, BitmapUnionCard, BloomContains, BloomFilterAgg, DotProduct, MinHashSig, RollingHash64, SimHashAgg, ThetaIntersectCard, ThetaSketchAgg, ThetaUnionCard, TopKFreqAgg, VecSumAgg}
+import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, BitmapUnionCard, BloomContains, BloomFilterAgg, DotProduct, MinHashBands, MinHashSig, RollingHash64, SimHashAgg, ThetaIntersectCard, ThetaSketchAgg, ThetaUnionCard, TopKFreqAgg, VecSumAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -80,6 +80,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       unary("graft_minhash_sig")(MinHashSig(_))),
+    (FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      unary("graft_minhash_bands")(MinHashBands(_))),
     (FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
       unary("graft_vec_sum")(VecSumAgg(_))),

@@ -224,10 +224,13 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------
 
-  private val NumHashes = 128
-  private val BandRows = 4
-  private val NumBands = NumHashes / BandRows // 32 → s-curve threshold ≈ 0.42
-  private val Prime = 2147483647L // 2^31 - 1, universal-hash modulus
+  // banding geometry lives on MinHashSig (shared with the fused
+  // MinHashBands expression) — aliased here so the column formulation
+  // and the SQL oracle read the same constants
+  private val NumHashes = graft.functions.MinHashSig.NumHashes
+  private val BandRows = graft.functions.MinHashSig.BandRows
+  private val NumBands = graft.functions.MinHashSig.NumBands // 32 → s-curve threshold ≈ 0.42
+  private val Prime = graft.functions.MinHashSig.Prime // 2^31 - 1, universal-hash modulus
 
   /** MinHash signature + banded LSH: candidate pairs from band-bucket
     * collisions, then exact Jaccard verification on candidates only.
@@ -257,12 +260,17 @@ object Dedup {
         (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
 
     // one (doc, band, key) row per band via posexplode — a single
-    // signature computation fans out to all bands (no plan duplication)
+    // signature computation fans out to all bands (no plan duplication).
+    // The sentinel-band filter is a no-op here (explode already dropped
+    // empty docs) EXCEPT on a 2⁻⁶⁴ xxhash64 collision — applied so the
+    // column, native, and oracle formulations drop the same rows even
+    // then (bit-identical by construction, not by probability).
     val bandRows = sig.select(
       col("doc_id"),
       posexplode(array((0 until NumBands).map { b =>
         xxhash64((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*)
       }: _*)).as(Seq("band", "bk")))
+      .filter(col("bk") =!= lit(graft.functions.MinHashSig.SentinelBand))
     // bucket equi-join: shuffle on (band, key), never all-pairs; the
     // identical x/y subplans share one shuffle via ReuseExchange
     val candidates = bandRows.as("x")
@@ -272,28 +280,35 @@ object Dedup {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
 
-    verifyJaccard(shingleRows(s, d), candidates)
+    verifyJaccardSets(Tables.documents(s, d), candidates)
   }
 
-  /** MinHash+LSH over the NATIVE signature expression
-    * (`graft.functions.MinHashSig`): the signature becomes a narrow
-    * per-row projection — two tight codegen'd loops over the in-row
-    * shingle array — instead of the column formulation's explode +
-    * 128-column min-aggregate, deleting the (doc × shingle) signature
-    * shuffle entirely. Coefficients are the same canonical draw, the
-    * band keys hash the same longs, so candidates, verification, and
-    * output are identical to [[minhashLsh]] (spec-checked pair for
-    * pair); only the plan shape differs. */
+  /** MinHash+LSH over the NATIVE fused expression
+    * (`graft.functions.MinHashBands`): signature AND band keys become
+    * one narrow per-row projection — three tight codegen'd loops over
+    * the in-row shingle array — instead of the column formulation's
+    * explode + 128-column min-aggregate + 32-way xxhash64 projection,
+    * deleting the (doc × shingle) signature shuffle entirely.
+    * Coefficients are the same canonical draw, the band keys fold the
+    * same longs, so candidates, verification, and output are identical
+    * to [[minhashLsh]] (spec-checked pair for pair); only the plan
+    * shape differs. The bucket join is HINTED to a shuffled hash join:
+    * left to itself the planner broadcasts one side (the band index is
+    * tiny), and a broadcast build has no exchange for ReuseExchange to
+    * dedupe — the whole scan→shingle→signature subplan would run twice
+    * (measured +0.8 s at sf0.1, and 2× the scan at 100 TB). With the
+    * hint both sides shuffle on (band, bk), the two exchanges
+    * canonicalize equal, and the index is computed exactly once. */
   def minhashLshNative(s: SparkSession, d: String): DataFrame = {
     graft.Graft.registerFunctions(s)
     val bandRows = bandIndex(Tables.documents(s, d).select(col("doc_id"), col("text")))
     val candidates = bandRows.as("x")
-      .join(bandRows.as("y"),
+      .join(bandRows.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
-    verifyJaccard(shingleRows(s, d), candidates)
+    verifyJaccardSets(Tables.documents(s, d), candidates)
   }
 
   /** (doc, band, bucket-key) index rows from any (doc_id, text, …)
@@ -305,16 +320,24 @@ object Dedup {
     * signature. Works unchanged on streaming frames: signature and
     * band fan-out are narrow per-row projections. */
   def bandIndex(docs: DataFrame): DataFrame = {
-    val sig = docs
-      .withColumn("sh", shingles(col("text"), 3))
-      .filter(size(col("sh")) > 0) // empty docs have no signature (the explode analog)
-      .withColumn("sig", call_function("graft_minhash_sig", col("sh")))
-      .drop("text", "sh")
-    val keep = sig.columns.filter(_ != "sig").map(col)
-    sig.select((keep :+ posexplode(array((0 until NumBands).map { b =>
-      xxhash64((b * BandRows until (b + 1) * BandRows)
-        .map(i => element_at(col("sig"), i + 1)): _*)
-    }: _*)).as(Seq("band", "bk"))): _*)
+    // fused signature→bands expression, then the empty-doc filter on
+    // the GENERATED bk column. A doc-level pre-filter (the old
+    // `size(sh) > 0`) gets predicate-pushed through the projection and
+    // re-inlines the entire shingle pipeline into the Filter node —
+    // every row paid the split/zip/concat twice (measured ~2× the
+    // banding stage at sf0.1). A filter on the posexplode output can't
+    // push below the Generate, so shingles + signature run exactly
+    // once; empty docs emit the constant sentinel band in every slot
+    // and drop here, which is "≥1 shingle participates" up to an
+    // xxhash64 collision that the oracle's matching literal filter
+    // reproduces exactly.
+    val bands = docs
+      .withColumn("bands",
+        call_function("graft_minhash_bands", shingles(col("text"), 3)))
+      .drop("text")
+    val keep = bands.columns.filter(_ != "bands").map(col)
+    bands.select((keep :+ posexplode(col("bands")).as(Seq("band", "bk"))): _*)
+      .filter(col("bk") =!= lit(graft.functions.MinHashSig.SentinelBand))
   }
 
   /** Exact Jaccard restricted to candidate (i, j) pairs. */
@@ -329,6 +352,33 @@ object Dedup {
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
       .select(col("i"), col("j"),
         (col("c").cast("double") / (col("sa.sz") + col("sb.sz") - col("c"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Exact Jaccard over candidate (i, j) pairs via per-doc SHINGLE
+    * SETS (`array_distinct`, a narrow projection) instead of the
+    * exploded shingle stream: `|A∩B|` is one in-row `array_intersect`
+    * per candidate pair, so the verify stage needs no (doc × shingle)
+    * aggregation at all. Used by both MinHash variants — the old
+    * row-stream verify re-derived the shingle pipeline FOUR times
+    * (a-side join, b-side join, and two size aggregates; each a full
+    * document re-scan). Here the sets projection appears twice but
+    * behind identical shuffle-hash exchanges on doc_id, which
+    * ReuseExchange collapses to one — documents are scanned and
+    * shingled exactly once. Same math as [[verifyJaccard]]:
+    * |A∩B| / (|A| + |B| − |A∩B|) over distinct shingles. */
+  private def verifyJaccardSets(docs: DataFrame, candidates: DataFrame): DataFrame = {
+    val sets = docs.select(
+      col("doc_id"), array_distinct(shingles(col("text"), 3)).as("set"))
+    candidates.as("c")
+      .join(sets.as("a").hint("shuffle_hash"), col("c.i") === col("a.doc_id"))
+      .join(sets.as("b").hint("shuffle_hash"), col("c.j") === col("b.doc_id"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        size(array_intersect(col("a.set"), col("b.set"))).cast("long").as("inter"),
+        (size(col("a.set")).cast("long") + size(col("b.set"))).as("tot"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") / (col("tot") - col("inter"))).as("jac"))
       .filter(col("jac") >= 0.5)
       .orderBy(col("i"), col("j"))
   }
@@ -376,7 +426,8 @@ object Dedup {
        |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS band) r),
        |${(0 until BandRows).map(bandStage).mkString(",\n")},
        |bandrows AS (
-       |  SELECT doc_id, band, ${toSigned("h")} AS bk FROM br$BandRows),
+       |  SELECT doc_id, band, ${toSigned("h")} AS bk FROM br$BandRows
+       |  WHERE ${toSigned("h")} <> ${graft.functions.MinHashSig.SentinelBand}),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
        |  FROM bandrows x JOIN bandrows y

@@ -205,11 +205,18 @@ object StreamOps {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val incoming = events.map(e => FunnelEvt(e.event_id, usOf(e.ts), e.event_type)).toSeq
           val all = (prev.buf ++ incoming).sortBy(e => (e.tsUs, e.eventId))
-          // ripeness is STRICT: Spark still admits incoming rows with
-          // event time == the batch watermark, so an event AT the
-          // watermark may have an equal-ts, lower-event_id peer in a
-          // future batch — consuming it now would break (ts, event_id)
-          // replay order (same rule at every buffer-until-final op)
+          // ripeness is STRICT (tsUs < wm, same rule at every
+          // buffer-until-final op). Probed on Spark 4.1: the
+          // EventTimeTimeout late filter drops incoming rows with
+          // event time <= the batch watermark, so once wm reaches an
+          // event's ts no equal-ts peer can arrive and consuming AT
+          // equality would also be safe — strict ripeness costs one
+          // batch of latency and keeps the rule identical to Spark's
+          // own "strictly older than watermark" eviction framing,
+          // rather than leaning on the filter's boundary convention.
+          // Cross-batch equal-ts peers DO happen while wm < ts; the
+          // buffer sort on (tsUs, eventId) is what orders those
+          // (StreamingSpec "equal-ts replay order" specs).
           val (ripe, unripe) = all.partition(_.tsUs < wmUs)
           var (t1, t2, done) = (prev.t1, prev.t2, prev.done)
           val out = Seq.newBuilder[StageHit]

@@ -49,6 +49,32 @@ class DedupSpec extends SparkSpec {
       assert(r.getSeq[Long](2).toArray.toSeq === expected.toSeq,
         s"signature mismatch for doc ${r.getLong(0)}")
     }
+    // the fused bands expression folds exactly the xxhash64 chain the
+    // column formulation computes over the signature slots
+    val bandRows = Tables.documents(spark, sf0001).limit(20)
+      .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", call_function("graft_minhash_sig", col("sh")))
+      .withColumn("bands", call_function("graft_minhash_bands", col("sh")))
+      .withColumn("viaSig", array((0 until MinHashSig.NumBands).map { b =>
+        xxhash64((b * MinHashSig.BandRows until (b + 1) * MinHashSig.BandRows)
+          .map(i => element_at(col("sig"), i + 1)): _*)
+      }: _*))
+      .collect()
+    bandRows.foreach { r =>
+      assert(r.getSeq[Long](3) === r.getSeq[Long](4),
+        s"fused band keys diverge from xxhash64-over-signature for doc ${r.getLong(0)}")
+    }
+    // the Scala-side sentinel constant IS what Catalyst's xxhash64
+    // computes over four Prime slots (the empty-doc signature)
+    val sqlSentinel = spark.range(1)
+      .select(xxhash64((0 until MinHashSig.BandRows).map(_ => lit(MinHashSig.Prime)): _*))
+      .head.getLong(0)
+    assert(sqlSentinel === MinHashSig.SentinelBand)
+    // an empty doc's fused bands are ALL the sentinel (what bandIndex drops)
+    val emptyBands = spark.sql(
+      "SELECT graft_minhash_bands(CAST(array() AS array<string>))").head.getSeq[Long](0)
+    assert(emptyBands.forall(_ == MinHashSig.SentinelBand))
     // the two operator formulations return identical near-dup pairs
     val classic = Dedup.minhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

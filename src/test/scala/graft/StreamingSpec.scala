@@ -1090,4 +1090,149 @@ class StreamingSpec extends SparkSpec {
       assert(ranked === Seq("BRAND#A", "BRAND#B", "UNKNOWN"))
     } finally q.stop()
   }
+
+  // ---- strict ripeness + equal-ts replay order (r9 `<=` → `<`) ------
+  //
+  // Ground truth probed on Spark 4.1 (see the funnelStream comment):
+  // the EventTimeTimeout late filter DROPS incoming rows with event
+  // time <= the current batch watermark. Two consequences pinned here:
+  // (1) an event held at wm == ts can never gain a same-ts peer later
+  //     — the strict `<` rule is a latency/framing choice, not a
+  //     correctness fix; the funnel spec pins its contract (no
+  //     consumption in the batch where wm == ts), and the admission
+  //     spec pins the engine boundary the argument rests on;
+  // (2) the REAL cross-batch equal-ts scenario is a lower-event_id
+  //     peer arriving while wm is still BELOW the shared timestamp —
+  //     the buffer sort on (ts_us, event_id) must replay it before
+  //     its earlier-arrived twin or verdicts flip (the attribution /
+  //     sequence-count / CEP specs; each notes the arrival-order
+  //     verdict a sort-free matcher would produce).
+
+  test("admission boundary: EventTimeTimeout drops incoming rows with ts <= watermark") {
+    // The engine fact the strict-ripeness argument rests on, pinned so
+    // a Spark upgrade that moves the boundary fails loudly: after the
+    // watermark reaches ts(30), an incoming row AT ts(30) and one
+    // BELOW it are dropped before the state function; one above passes.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = input.toDS().withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        case (u, evs, st: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          if (!st.exists) { st.update(0L); st.setTimeoutTimestamp(Long.MaxValue / 2000) }
+          evs.map(e => (e.event_id, st.getCurrentWatermarkMs()))
+      }
+      .writeStream.format("memory").queryName("admission").outputMode("append").start()
+    try {
+      input.addData(Seq(Evt(1, 1, "view", 0, ts(30)), Evt(90, 9, "view", 0, ts(40))))
+      q.processAllAvailable() // wm -> exactly ts(30)
+      input.addData(Seq(
+        Evt(2, 1, "view", 0, ts(30)),   // AT the watermark -> dropped
+        Evt(3, 1, "view", 0, ts(31)),   // above -> admitted
+        Evt(4, 1, "view", 0, ts(29)))) // below -> dropped
+      q.processAllAvailable()
+      val seen = spark.table("admission").collect().map(_.getLong(0)).toSet
+      assert(seen === Set(1L, 90L, 3L),
+        s"late-filter boundary moved: state function saw $seen")
+      val dropped = q.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped === 2L)
+    } finally q.stop()
+  }
+
+  test("equal-ts replay order: a late-arriving lower-id touch still credits its conversion") {
+    // click 3 shares ts(30) with purchase 5 but arrives a batch later
+    // (wm = ts(25) < ts(30), so it is admitted); the (ts_us, event_id)
+    // sort replays it BEFORE the purchase -> last_touch "click". An
+    // arrival-order matcher would credit with pending = [view 1] only
+    // -> last_touch "view".
+    val batches = Seq(
+      Seq(Evt(1, 1, "view", 1.0, ts(10)),
+        Evt(5, 1, "purchase", 100.0, ts(30)),
+        Evt(90, 9, "view", 1.0, ts(35))),   // wm -> ts(25), below the tie
+      Seq(Evt(3, 1, "click", 1.0, ts(30))), // equal ts, smaller id
+      Seq(Evt(91, 9, "view", 1.0, ts(100))),
+      Seq(Evt(92, 9, "view", 1.0, ts(110))))
+    def shape(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+      .toSet
+    val classic = shape(runBatches("ripeattr_c")(in =>
+      StreamOps.attributionStream(in.toDS()))(batches))
+    assert(classic === Set((5L, 1L, "view", "click", 100.0)))
+    withRocksDb {
+      val modern = shape(runBatches("ripeattr_m")(in =>
+        graft.streaming.ModernState.attribution(in.toDS()))(batches))
+      assert(modern === classic)
+    }
+  }
+
+  test("strict ripeness: funnel does not consume an event in the batch where wm == its ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Evt]
+    val q = StreamOps.funnelStream(input.toDS()).writeStream.format("memory")
+      .queryName("ripefunnel").outputMode("append").start()
+    try {
+      input.addData(Seq(Evt(2, 1, "view", 0, ts(30)), Evt(90, 9, "view", 0, ts(40))))
+      q.processAllAvailable() // wm now exactly ts(30)
+      input.addData(Seq(Evt(1, 1, "view", 0, ts(30)))) // equal-ts peer
+      q.processAllAvailable()
+      // the old `<=` rule consumed view 2 THIS batch (wm == ts) and
+      // emitted user 1's 1_view before its peer arrived
+      assert(!spark.table("ripefunnel").collect().exists(_.getLong(1) == 1L),
+        "at-watermark event consumed before its equal-ts peer could arrive")
+      input.addData(Seq(Evt(91, 9, "view", 0, ts(100))))
+      q.processAllAvailable()
+      input.addData(Seq(Evt(92, 9, "view", 0, ts(110))))
+      q.processAllAvailable()
+      val user1 = spark.table("ripefunnel").collect().filter(_.getLong(1) == 1L)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(user1.toSeq === Seq(("1_view", 1L))) // replayed once, duplicate suppressed
+    } finally q.stop()
+  }
+
+  test("equal-ts replay order: a late-arriving lower-id view opens the bracket for its purchase") {
+    // view 3 shares ts(30) with purchase 5 and arrives a batch later
+    // while wm = ts(25); the sort replays (view 3, purchase 5) -> one
+    // match. Arrival order would consume the purchase with open = 0 ->
+    // no match ever.
+    val batches = Seq(
+      Seq(Evt(5, 1, "purchase", 1.0, ts(30)),
+        Evt(90, 9, "view", 0, ts(35))),     // wm -> ts(25), below the tie
+      Seq(Evt(3, 1, "view", 0, ts(30))),    // equal ts, smaller id
+      Seq(Evt(91, 9, "view", 0, ts(100))),
+      Seq(Evt(92, 9, "view", 0, ts(110))))
+    val rows = runBatches("ripeseqc")(in =>
+      StreamOps.sequenceCountStream(in.toDS()))(batches)
+      .filter(_.getLong(0) == 1L).map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((1L, 1L)))
+  }
+
+  test("equal-ts replay order: CEP verdict flips when the lower-id non-entry peer arrives late") {
+    // user 1: signup 1 @T0, signup 3 @T0+5s, then the equal-ts
+    // NON-entry view 2 arrives a batch later (wm still T0+4s, below
+    // the tie). True (ts, id) order is (view 2, signup 3): the view
+    // kills candidate 1 (real visit), signup 3 then times out alone ->
+    // Jump(3). Arrival order would pair (1, 3) -> Jump(1), the exact
+    // false-bounce verdict the buffer sort exists to prevent.
+    val t5s = new java.sql.Timestamp(ts(0).getTime + 5000)
+    val batches = Seq(
+      Seq(Evt(1, 1, "signup", 0, ts(0)),
+        Evt(3, 1, "signup", 0, t5s),
+        Evt(90, 9, "view", 0, new java.sql.Timestamp(t5s.getTime + 599000L))), // wm -> T0+4s
+      Seq(Evt(2, 1, "view", 0, t5s)),       // equal ts, smaller id
+      Seq(Evt(91, 9, "view", 0, ts(60))),
+      Seq(Evt(92, 9, "view", 0, ts(70))))
+    val classic = runBatches("ripecep_c")(in =>
+      StreamOps.jumpDetectStrict(in.toDS()))(batches).map(_.getLong(0)).toSet
+    assert(classic === Set(3L))
+    withRocksDb {
+      val modern = runBatches("ripecep_m")(in =>
+        graft.streaming.ModernState.jumpDetectStrict(in.toDS()))(batches).map(_.getLong(0)).toSet
+      assert(modern === classic)
+    }
+  }
 }
