@@ -23,7 +23,7 @@ object BenchBudgets {
     "dq_rules" -> 0.95,  // frozen r6 (median 0.74)
     "q_snapshot_diff" -> 0.75,  // frozen r6 (median 0.57)
     "text_lm_bigram" -> 1.7,  // frozen r6 (median 1.34, control q1 1.03)
-    "text_winnow" -> 2.0,  // frozen r6 (median 1.59)
+    "text_winnow" -> 1.2,  // re-frozen r10: native Shingles (was 2.0)
     "emb_quantize_int8" -> 0.65,  // frozen r6 (median 0.48)
     "emb_rp_project" -> 0.45,  // frozen r6 (median 0.28)
     "graph_kcore" -> 4.0,  // re-frozen r6: early exit on a settled peel
@@ -94,8 +94,8 @@ object BenchBudgets {
                            // reshape made 1.2 a zero-cushion number
                            // (quiet-host median 1.27)
     "ann_lsh" -> 0.6,
-    "dedup_clusters" -> 6.92,
-    "dedup_containment" -> 6.5,  // re-frozen r5 after the hotDocs
+    "dedup_clusters" -> 3.9,  // re-frozen r10: native Shingles (was 6.92)
+    "dedup_containment" -> 2.75,  // re-frozen r10: native Shingles (was 6.5)
                                  // left_semi cut (median 4.97; first
                                  // freeze 9.0 from the uncut 7.38 plan)
     "dedup_semantic" -> 1.4,  // frozen r5 (quiet-host median 1.07)
@@ -104,12 +104,12 @@ object BenchBudgets {
                            // (load-adj median 1.87); was r4: native graft_dot
     "dedup_exact" -> 0.3,
     "dedup_minhash_lsh" -> 3.65,
-    "dedup_minhash_lsh_native" -> 2.11,
-    "dedup_ngram_jaccard" -> 4.8,
-    "dedup_simhash" -> 2.72,
-    "dedup_simhash_wide" -> 2.1,  // frozen r8 (load-adj median 1.52,
+    "dedup_minhash_lsh_native" -> 1.3,  // re-frozen r10: native Shingles (was 2.11)
+    "dedup_ngram_jaccard" -> 2.35,  // re-frozen r10: native Shingles (was 4.8)
+    "dedup_simhash" -> 1.45,  // re-frozen r10: native Shingles (was 2.72)
+    "dedup_simhash_wide" -> 1.6,  // re-frozen r10: native Shingles (was 2.1)
                                   // control q1 1.62 vs 1.09 quiet)
-    "dedup_survivors" -> 6.47,
+    "dedup_survivors" -> 4.0,  // re-frozen r10: native Shingles (was 6.47)
     "dim_scd2" -> 0.47,
     "dim_scd2_incr" -> 2.1,  // frozen r5 (median 1.63)
     "dim_upsert" -> 0.44,
@@ -173,10 +173,10 @@ object BenchBudgets {
     "ea_streaks" -> 1.25,  // frozen r5 (quiet-host median 0.97)
     "ea_out_of_order" -> 0.9,  // frozen r5 (median 0.69)
     "ea_out_of_order_chunked" -> 1.1,  // frozen r5 (median 0.84)
-    "dedup_gram_frac" -> 5.2,
-    "dedup_span_extract" -> 5.1,
-    "dedup_span_removal" -> 3.8,
-    "dedup_incremental" -> 2.95,
+    "dedup_gram_frac" -> 1.55,  // re-frozen r10: native Shingles (was 5.2)
+    "dedup_span_extract" -> 1.6,  // re-frozen r10: native Shingles (was 5.1)
+    "dedup_span_removal" -> 2.65,  // re-frozen r10: native Shingles (was 3.8)
+    "dedup_incremental" -> 1.45,  // re-frozen r10: native Shingles (was 2.95)
     "dedup_bloom_gate" -> 1.9,  // frozen r5 (quiet-host median 1.47)
     "emb_whiten" -> 1.65,       // re-frozen r7: exploded (vec_id, pos,
                                 // val) oracle-hashable output — 64×
@@ -195,7 +195,7 @@ object BenchBudgets {
     "mm_image_resize" -> 0.55,
     "mm_reassemble" -> 0.39,
     "pipeline_decontam" -> 0.5,
-    "pipeline_decontam_ngram" -> 1.90,
+    "pipeline_decontam_ngram" -> 1.1,  // re-frozen r10: native Shingles (was 1.90)
     "q1_pricing_summary" -> 2.04,
     "q3_shipping_priority" -> 0.83,
     "q_approx_distinct" -> 1.22,

@@ -23,24 +23,18 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     coalesce(regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")), lit(0))
 
-  /** Word n-gram shingles (n consecutive tokens joined by a space).
-    *
-    * Formulated as a zip of n shifted slices, NOT as
-    * `transform(sequence(...), i => slice(toks, i+1, n))`: a lambda
-    * body that references an outer expression SUBTREE re-evaluates the
-    * whole subtree per element, so the sequence form re-tokenizes the
-    * document once per shingle position — measured 5× slower at sf0.1
-    * (2.0 s vs 0.4 s for the shingle projection alone). The zip form
-    * evaluates the token array n+1 times per ROW and the lambda only
-    * touches the zipped struct fields. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val len = greatest(size(toks) - (n - 1), lit(0))
-    val z = arrays_zip((0 until n).map(i => slice(toks, lit(i + 1), len).as(s"g$i")): _*)
-    when(size(toks) >= n,
-      transform(z, s => concat_ws(" ", (0 until n).map(i => s(s"g$i")): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles (n consecutive tokens joined by a space) —
+    * the native [[Shingles]] expression: one codegen'd byte scan per
+    * document. Replaced the zip-of-n-shifted-slices column formulation
+    * (r10): that form's higher-order functions are CodegenFallback and
+    * its CASE WHEN guard + n slices re-evaluate `split(text, " ")`
+    * ~2(n+1) times per row interpreted; the native scan tokenizes
+    * once. Byte-identical output (ShinglesSpec pins the column form,
+    * edge rows included: null → empty array, runs of spaces, <n
+    * tokens, multibyte UTF-8). */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Shingles(org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
   /** Occurrence count of the most frequent element of a string array:
     * sort + one linear run-length fold — O(d log d) per row. The naive

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The native [[graft.functions.Shingles]] expression is byte-identical
+  * to the column formulation it replaced (zip of n shifted slices over
+  * `filter(split(text, " "))`) — on the real corpus and on the edge
+  * rows where the two could plausibly diverge. */
+class ShinglesSpec extends SparkSpec {
+
+  /** The r9-era column formulation, kept verbatim as the reference. */
+  private def columnForm(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    val len = greatest(size(toks) - (n - 1), lit(0))
+    val z = arrays_zip((0 until n).map(i => slice(toks, lit(i + 1), len).as(s"g$i")): _*)
+    when(size(toks) >= n,
+      transform(z, s => concat_ws(" ", (0 until n).map(i => s(s"g$i")): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val edges = Seq(
+    null.asInstanceOf[String],      // null doc -> empty array (not null)
+    "",                             // empty
+    " ",                            // only spaces
+    "   ",                          // run of spaces
+    "one",                          // < n tokens
+    "one two",                      // < n tokens for n = 3
+    "a b c",                        // exactly n
+    "a  b   c  d",                  // internal space runs collapse
+    " leading and trailing spaces ",
+    "tab\tand\nnewline stay inside tokens x y", // only 0x20 splits
+    "héllo wörld ünïcode multibyte grüße",      // UTF-8 multibyte
+    "日本 語の 単語 分割 テスト")
+
+  test("native shingles == column formulation on edges and the corpus (n = 2, 3)") {
+    import spark.implicits._
+    val docs = edges.toDF("text")
+      .unionAll(Tables.documents(spark, sf0001).select(col("text")))
+    Seq(2, 3).foreach { n =>
+      val both = docs.select(
+        graft.functions.TextFunctions.shingles(col("text"), n).as("native"),
+        columnForm(col("text"), n).as("column")).collect()
+      both.zipWithIndex.foreach { case (r, i) =>
+        assert(!r.isNullAt(0), s"native produced NULL (row $i, n=$n)")
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"shingle mismatch at row $i, n=$n")
+      }
+    }
+  }
+
+  test("interpreted eval matches the corpus run and handles null directly") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.Shingles(Literal(UTF8String.fromString("a  b c d"),
+      org.apache.spark.sql.types.StringType), 3)
+    val got = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until got.numElements()).map(got.getUTF8String(_).toString) ===
+      Seq("a b c", "b c d"))
+    val eNull = graft.functions.Shingles(
+      Literal(null, org.apache.spark.sql.types.StringType), 3)
+    val gotNull = eNull.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(gotNull.numElements() === 0)
+  }
+}
