@@ -14,9 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization, empty tokens dropped (KeywordUtil analog). */
+  /** Whitespace tokenization, empty tokens dropped (KeywordUtil
+    * analog). A 1-gram IS a token, so this rides the native
+    * [[Shingles]] byte scan (r10) instead of the CodegenFallback
+    * `filter(split(...))` lambda pair; the `isNull` guard preserves
+    * the old form's NULL-in → NULL-out (Shingles yields the empty
+    * array on NULL, the shingle consumers' contract). */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => length(t) > 0)
+    when(text.isNull, lit(null).cast("array<string>"))
+      .otherwise(org.apache.spark.sql.GraftColumnBridge.column(
+        Shingles(org.apache.spark.sql.GraftColumnBridge.expression(text), 1)))
 
   /** BPE-ish regex token count: word pieces, digits, or any other
     * non-space symbol each count as one token. */

@@ -353,13 +353,22 @@ object Graph {
       .cache()
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("outs")).cache()
-    val withCommon = oriented.select(col("src").as("x"), col("dst").as("y"))
+    // the empty-intersection filter sits ABOVE the cache: below it,
+    // predicate pushdown rewrites it through the projection and the
+    // adjacency intersect — the op's dominant per-pair cost — runs
+    // twice per surviving edge (once in the Filter, once in the
+    // Project). Cached unfiltered, the intersect evaluates exactly
+    // once per pair and the filter is a size() read on the
+    // materialized array. (The filter itself stays REQUIRED: zero-
+    // triangle nodes would otherwise enter the rollup with tri_ct = 0
+    // and pad the top-20 on sparse graphs.)
+    val common = oriented.select(col("src").as("x"), col("dst").as("y"))
       .join(adj.select(col("src").as("x"), col("outs").as("xo")), "x")
       .join(adj.select(col("src").as("y"), col("outs").as("yo")), "y")
       .select(col("x"), col("y"),
         array_intersect(col("xo"), col("yo")).as("zs"))
-      .filter(size(col("zs")) > 0)
       .cache() // read by all three credit projections below
+    val withCommon = common.filter(size(col("zs")) > 0)
     // each triangle (x, y, z) credits all three nodes: x and y get
     // the per-edge closure count, every z one — three narrow
     // projections, partial-aggregated before the one count shuffle
@@ -374,7 +383,7 @@ object Graph {
     // immediately (the pageRank discipline) instead of accumulating
     // for the lifetime of the shared session
     val result = top.localCheckpoint(true)
-    Seq(oriented, adj, withCommon).foreach(_.unpersist())
+    Seq(oriented, adj, common).foreach(_.unpersist())
     result
   }
 

@@ -880,8 +880,15 @@ object TextOps {
     * the mean is reduction-order-free and engine-exact. */
   def lmBigram(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // cached: `t` is a per-doc REGEX extraction consumed by three
+    // subtrees (unigram counts, train bigrams, scored bigrams), and the
+    // bigram builder's size-filter would otherwise be pushed through
+    // the projection and run the regex a second time per row — cached,
+    // the regex runs exactly once per document (the ngramJaccard cache
+    // discipline; Bench clears caches between queries)
     val docs = Tables.documents(s, d).select(col("doc_id"),
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("t"))
+      .cache()
     def bigrams(src: DataFrame): DataFrame = src
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(zip_with(

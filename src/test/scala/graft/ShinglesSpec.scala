@@ -49,6 +49,20 @@ class ShinglesSpec extends SparkSpec {
     }
   }
 
+  test("native tokens (1-gram shingles) == filter(split(...)) column form, null-in null-out") {
+    import spark.implicits._
+    val docs = edges.toDF("text")
+      .unionAll(Tables.documents(spark, sf0001).select(col("text")))
+    val both = docs.select(
+      graft.functions.TextFunctions.tokens(col("text")).as("native"),
+      filter(split(col("text"), " "), t => length(t) > 0).as("column")).collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"null parity broken at row $i")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"token mismatch at row $i")
+    }
+  }
+
   test("interpreted eval matches the corpus run and handles null directly") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val e = graft.functions.Shingles(Literal(UTF8String.fromString("a  b c d"),
