@@ -63,6 +63,33 @@ class ShinglesSpec extends SparkSpec {
     }
   }
 
+  test("property: native == column formulation on random space/unicode strings") {
+    // a driver-side replica of the COLUMN form's semantics (split on
+    // the single space char, drop empties, join n-grams with one
+    // space), checked against the expression's interpreted eval over
+    // generated strings — hits shapes the fixed edge list can't
+    // (leading/trailing/run-of-space combos, lone multibyte tokens)
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    val token = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ü', '語', '本', '\t', '\n', '.'))).map(_.mkString)
+    val piece = Gen.oneOf(token, Gen.const(" "), Gen.const("  "))
+    val text = Gen.listOf(piece).map(_.mkString)
+    val prop = Prop.forAll(text, Gen.choose(1, 4)) { (s: String, n: Int) =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty)
+      val expect =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val got = graft.functions.Shingles(Literal(UTF8String.fromString(s), StringType), n)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) == expect
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interpreted eval matches the corpus run and handles null directly") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val e = graft.functions.Shingles(Literal(UTF8String.fromString("a  b c d"),
