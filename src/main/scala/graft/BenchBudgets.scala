@@ -26,7 +26,7 @@ object BenchBudgets {
     "text_winnow" -> 1.2,  // re-frozen r10: native Shingles (was 2.0)
     "emb_quantize_int8" -> 0.65,  // frozen r6 (median 0.48)
     "emb_rp_project" -> 0.45,  // frozen r6 (median 0.28)
-    "graph_kcore" -> 4.0,  // re-frozen r6: early exit on a settled peel
+    "graph_kcore" -> 3.5,  // re-frozen r10: src-partitioned edge cache (median 3.06; r6: early exit on a settled peel)
                            // (median 2.94, was 5.01 at the full 8 rounds)
     "graph_adamic_adar" -> 4.5,  // kept r9: the r8 1.8x sweep drift was
                                  // settled by a quiet-host BenchOne
@@ -151,7 +151,8 @@ object BenchBudgets {
                               // candidates at THIS size; the lever
                               // buys O(n log n) growth past it
     "graph_triangles" -> 6.2,     // adjacency-intersection closure
-    "graph_label_prop" -> 6.5,    // frozen r5 (quiet-host median 5.35;
+    "graph_label_prop" -> 5.2,    // re-frozen r10: dst-partitioned edge cache
+                                  // (median 4.2-4.9; was 6.5, r5 median 5.35;
                                   // 5 sync rounds, priced like the
                                   // pagerank iteration family)
     "pipeline_corpus_report" -> 0.65,

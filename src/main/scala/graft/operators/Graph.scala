@@ -124,6 +124,10 @@ object Graph {
     * (the [[Clusters]] loop discipline). */
   def bfsEdges(pairs: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     val pinned = pairs.cache()
+    // NOT pre-partitioned (unlike labelPropEdges/kcoreEdgesKv): the
+    // frontier side is tiny and settles in a few early-exit rounds, so
+    // the upfront repartition shuffle never amortizes — measured ~12%
+    // slower with it at sf0.1
     val edges = pinned
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
@@ -258,11 +262,20 @@ object Graph {
     * returns the final (node, lbl) assignment. */
   def labelPropEdges(pairs: DataFrame, rounds: Int): DataFrame = {
     val pinned = pairs.cache()
+    // cached PRE-PARTITIONED on dst: the explode inherits the distinct's
+    // hash(a, b) partitioning, under which every round's labels join on
+    // dst would re-shuffle all E edge rows — one explicit repartition
+    // makes the cache layout match the per-round join key, and the
+    // labels side (grouped by src = node) is already compatible, so a
+    // round's only E-sized shuffle is the count aggregation itself
+    // (the prCore withDeg discipline, where the deg join provides the
+    // same layout for free)
     val edges = pinned
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("dst"))
       .cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
@@ -471,11 +484,18 @@ object Graph {
     * data-derived scalar never round-trips through the driver). */
   def kcoreEdgesKv(pairs: DataFrame, kv: DataFrame, rounds: Int): DataFrame = {
     val pinned = pairs.cache()
+    // cached pre-partitioned on src: each round joins the alive set on
+    // src AND dst — only one can match the cache layout; src also feeds
+    // the round's degree groupBy, so hash(src) removes two of the three
+    // per-round E-sized shuffles (the labelPropEdges lesson — the
+    // checkpointed alive set has unknown stats, so neither join
+    // broadcasts)
     val edges = pinned
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
       .cache()
     val kvp = kv.localCheckpoint(true) // 1 row; pin so rounds don't recompute
     var alive = edges.select(col("src").as("node")).distinct().localCheckpoint()
