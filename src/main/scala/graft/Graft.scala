@@ -77,6 +77,19 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       unary("graft_simhash")(SimHashAgg(_))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.Shingles].getName, "graft_shingles"),
+      { children =>
+        require(children.length == 2, "graft_shingles expects (text, n)")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.IntegerType
+        val n = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles: n must be an INT literal, got $other")
+        }
+        graft.functions.Shingles(children.head, n)
+      }),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
       unary("graft_minhash_sig")(MinHashSig(_))),

@@ -59,6 +59,16 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT source, graft_simhash(xxhash64(text)) AS sh FROM documents GROUP BY source")
       .collect()
     assert(sh.length > 0 && sh.forall(!_.isNullAt(1)))
+    // native shingling straight from SQL text; equals the Column API
+    val shg = spark.sql(
+      "SELECT graft_shingles(text, 3) AS sh FROM documents ORDER BY doc_id LIMIT 5")
+      .collect().map(_.getSeq[String](0))
+    val shgOp = graft.Tables.documents(spark, sf001)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).limit(5)
+      .select(graft.functions.TextFunctions.shingles(
+        org.apache.spark.sql.functions.col("text"), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(shg.map(_.toSeq).toSeq === shgOp.map(_.toSeq).toSeq)
     // minhash signature over a SQL-built shingle array: 128 slots, all
     // inside [0, P)
     val sig = spark.sql(
