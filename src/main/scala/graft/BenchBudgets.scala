@@ -26,8 +26,9 @@ object BenchBudgets {
     "text_winnow" -> 1.2,  // re-frozen r10: native Shingles (was 2.0)
     "emb_quantize_int8" -> 0.65,  // frozen r6 (median 0.48)
     "emb_rp_project" -> 0.45,  // frozen r6 (median 0.28)
-    "graph_kcore" -> 3.5,  // re-frozen r10: src-partitioned edge cache (median 3.06; r6: early exit on a settled peel)
-                           // (median 2.94, was 5.01 at the full 8 rounds)
+    "graph_kcore" -> 3.5,  // re-frozen r10: src-partitioned edge cache
+                           // (median 3.06; supersedes the r6 early-exit
+                           // freeze at 4.0, whose median was 2.94)
     "graph_adamic_adar" -> 4.5,  // kept r9: the r8 1.8x sweep drift was
                                  // settled by a quiet-host BenchOne
                                  // (control 0.8x) at 4.20 after the

@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * a single space. Fewer than n tokens (or a NULL document) yield the
   * EMPTY array, never null, matching the `CASE WHEN … ELSE array()`
   * of the column form. */
-case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+case class Shingles(child: Expression, n: Int, nullOnNull: Boolean = false)
+  extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -36,12 +37,19 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = false // NULL text -> empty array
+  // `nullOnNull = false` (shingle consumers): NULL text -> EMPTY array,
+  // matching the old CASE WHEN ... ELSE array() column form.
+  // `nullOnNull = true` (the tokens() contract): NULL in -> NULL out —
+  // handled INSIDE the expression so the caller never has to reference
+  // the text subtree twice with an external isNull guard (a derived
+  // text column would be evaluated once per reference).
+  override def nullable: Boolean = nullOnNull && child.nullable
   override def prettyName: String = "graft_shingles"
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    compute(if (v == null) null else v.asInstanceOf[UTF8String])
+    if (v == null && nullOnNull) null
+    else compute(if (v == null) null else v.asInstanceOf[UTF8String])
   }
 
   /** The whole shingling pass; called once per row from generated code
@@ -95,17 +103,21 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val ref = ctx.addReferenceObj("shingler", this, classOf[Shingles].getName)
-    ev.copy(
-      code = code"""
-        ${c.code}
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-          $ref.compute(${c.isNull} ? null : ${c.value});
-      """,
-      isNull = FalseLiteral)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (nullOnNull) {
+      val ref = ctx.addReferenceObj("shingler", this, classOf[Shingles].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    } else {
+      val c = child.genCode(ctx)
+      val ref = ctx.addReferenceObj("shingler", this, classOf[Shingles].getName)
+      ev.copy(
+        code = code"""
+          ${c.code}
+          org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            $ref.compute(${c.isNull} ? null : ${c.value});
+        """,
+        isNull = FalseLiteral)
+    }
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)

@@ -17,13 +17,14 @@ object TextFunctions {
   /** Whitespace tokenization, empty tokens dropped (KeywordUtil
     * analog). A 1-gram IS a token, so this rides the native
     * [[Shingles]] byte scan (r10) instead of the CodegenFallback
-    * `filter(split(...))` lambda pair; the `isNull` guard preserves
-    * the old form's NULL-in → NULL-out (Shingles yields the empty
-    * array on NULL, the shingle consumers' contract). */
+    * `filter(split(...))` lambda pair. `nullOnNull` preserves the old
+    * form's NULL-in → NULL-out inside the expression — an external
+    * isNull guard would reference (and for a derived text column,
+    * evaluate) the text subtree twice. */
   def tokens(text: Column): Column =
-    when(text.isNull, lit(null).cast("array<string>"))
-      .otherwise(org.apache.spark.sql.GraftColumnBridge.column(
-        Shingles(org.apache.spark.sql.GraftColumnBridge.expression(text), 1)))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Shingles(org.apache.spark.sql.GraftColumnBridge.expression(text), 1,
+        nullOnNull = true))
 
   /** BPE-ish regex token count: word pieces, digits, or any other
     * non-space symbol each count as one token. */

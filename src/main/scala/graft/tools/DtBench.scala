@@ -23,16 +23,20 @@ object DtBench {
   private def allScans(plan: org.apache.spark.sql.execution.SparkPlan)
     : Seq[FileSourceScanExec] =
     plan.collect { case f: FileSourceScanExec => f } ++
+      // nested execution trees collect() won't enter: materialized AQE
+      // stages AND nested adaptive plans (a cached-plan stage wraps its
+      // own AdaptiveSparkPlanExec)
       plan.collect {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q
-      }.flatMap(q => allScans(q.plan))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.flatMap(allScans)
 
   private def filesRead(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
     val executed = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val scans = allScans(executed)
+    val scans = executed.subqueries.flatMap(allScans) ++ allScans(executed)
     (scans.map(_.metrics("numFiles").value).sum,
       scans.map(_.metrics("filesSize").value).sum)
   }
@@ -48,8 +52,11 @@ object DtBench {
       val n = df.collect().length.toLong
       ((System.nanoTime() - t0) / 1e9, filesRead(df), n)
     }
-    val med = runs.map(_._1).sorted.apply(1)
-    (med, runs.head._2._1, runs.head._2._2, runs.head._3)
+    // report the MEDIAN run's metrics with its time — AQE may plan
+    // runs differently, so run 1's files_read need not describe the
+    // run whose wall-clock is printed
+    val med = runs.sortBy(_._1).apply(1)
+    (med._1, med._2._1, med._2._2, med._3)
   }
 
   def main(args: Array[String]): Unit = {

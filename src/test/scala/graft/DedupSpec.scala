@@ -26,11 +26,18 @@ class DedupSpec extends SparkSpec {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.MinHashSig
     graft.Graft.registerFunctions(spark)
-    // independent driver-side reference over the same shingle arrays
+    // independent driver-side reference over the same shingle arrays;
+    // ONE frame carries every column both assertion blocks below need
+    // (a second pipeline build would have to be edited in lockstep)
     val rows = Tables.documents(spark, sf0001).limit(20)
       .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", call_function("graft_minhash_sig", col("sh")))
+      .withColumn("bands", call_function("graft_minhash_bands", col("sh")))
+      .withColumn("viaSig", array((0 until MinHashSig.NumBands).map { b =>
+        xxhash64((b * MinHashSig.BandRows until (b + 1) * MinHashSig.BandRows)
+          .map(i => element_at(col("sig"), i + 1)): _*)
+      }: _*))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -51,17 +58,7 @@ class DedupSpec extends SparkSpec {
     }
     // the fused bands expression folds exactly the xxhash64 chain the
     // column formulation computes over the signature slots
-    val bandRows = Tables.documents(spark, sf0001).limit(20)
-      .select(col("doc_id"), graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", call_function("graft_minhash_sig", col("sh")))
-      .withColumn("bands", call_function("graft_minhash_bands", col("sh")))
-      .withColumn("viaSig", array((0 until MinHashSig.NumBands).map { b =>
-        xxhash64((b * MinHashSig.BandRows until (b + 1) * MinHashSig.BandRows)
-          .map(i => element_at(col("sig"), i + 1)): _*)
-      }: _*))
-      .collect()
-    bandRows.foreach { r =>
+    rows.foreach { r =>
       assert(r.getSeq[Long](3) === r.getSeq[Long](4),
         s"fused band keys diverge from xxhash64-over-signature for doc ${r.getLong(0)}")
     }
