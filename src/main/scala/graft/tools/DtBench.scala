@@ -121,6 +121,29 @@ object DtBench {
     val (gmvFlatSec, gmvFlatFiles, gmvFlatBytes, _) = timed3(gmvDayFlat)(spark)
     val (visSec, visFiles, visBytes, visRows) = timed3(visitorDay)(spark)
 
+    // maintenance pass: fragment one events day into micro-batch-sized
+    // files (the streaming-sink aftermath), compact it, and show the
+    // one-day query is unchanged — the per-PARTITION compaction
+    // contract of FileSources.compact on the dt layout
+    val dayDir = s"$eventsPath/dt=$evDay"
+    val frag = spark.read.parquet(dayDir)
+    val rowsBefore = frag.count()
+    frag.repartition(64).write.mode("overwrite")
+      .option("maxRecordsPerFile", 50).parquet(dayDir + ".tmp")
+    val rm = new scala.reflect.io.Directory(new java.io.File(dayDir)).deleteRecursively()
+    require(rm, s"could not clear $dayDir")
+    require(new java.io.File(dayDir + ".tmp").renameTo(new java.io.File(dayDir)))
+    val t0 = System.nanoTime()
+    val (fBefore, fAfter) = graft.sources.FileSources.compact(
+      spark, dayDir, targetBytes = 4L * 1024 * 1024)
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val (visSec2, visFiles2, _, visRows2) = timed3(visitorDay)(spark)
+    require(visRows2 == visRows && spark.read.parquet(dayDir).count() == rowsBefore,
+      "compaction changed the day's rows")
+    println(s"[dtbench] compaction: dt=$evDay fragmented to $fBefore files, " +
+      f"compacted to $fAfter in $compactSec%.2f s; one-day visitor stats " +
+      f"after: files_read=$visFiles2 median=$visSec2%.2f s (rows identical)")
+
     println(s"[dtbench] orders: $orParts dt-partitions, $orFiles files total; " +
       s"one-day gmv ($orDay): files_read=$gmvFiles bytes_read=$gmvBytes rows=$gmvRows " +
       f"median=$gmvSec%.2f s | flat layout: files_read=$gmvFlatFiles " +
