@@ -139,6 +139,119 @@ class PlanAuditSpec extends SparkSpec {
         "either partition the window or whitelist it with the boundedness argument")
   }
 
+  /** Aggregate-function classes that are CodegenFallback because Spark
+    * has NO codegen path for imperative aggregates at all (they run
+    * inside ObjectHashAggregate / SortAggregate, updating a typed
+    * buffer once per input row, or produce one scalar per finished
+    * group). They are the cost of the operator itself, not an
+    * interpreted lambda chain in a per-row projection, so they are
+    * allowed globally. */
+  private val fallbackAggClasses: Set[String] = Set(
+    "HyperLogLogPlusPlus", // approx_count_distinct — Spark built-in imperative agg
+    "HllSketchAgg", "HllUnionAgg", "HllSketchEstimate", // DataSketches HLL agg + once-per-group estimate scalar
+    "ThetaSketchAgg", "ThetaIntersectCard", // theta sketches: agg + once-per-group intersection scalar
+    "BitmapAgg", "BitmapUnionCard", "BitmapAndCard", // graft roaring-style bitmap agg + group-scalar cards
+    "TopKFreqAgg", // graft SpaceSaving heavy-hitters agg
+    "CollectList", "CollectSet", // bounded-group collection by documented contract at each site
+    "PivotFirst") // pivot's per-column first-agg; bounded by the pivoted key domain
+
+  /** Lambda / higher-order-function CodegenFallback sites, pinned
+    * EXACTLY per query (the ExchangeBudgets recipe applied to
+    * expressions). Every entry carries the boundedness or frequency
+    * argument for why interpreted eval is acceptable THERE; a new
+    * fallback class appearing anywhere — including in a whitelisted
+    * query — turns this suite red. The round-10 lesson this pin
+    * protects: an interpreted lambda pipeline on a corpus path
+    * multiplied ~7x per row until replaced by the codegen'd
+    * `graft_shingles` (functions/Shingles.scala); the native
+    * expressions must not silently rot back into lambdas. */
+  private val hofLambda = Set("LambdaFunction", "NamedLambdaVariable")
+  private val fallbackAllowed: Map[String, (Set[String], String)] = Map(
+    "ads_basket_affinity" -> (hofLambda ++ Set("ArraySort"),
+      "per-order item sets: bounded by basket size (~few items), sorted once per order"),
+    "ann_ivf" -> (hofLambda ++ Set("ArraySort"),
+      "probe-list sort over k=8 centroid distances on the capped (8-row) query side only"),
+    "ann_ivf_pq" -> (hofLambda ++ Set("ArraySort"),
+      "probe-list sort over k=8 centroid distances on the capped query side only"),
+    "ann_lsh" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
+      "16-hyperplane signature fold per row over a literal plane table; hot dots go through graft_dot; measured within budget (BenchBudgets)"),
+    "dedup_embedding" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
+      "hyperplane bucket signature per row + exact-cosine verify on banded candidates only"),
+    "dedup_semantic" -> (hofLambda ++ Set("ArraySort"),
+      "per-cluster candidate ordering; cluster size bounded by the IVF centroid fan-in"),
+    "dedup_span_removal" -> (hofLambda ++ Set("ArraySort", "ArrayTransform"),
+      "per-doc matched-span arrays: bounded by spans actually found in the doc"),
+    "dwd_cdc_ops" -> (hofLambda ++ Set("ArrayFilter", "ArrayTransform"),
+      "CDC envelope op arrays: bounded by ops per envelope, once per CDC record"),
+    "dwd_props_explode" -> (Set("JsonToStructs"),
+      "from_json is CodegenFallback in Spark itself; no codegen'd JSON parser exists — inherent operator cost"),
+    "ea_path_analysis" -> (hofLambda ++ Set("ArrayTransform"),
+      "per-session path arrays: bounded by session length after sessionize"),
+    "emb_ann_recall" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
+      "recall harness: folds run on the capped (8-row) query side join only"),
+    "emb_knn_graph_lsh" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
+      "exact-cosine verify per banded candidate pair; occupancy pinned ~16/bucket in-plan, candidates O(n log n)"),
+    "emb_outliers" -> (hofLambda ++ Set("ArrayAggregate", "ArraySort", "ArrayTransform", "ZipWith"),
+      "distance fold per row against k=8 broadcast centroids; centroid assembly is a k-bounded collect"),
+    "emb_rp_project" -> (hofLambda ++ Set("ArrayTransform"),
+      "16 projection coefficients per row, each a native graft_dot; the transform only assembles the output array"),
+    "emb_whiten" -> (hofLambda ++ Set("ZipWith"),
+      "one centering subtraction per row (dim-bounded); projections are native graft_dot"),
+    "mm_chunk_binary" -> (hofLambda ++ Set("ArrayTransform"),
+      "chunk-offset assembly per binary row; rows are few and large by design"),
+    "mm_reassemble" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform"),
+      "per-file chunk list: bounded by chunk count per reassembled binary"),
+    "mm_scene_cut" -> (hofLambda ++ Set("ArrayAggregate", "ArrayFilter", "ArrayTransform"),
+      "per-video frame-delta arrays: bounded by sampled frame count per row"),
+    "mm_video_container" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform"),
+      "per-container frame index arrays: bounded by frames per video row"),
+    "q_listagg" -> (hofLambda ++ Set("ArraySort"),
+      "per-group value lists: bounded group domain by documented contract"),
+    "text_chunk" -> (hofLambda ++ Set("ArrayTransform"),
+      "chunk boundary assembly per doc over native-tokenized offsets; bounded by doc token count / chunk size"),
+    "text_classifier_score" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform"),
+      "per-doc score fold over the plan-literal model row; one pass per doc over native tokens"),
+    "text_hash_split" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform"),
+      "split-bucket assembly per doc; one bounded fold per row"),
+    "text_lm_bigram" -> (hofLambda ++ Set("ZipWith"),
+      "token/lag zip per doc over native tokens; the LM lookup itself is an equi-join"),
+    "text_pack" -> (hofLambda ++ Set("ArrayTransform"),
+      "per-pack doc-list assembly: bounded by docs per pack (greedy fill)"),
+    "text_quality_gate" -> (hofLambda ++ Set("ArrayAggregate", "ArraySort"),
+      "per-doc quality folds over native tokens; one pass per doc"),
+    "text_repetition" -> (hofLambda ++ Set("ArrayAggregate", "ArraySort"),
+      "Gopher repetition folds over native shingles; one pass per doc"),
+    "text_winnow" -> (hofLambda ++ Set("ArrayTransform"),
+      "window-min selection over native rolling hashes; bounded by doc gram count"),
+    "ts_holt" -> (hofLambda ++ Set("ArrayAggregate"),
+      "day-grain series fold: one array of ~90 days total, evaluated once"),
+    "ts_seasonality" -> (hofLambda ++ Set("ArrayAggregate", "ArraySort", "ArrayTransform"),
+      "day-grain series folds: calendar-bounded arrays, evaluated once per series"))
+
+  test("CodegenFallback expressions appear only in the pinned whitelist") {
+    val live = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (CodegenAuditSupport.fallbackClasses(fn(spark, sf0001)) -- fallbackAggClasses)
+    }.filter(_._2.nonEmpty).toMap
+    // the detector must actually detect: ann_lsh's hyperplane fold is a
+    // KNOWN lambda site — if the walker breaks, this catches it
+    assert(live.get("ann_lsh").exists(_.contains("ZipWith")),
+      s"detector failed its sentinel; ann_lsh classes: ${live.get("ann_lsh")}")
+    val offenders = live.toSeq.sortBy(_._1).flatMap { case (name, classes) =>
+      fallbackAllowed.get(name) match {
+        case None => Some(s"$name: ${classes.toSeq.sorted.mkString(",")} (not whitelisted)")
+        case Some((allowed, _)) if classes != allowed =>
+          Some(s"$name: live ${classes.toSeq.sorted.mkString(",")} != pinned ${allowed.toSeq.sorted.mkString(",")}")
+        case _ => None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"CodegenFallback drift — replace with a codegen'd expression (the " +
+        s"graft_shingles recipe) or re-pin with a boundedness reason:\n  ${offenders.mkString("\n  ")}")
+    val stale = fallbackAllowed.keySet -- live.keySet
+    assert(stale.isEmpty,
+      s"whitelist entries whose queries no longer have fallback expressions (remove them): $stale")
+  }
+
   test("shuffle-exchange counts match the frozen ExchangeBudgets table exactly") {
     // the plan-shape analog of the BenchBudgets wall-clock freeze: a
     // lost broadcast or a new shuffle changes this count even when
