@@ -49,7 +49,11 @@ object ExchangeBudgets {
     "ann_lsh" -> 2,
     "dedup_bloom_gate" -> 2,
     "dedup_clusters" -> 2,
-    "dedup_containment" -> 13,
+    // r11 PPJoin-style positional bound: per-doc (sz, hc) stats agg +
+    // two stat joins moved above the verify join + the explicit (i, j)
+    // reuse exchange — static count up 13 → 21, runtime work DOWN
+    // (5×-data growth 9.2× → 3.2×, BENCH_NOTES r11)
+    "dedup_containment" -> 21,
     "dedup_embedding" -> 2,
     "dedup_exact" -> 2,
     "dedup_gram_frac" -> 3,
@@ -122,7 +126,7 @@ object ExchangeBudgets {
     "emb_ann_recall" -> 6,
     "emb_centroids" -> 2,
     "emb_dim_stats" -> 2,
-    "emb_knn_graph" -> 2,
+    "emb_knn_graph" -> 3,  // r11: +1 for the in-plan corpus-bound guard's 1-row count
     "emb_knn_graph_lsh" -> 4,
     "emb_outliers" -> 6,
     "emb_pca" -> 1,

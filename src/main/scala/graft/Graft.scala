@@ -81,12 +81,26 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.Shingles].getName, "graft_shingles"),
       { children =>
         require(children.length == 2, "graft_shingles expects (text, n)")
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        import org.apache.spark.sql.types.IntegerType
-        val n = children(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_shingles: n must be an INT literal, got $other")
+        import org.apache.spark.sql.AnalysisException
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        // accept any FOLDABLE integral n (a bare literal, CAST(3 AS
+        // INT), 1+2, a smallint literal, ...) — the SQL surface should
+        // fail with an AnalysisException, not a raw require/match error
+        def bad(what: String): Nothing = throw new AnalysisException(
+          "INVALID_PARAMETER_VALUE.INTEGER",
+          Map("parameter" -> "`n`", "functionName" -> "`graft_shingles`",
+            "invalidValue" -> what))
+        val nExpr = children(1)
+        if (!nExpr.foldable) bad(s"non-foldable ${nExpr.sql}")
+        val n = nExpr.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            nExpr.eval() match {
+              case null => bad("NULL")
+              case v: java.lang.Number if v.longValue >= 1 && v.longValue <= 64 =>
+                v.intValue
+              case v => bad(s"out-of-range value $v (need 1..64)")
+            }
+          case dt => bad(s"type ${dt.sql}")
         }
         graft.functions.Shingles(children.head, n)
       }),

@@ -35,52 +35,14 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    import MinHashSig._
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(NumHashes)(Prime)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val base = java.lang.Math.floorMod(
-          XXH64.hashUTF8String(arr.getUTF8String(i), 42L), Prime)
-        var j = 0
-        while (j < NumHashes) {
-          val v = java.lang.Math.floorMod(A(j) * base + B(j), Prime)
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashSig.signatureOf(input.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val a = ctx.addReferenceObj("minhashA", MinHashSig.A, "long[]")
-      val b = ctx.addReferenceObj("minhashB", MinHashSig.B, "long[]")
       val mins = ctx.freshName("mins")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val base = ctx.freshName("base")
-      val v = ctx.freshName("v")
-      val k = MinHashSig.NumHashes
-      val p = MinHashSig.Prime
       s"""
-         |long[] $mins = new long[$k];
-         |java.util.Arrays.fill($mins, ${p}L);
-         |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  if (!$c.isNullAt($i)) {
-         |    long $base = java.lang.Math.floorMod(
-         |      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-         |        $c.getUTF8String($i), 42L), ${p}L);
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      long $v = java.lang.Math.floorMod($a[$j] * $base + $b[$j], ${p}L);
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
-         |    }
-         |  }
-         |}
+         |${MinHashSig.sigLoopCode(ctx, c, mins)}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
     })
@@ -119,22 +81,7 @@ case class MinHashBands(child: Expression) extends UnaryExpression {
 
   override protected def nullSafeEval(input: Any): Any = {
     import MinHashSig._
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(NumHashes)(Prime)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val base = java.lang.Math.floorMod(
-          XXH64.hashUTF8String(arr.getUTF8String(i), 42L), Prime)
-        var j = 0
-        while (j < NumHashes) {
-          val v = java.lang.Math.floorMod(A(j) * base + B(j), Prime)
-          if (v < mins(j)) mins(j) = v
-          j += 1
-        }
-      }
-      i += 1
-    }
+    val mins = signatureOf(input.asInstanceOf[ArrayData])
     val bands = new Array[Long](NumBands)
     var b = 0
     while (b < NumBands) {
@@ -152,35 +99,15 @@ case class MinHashBands(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val a = ctx.addReferenceObj("minhashA", MinHashSig.A, "long[]")
-      val bc = ctx.addReferenceObj("minhashB", MinHashSig.B, "long[]")
       val mins = ctx.freshName("mins")
       val bands = ctx.freshName("bands")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
       val b = ctx.freshName("b")
       val k = ctx.freshName("k")
-      val base = ctx.freshName("base")
-      val v = ctx.freshName("v")
       val h = ctx.freshName("h")
-      val nh = MinHashSig.NumHashes
       val nb = MinHashSig.NumBands
       val br = MinHashSig.BandRows
-      val p = MinHashSig.Prime
       s"""
-         |long[] $mins = new long[$nh];
-         |java.util.Arrays.fill($mins, ${p}L);
-         |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  if (!$c.isNullAt($i)) {
-         |    long $base = java.lang.Math.floorMod(
-         |      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-         |        $c.getUTF8String($i), 42L), ${p}L);
-         |    for (int $j = 0; $j < $nh; $j++) {
-         |      long $v = java.lang.Math.floorMod($a[$j] * $base + $bc[$j], ${p}L);
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
-         |    }
-         |  }
-         |}
+         |${MinHashSig.sigLoopCode(ctx, c, mins)}
          |long[] $bands = new long[$nb];
          |for (int $b = 0; $b < $nb; $b++) {
          |  long $h = 42L;
@@ -216,6 +143,59 @@ object MinHashSig {
     var k = 0
     while (k < BandRows) { h = XXH64.hashLong(Prime, h); k += 1 }
     h
+  }
+
+  /** The ONE source of the min-signature fold (ADVICE r10: eval and
+    * codegen in both [[MinHashSig]] and [[MinHashBands]] used to carry
+    * verbatim copies a drive-by edit could silently desynchronize).
+    * Interpreted form: the 128-slot running-min signature of a shingle
+    * array. */
+  private[functions] def signatureOf(arr: ArrayData): Array[Long] = {
+    val mins = Array.fill(NumHashes)(Prime)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val base = java.lang.Math.floorMod(
+          XXH64.hashUTF8String(arr.getUTF8String(i), 42L), Prime)
+        var j = 0
+        while (j < NumHashes) {
+          val v = java.lang.Math.floorMod(coeffA(j) * base + coeffB(j), Prime)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** Codegen twin of [[signatureOf]]: emits Java that leaves the
+    * signature in a fresh `long[] <minsVar>`. Both expressions splice
+    * this ONE snippet, so the fold logic cannot drift between them. */
+  private[functions] def sigLoopCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      c: String, minsVar: String): String = {
+    val a = ctx.addReferenceObj("minhashA", A, "long[]")
+    val b = ctx.addReferenceObj("minhashB", B, "long[]")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val base = ctx.freshName("base")
+    val v = ctx.freshName("v")
+    s"""
+       |long[] $minsVar = new long[$NumHashes];
+       |java.util.Arrays.fill($minsVar, ${Prime}L);
+       |for (int $i = 0; $i < $c.numElements(); $i++) {
+       |  if (!$c.isNullAt($i)) {
+       |    long $base = java.lang.Math.floorMod(
+       |      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+       |        $c.getUTF8String($i), 42L), ${Prime}L);
+       |    for (int $j = 0; $j < $NumHashes; $j++) {
+       |      long $v = java.lang.Math.floorMod($a[$j] * $base + $b[$j], ${Prime}L);
+       |      if ($v < $minsVar[$j]) $minsVar[$j] = $v;
+       |    }
+       |  }
+       |}
+     """.stripMargin.trim
   }
 
   /** The (a, b) universal-hash coefficients — THE canonical draw every

@@ -1184,7 +1184,6 @@ object Dedup {
     // per consumer with the shuffles shared via ReuseExchange
     val withSets = Tables.documents(s, d)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("set"))
-    val sizes = withSets.select(col("doc_id"), size(col("set")).as("sz"))
     val sh = withSets.select(col("doc_id"), explode(col("set")).as("shingle"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val tagged = sh.join(dfreq, "shingle")
@@ -1195,11 +1194,37 @@ object Dedup {
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("c_r"))
     val hotRows = tagged.filter(col("df") > HotDf)
+    // PPJoin-style positional bound (the round-11 verify-term lever):
+    // shared = c_r + c_h and c_h can never exceed min(|hot(i)|,
+    // |hot(j)|), so round((c_r + min(hc)) / min(sz), 6) < τ proves the
+    // pair can't qualify — prune it BEFORE the hot-intersection join,
+    // which is the term that dominated the 5× growth row (round() is
+    // monotonic, so the cut is exactly output-invariant). Both per-doc
+    // stats (set size, hot-shingle count) come from ONE aggregate over
+    // the already-materialized tagged stream, and the candidate stream
+    // is joined exactly twice (i, j) — the same two stat joins the
+    // un-levered plan spent at its tail, just moved above the verify
+    // join so they prune instead of decorate.
+    val stats = tagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("sz"),
+      sum(when(col("df") > HotDf, 1L).otherwise(0L)).as("hc"))
+    val bounded = cRare
+      .join(stats.select(col("doc_id").as("i"), col("sz").as("sz_i"), col("hc").as("hc_i")), "i")
+      .join(stats.select(col("doc_id").as("j"), col("sz").as("sz_j"), col("hc").as("hc_j")), "j")
+      .filter(round(
+        (col("c_r") + least(col("hc_i"), col("hc_j")))
+          .cast("double") / least(col("sz_i"), col("sz_j")), 6) >= tau)
+      // bounded feeds BOTH the verify join and the final assembly; the
+      // stat joins above are broadcast builds, which leave no exchange
+      // for reuse (the minhash-band lesson) — this explicit (i, j)
+      // shuffle is the reuse point, and the final (i, j) sort-merge
+      // join needs exactly this partitioning anyway
+      .repartition(col("i"), col("j"))
     // only pairs with BOTH ends touching a hot shingle can share one —
     // the same left_semi cut ngramJaccardDocs applies before its hot
     // re-count (measured 6.2 → ~4.4 s at sf0.1 without it)
     val hotDocs = hotRows.select(col("doc_id")).distinct()
-    val cHot = cRare.select(col("i"), col("j"))
+    val cHot = bounded.select(col("i"), col("j"))
       .join(hotDocs.select(col("doc_id").as("i")), Seq("i"), "left_semi")
       .join(hotDocs.select(col("doc_id").as("j")), Seq("j"), "left_semi")
       .join(hotRows.select(col("doc_id").as("i"), col("shingle").as("s_i")), "i")
@@ -1207,10 +1232,8 @@ object Dedup {
       .filter(col("s_i") === col("s_j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("c_h"))
-    cRare.join(cHot, Seq("i", "j"), "left")
+    bounded.join(cHot, Seq("i", "j"), "left")
       .withColumn("shared", col("c_r") + coalesce(col("c_h"), lit(0L)))
-      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j")), "j")
       .withColumn("containment",
         round(col("shared").cast("double") / least(col("sz_i"), col("sz_j")), 6))
       .filter(col("containment") >= tau)

@@ -39,6 +39,13 @@ object Similarity {
     * recall denominator can never drift from the result-set size. */
   private[graft] val AnnK = 5
 
+  /** Declared corpus bound for [[knnGraph]], the registered all-pairs
+    * exactness baseline. Past this, the quadratic pair set stops being
+    * a baseline and starts being an outage (10¹⁰ pairs at the bound);
+    * the in-plan guard raises instead of running. [[knnGraphLsh]] is
+    * the unbounded production path. */
+  private[graft] val KnnGraphMaxRows = 100000L
+
   /** Exact top-k cosine neighbors for the first `nQueries` vectors.
     * The query side is broadcast; ranking is a per-query window with a
     * deterministic tie-break. */
@@ -178,12 +185,28 @@ object Similarity {
     * [[annBruteforce]]); one side rides as a broadcast so the corpus
     * is scanned once, and ranking is the per-query window. At corpus
     * scale the quadratic pair set is the point of [[knnGraphLsh]] —
-    * this op is the small-side / recall-reference baseline. */
-  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    * this op is the small-side / recall-reference baseline, and it
+    * GUARDS against misuse: an in-plan corpus count (1-row broadcast
+    * scalar, the graph_kcore derived-k recipe) raises a loud error
+    * past [[KnnGraphMaxRows]] instead of silently attempting n² on a
+    * production corpus. The guard rides inside the broadcast side's
+    * norm column so column pruning can never drop it. */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3,
+      maxRows: Long = KnnGraphMaxRows): DataFrame = {
     // norms are computed ONCE per vector before the pair join (the
     // pair set is quadratic; a per-pair norm would triple its cost)
     val c = corpus(s, d).withColumn("nrm", norm(col("v")))
+    val n1 = corpus(s, d).agg(count(lit(1)).as("n"))
     val q = c.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(n1))
+      .select(col("q_id"), col("qv"),
+        when(col("n") > maxRows,
+          raise_error(concat(
+            lit("emb_knn_graph is the declared all-pairs exactness baseline (bound n <= "),
+            lit(maxRows).cast("string"), lit("); corpus has "), col("n").cast("string"),
+            lit(" rows - use emb_knn_graph_lsh for production corpora")))
+            .cast("double"))
+          .otherwise(col("qn")).as("qn"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nbr_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))

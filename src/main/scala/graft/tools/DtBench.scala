@@ -16,30 +16,11 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.DtBench"` */
 object DtBench {
 
-  /** numFiles metric summed over every parquet scan in the EXECUTED
-    * plan (post-AQE), i.e. files actually read after partition
-    * pruning. AQE buries scans inside materialized QueryStageExec
-    * subtrees, which `collect` does not descend into — recurse. */
-  private def allScans(plan: org.apache.spark.sql.execution.SparkPlan)
-    : Seq[FileSourceScanExec] =
-    plan.collect { case f: FileSourceScanExec => f } ++
-      // nested execution trees collect() won't enter: materialized AQE
-      // stages AND nested adaptive plans (a cached-plan stage wraps its
-      // own AdaptiveSparkPlanExec)
-      plan.collect {
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-      }.flatMap(allScans)
-
-  private def filesRead(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-    val executed = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val scans = executed.subqueries.flatMap(allScans) ++ allScans(executed)
-    (scans.map(_.metrics("numFiles").value).sum,
-      scans.map(_.metrics("filesSize").value).sum)
-  }
+  // the AQE-stage-recursing metric walk lives in
+  // graft.sources.ScanMetrics, SHARED with the FileSourcesSpec gate
+  // test so the per-commit pruning check and this benchmark agree
+  private def filesRead(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+    graft.sources.ScanMetrics.filesRead(df)
 
   private def timed3(build: => org.apache.spark.sql.DataFrame)(
     spark: org.apache.spark.sql.SparkSession): (Double, Long, Long, Long) = {
@@ -76,13 +57,16 @@ object DtBench {
       graft.Tables.orders(spark, sfDir), ordersPath, "o_orderdate", 20000L)
 
     def countFiles(path: String): (Long, Long) = {
-      val root = new java.io.File(path)
-      val parts = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      val parts = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("dt="))
       (parts.length.toLong,
-        parts.map(_.listFiles().count(_.getName.endsWith(".parquet")).toLong).sum)
+        parts.map(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")).toLong).sum)
     }
     val (evParts, evFiles) = countFiles(eventsPath)
     val (orParts, orFiles) = countFiles(ordersPath)
+    require(evParts > 0 && orParts > 0,
+      s"dt layout write produced no dt= partitions under $base")
 
     // pick a middle day of each table
     val evDay = spark.read.parquet(eventsPath)
@@ -125,14 +109,19 @@ object DtBench {
     // files (the streaming-sink aftermath), compact it, and show the
     // one-day query is unchanged — the per-PARTITION compaction
     // contract of FileSources.compact on the dt layout
+    // stage the fragmented rewrite OUTSIDE the partitioned root: a tmp
+    // dir inside it would register as a bogus 'dt=<day>.tmp' partition
+    // (with duplicated rows) for any reader that lands between the
+    // write and the rename, or forever if this run dies there
     val dayDir = s"$eventsPath/dt=$evDay"
+    val stageDir = s"$base/tmp/frag_dt=$evDay"
     val frag = spark.read.parquet(dayDir)
     val rowsBefore = frag.count()
     frag.repartition(64).write.mode("overwrite")
-      .option("maxRecordsPerFile", 50).parquet(dayDir + ".tmp")
+      .option("maxRecordsPerFile", 50).parquet(stageDir)
     val rm = new scala.reflect.io.Directory(new java.io.File(dayDir)).deleteRecursively()
     require(rm, s"could not clear $dayDir")
-    require(new java.io.File(dayDir + ".tmp").renameTo(new java.io.File(dayDir)))
+    require(new java.io.File(stageDir).renameTo(new java.io.File(dayDir)))
     val t0 = System.nanoTime()
     val (fBefore, fAfter) = graft.sources.FileSources.compact(
       spark, dayDir, targetBytes = 4L * 1024 * 1024)

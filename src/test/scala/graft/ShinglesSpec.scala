@@ -86,8 +86,36 @@ class ShinglesSpec extends SparkSpec {
         .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       (0 until got.numElements()).map(got.getUTF8String(_).toString) == expect
     }
-    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    // pinned seed: a counterexample must replay deterministically in CI
+    // (ADVICE r10) — bump the literal to explore a different stream
+    val seed = org.scalacheck.rng.Seed(20260815L)
+    val res = check(
+      Parameters.default.withMinSuccessfulTests(500).withInitialSeed(seed), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("SQL surface: n accepts any foldable integral; bad n is an AnalysisException") {
+    graft.Graft.registerFunctions(spark)
+    def run(sql: String): Seq[String] =
+      spark.sql(sql).head.getSeq[String](0)
+    val expect = Seq("a b c", "b c d")
+    // bare literal, folded arithmetic, CAST, and a narrower integral
+    // type all resolve (ADVICE r10: only a bare INT literal used to)
+    assert(run("SELECT graft_shingles('a b c d', 3)") === expect)
+    assert(run("SELECT graft_shingles('a b c d', 1 + 2)") === expect)
+    assert(run("SELECT graft_shingles('a b c d', CAST(3 AS INT))") === expect)
+    assert(run("SELECT graft_shingles('a b c d', CAST(3 AS SMALLINT))") === expect)
+    // non-integral, non-foldable, NULL and out-of-range n fail as
+    // proper AnalysisExceptions, not raw require/match errors
+    Seq(
+      "SELECT graft_shingles('a b', 'x')",
+      "SELECT graft_shingles('a b', n) FROM VALUES (2) t(n)",
+      "SELECT graft_shingles('a b', CAST(NULL AS INT))",
+      "SELECT graft_shingles('a b', 0)",
+      "SELECT graft_shingles('a b', 65)").foreach { bad =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).collect())
+      assert(e.getMessage.contains("graft_shingles"), s"$bad: ${e.getMessage}")
+    }
   }
 
   test("interpreted eval matches the corpus run and handles null directly") {

@@ -404,6 +404,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("kNN graph guard: refuses loudly past the declared all-pairs corpus bound") {
+    // the registered baseline must FAIL, not silently attempt n², when
+    // pointed at a corpus above its bound; the bound check is in-plan
+    // (a 1-row broadcast count), so it fires wherever the query runs
+    val err = intercept[Exception] {
+      Similarity.knnGraph(spark, sf0001, k = 3, maxRows = 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m.contains("all-pairs exactness baseline") && m.contains("emb_knn_graph_lsh")),
+      s"guard did not raise its message; got: ${messages(err).mkString(" | ")}")
+    // and at the shipped bound the output is unchanged (guard inert)
+    assert(Similarity.knnGraph(spark, sf0001, k = 3).count() > 0)
+  }
+
   test("LSH kNN graph: bounded rows, exact cosines, recall above the probe floor") {
     val k = 3
     val exact = Similarity.knnGraph(spark, sf0001, k = k).collect()
