@@ -58,10 +58,26 @@ con.execute(f"""COPY (
   {copies(lambda i: f"SELECT l_orderkey + {i * maxord} AS l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM '{src}/lineitem.parquet'")}
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
 
+# events: shift event_id AND user_id per copy — more USERS with the
+# same per-user session structure (a bigger site), never the same user
+# replayed 10x at identical timestamps (which would plant pathological
+# same-(user, ts) collisions in every sessionize/funnel/window op).
+# Timestamps stay in the original range so dt-layout and windowed ops
+# see denser days, not a longer calendar. (r11 — before this, events
+# copied through unchanged and the event families never scaled.)
+maxev = con.execute(f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+maxusr = con.execute(f"SELECT max(user_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+con.execute(f"""COPY (
+  {copies(lambda i: f'''
+    SELECT event_id + {i * maxev} AS event_id, ts,
+      user_id + {i * maxusr} AS user_id, event_type, value, props
+    FROM '{src}/events.parquet' ''')}
+) TO '{out}/events.parquet' (FORMAT PARQUET)""")
+
 # small tables copy through unchanged (dims are dims at any scale)
-for t in ["region", "nation", "customer", "supplier", "part", "events"]:
+for t in ["region", "nation", "customer", "supplier", "part"]:
     con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
-for t in ["documents", "embeddings", "orders", "lineitem"]:
+for t in ["documents", "embeddings", "orders", "lineitem", "events"]:
     n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
     print(t, n)

@@ -1,0 +1,140 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** Load soak for the stateful streaming mirrors (r10 verdict #5): the
+  * MemoryStream specs prove CORRECTNESS batch-by-batch but record
+  * nothing about throughput or state-store footprint under sustained
+  * load. This tool drives each stateful family member from a `rate`
+  * source at a per-op target rate for a fixed wall-clock soak and
+  * reports, from `StreamingQueryProgress`:
+  *   - sustained rows/s (mean processedRowsPerSecond over post-warmup
+  *     batches — if the op can't keep up, batches back up and this IS
+  *     the measured capacity, not the offered rate)
+  *   - state rows (`numRowsTotal`) and state memory
+  *     (`memoryUsedBytes`) at soak end, i.e. the footprint one
+  *     watermark horizon of load actually costs
+  *   - batches and total rows processed.
+  *
+  * Event synthesis mirrors the testdata's shape: user_id from a hash
+  * spread over [[NumUsers]] keys (state bounds are per-key claims —
+  * key cardinality is the lever), event_type a fixed 10-way mix with
+  * purchases rare (attribution/funnel conversions), ts = the rate
+  * source's own wall-clock timestamp so watermarks advance naturally.
+  * For the near-dup gate each row becomes a 40-word document of hashed
+  * hex words (shingle-able, near-unique — matches stay rare, as in a
+  * real ingest), and the corpus side is the sf0.01 documents table,
+  * exactly the batch `Dedup.bandIndex` build the op ships with.
+  *
+  * Usage: runMain graft.tools.StreamSoak [soakSeconds] [sfDir]
+  * Output: one human table + one JSON line per op on stdout.
+  */
+object StreamSoak {
+  private val NumUsers = 50000L
+
+  /** value → Evt columns (ts = rate-source event time). */
+  private def evt(rate: DataFrame): DataFrame = {
+    val types = array(
+      lit("view"), lit("view"), lit("view"), lit("click"), lit("click"),
+      lit("start"), lit("display"), lit("cart"), lit("favor"), lit("purchase"))
+    rate.select(
+      col("value").as("event_id"),
+      pmod(xxhash64(col("value")), lit(NumUsers)).as("user_id"),
+      element_at(types, (pmod(xxhash64(col("value"), lit(7)), lit(10)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(xxhash64(col("value"), lit(11)), lit(500)) + 1).cast("double").as("value"),
+      col("timestamp").as("ts"))
+  }
+
+  /** value → a 40-hashed-word document (codegen-friendly: a flat
+    * concat_ws over 40 xxhash64 terms, no lambda). */
+  private def doc(rate: DataFrame): DataFrame = {
+    val words = Seq.tabulate(40)(i => hex(xxhash64(col("value") * 131L + lit(i))))
+    rate.select(
+      col("value").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"),
+      col("timestamp").as("ts"))
+  }
+
+  private def rateSource(s: SparkSession, rps: Long): DataFrame =
+    s.readStream.format("rate")
+      .option("rowsPerSecond", rps)
+      .option("numPartitions", 8)
+      .load()
+
+  /** Runs one op for `soakSec` against a rate source at `rps`, returns
+    * the progress digest. */
+  private def soak(s: SparkSession, name: String, rps: Long, soakSec: Int)(
+      build: DataFrame => DataFrame): String = {
+    val out = build(rateSource(s, rps))
+    val q = out.writeStream
+      .format("noop")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime("2 seconds"))
+      .option("checkpointLocation", s"/tmp/soak_ckpt/$name")
+      .start()
+    try {
+      Thread.sleep(soakSec * 1000L)
+      val progress = q.recentProgress.toSeq
+      // warmup: drop the first third of batches (JIT + state-store open)
+      val settled = progress.drop(math.max(1, progress.size / 3))
+        .filter(_.numInputRows > 0)
+      val rowsPerSec =
+        if (settled.isEmpty) 0.0
+        else settled.map(_.processedRowsPerSecond).sum / settled.size
+      val totalRows = progress.map(_.numInputRows).sum
+      val last = progress.lastOption
+      val stateRows = last.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      val stateBytes = last.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+      val nStateOps = last.map(_.stateOperators.length).getOrElse(0)
+      f"""{"op":"$name","offered_rps":$rps,"rows_per_sec":$rowsPerSec%.0f,"batches":${progress.size},"total_rows":$totalRows,"state_rows":$stateRows,"state_bytes":$stateBytes,"state_operators":$nStateOps}"""
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val soakSec = args.headOption.map(_.toInt).getOrElse(45)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // fresh checkpoints per run (state footprint must start from zero)
+    val ckptRoot = java.nio.file.Paths.get("/tmp/soak_ckpt")
+    if (java.nio.file.Files.exists(ckptRoot)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptRoot).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val spark = graft.Bench.benchSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    import spark.implicits._
+    graft.Graft.registerFunctions(spark)
+
+    // the nearDupGate corpus: the shipped batch build over real docs
+    val corpus = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+
+    val results = Seq(
+      // windowed-distinct spectrum: rows-state vs bitmap-state vs HLL
+      soak(spark, "dauStream", 400000L, soakSec)(r => StreamOps.dauStream(evt(r))),
+      soak(spark, "bitmapDistinctWindowed", 400000L, soakSec)(r =>
+        StreamOps.bitmapDistinctWindowed(evt(r))),
+      soak(spark, "approxDistinctWindowed", 400000L, soakSec)(r =>
+        StreamOps.approxDistinctWindowed(evt(r))),
+      // flatMapGroupsWithState family: per-key touch/conversion state
+      soak(spark, "attributionStream", 200000L, soakSec)(r =>
+        StreamOps.attributionStream(evt(r).as[StreamOps.Evt]).toDF()),
+      soak(spark, "sequenceCountStream", 200000L, soakSec)(r =>
+        StreamOps.sequenceCountStream(evt(r).as[StreamOps.Evt]).toDF()),
+      // the ingest gate: shingle+128-hash signature per doc + band join
+      soak(spark, "nearDupGate", 20000L, soakSec)(r =>
+        StreamOps.nearDupGate(doc(r), corpus)))
+
+    println("=== StreamSoak results ===")
+    results.foreach(println)
+    spark.stop()
+  }
+}

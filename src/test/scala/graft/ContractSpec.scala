@@ -29,13 +29,17 @@ class ContractSpec extends SparkSpec {
     assert(problems.isEmpty, problems.mkString("\n"))
   }
 
-  /** Ops whose OUTPUT legitimately depends on partition merge order —
-    * approximation sketches whose merge is not exactly associative on
-    * doubles/summaries. Each is rows-only (never hash-compared) and
-    * its spec checks error bounds instead of exact values. */
-  private val mergeOrderSensitive = Set(
-    "q_quantile_approx", // GK/t-digest style summary: merge order shifts cut points
-    "q_heavy_hitters")   // Misra–Gries: counter decrements depend on partial order
+  /** Ops whose OUTPUT legitimately depends on partition merge order.
+    * EMPTY since r11: the two former members became invariant when r8
+    * promoted them to guarantee-witness cards — `q_quantile_approx`
+    * emits exact counts + rank-guarantee flags (the merge-order-
+    * dependent estimates stay on `quantilesApproxRaw`, spec-asserted),
+    * and `q_heavy_hitters` emits the EXACT frequent set at the n/k
+    * threshold (the MG sketch only PRUNES candidates; which extra
+    * sub-threshold candidates survive pruning varies with merge order
+    * but they are filtered out by the exact-count cut). Every
+    * registered query now reproduces itself under any partitioning. */
+  private val mergeOrderSensitive = Set.empty[String]
 
   test("every query is partitioning-invariant at sf0.001 (the oracle-compare premise)") {
     // the DuckDB hash compare only works because results do not depend
