@@ -38,7 +38,16 @@ import graft.streaming.StreamOps
 object StreamSoak {
   private val NumUsers = 50000L
 
-  /** value → Evt columns (ts = rate-source event time). */
+  /** value → Evt columns. Event time is an ACCELERATED synthetic
+    * clock — 1 ms of event time per row, so at 200k rows/s event time
+    * advances ~200× faster than wall clock and the 10-minute
+    * watermark horizon closes ~3 wall-seconds behind the head. The
+    * first soak ran on the rate source's own wall-clock timestamps
+    * and measured nothing but buffer accumulation: no event ever aged
+    * past the watermark inside the soak, so the buffer-until-ripe ops
+    * reported O(total-rows) state that was all unripe buffer. With
+    * the accelerated clock the ripen/prune cycle actually runs and
+    * state settles to the real per-horizon footprint. */
   private def evt(rate: DataFrame): DataFrame = {
     val types = array(
       lit("view"), lit("view"), lit("view"), lit("click"), lit("click"),
@@ -49,7 +58,7 @@ object StreamSoak {
       element_at(types, (pmod(xxhash64(col("value"), lit(7)), lit(10)) + 1).cast("int"))
         .as("event_type"),
       (pmod(xxhash64(col("value"), lit(11)), lit(500)) + 1).cast("double").as("value"),
-      col("timestamp").as("ts"))
+      timestamp_millis(lit(1700000000000L) + col("value")).as("ts"))
   }
 
   /** value → a 40-hashed-word document (codegen-friendly: a flat
@@ -59,7 +68,7 @@ object StreamSoak {
     rate.select(
       col("value").as("doc_id"),
       concat_ws(" ", words: _*).as("text"),
-      col("timestamp").as("ts"))
+      timestamp_millis(lit(1700000000000L) + col("value")).as("ts"))
   }
 
   private def rateSource(s: SparkSession, rps: Long): DataFrame =
@@ -124,9 +133,14 @@ object StreamSoak {
         StreamOps.bitmapDistinctWindowed(evt(r))),
       soak(spark, "approxDistinctWindowed", 400000L, soakSec)(r =>
         StreamOps.approxDistinctWindowed(evt(r))),
-      // flatMapGroupsWithState family: per-key touch/conversion state
+      // flatMapGroupsWithState family: per-key touch/conversion state.
+      // 1-hour lookback window (event time): at the accelerated clock
+      // that is ~18 wall-seconds, so horizon pruning runs IN-soak —
+      // the default 24 h window would simply never prune here and the
+      // reading would again be accumulation, not footprint
       soak(spark, "attributionStream", 200000L, soakSec)(r =>
-        StreamOps.attributionStream(evt(r).as[StreamOps.Evt]).toDF()),
+        StreamOps.attributionStream(evt(r).as[StreamOps.Evt],
+          windowUs = 3600000000L).toDF()),
       soak(spark, "sequenceCountStream", 200000L, soakSec)(r =>
         StreamOps.sequenceCountStream(evt(r).as[StreamOps.Evt]).toDF()),
       // the ingest gate: shingle+128-hash signature per doc + band join
