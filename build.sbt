@@ -27,7 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra forked-JVM flags for bench experiments (GC logging/tuning),
+  // e.g. SPARK_GRAFT_JVM_OPTS="-Xlog:gc:file=/tmp/gc.log"
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+"))
 // Suites share one SparkSession (SparkSpec.session) and some tests
 // mutate session confs (BucketingSpec) — run suites serially.
 Test / parallelExecution := false

@@ -4,12 +4,17 @@
 sf0.1 tables FACTOR times with key shifts, so the headline iterative
 operators can be timed at ~5x rows without touching /root/testdata.
 
-Documents get a per-copy word ROTATION (not verbatim duplication):
-verbatim copies would plant factor-sized near-dup groups and blow the
-pair graph up quadratically BY CONSTRUCTION, which would measure the
-synthetic duplication, not the operator's scaling. Rotated word
-sequences keep the unigram profile but break k>=3 shingles, so
-cross-copy candidate pairs stay rare, as in a real corpus.
+Documents get a per-copy word ROTATION (not verbatim duplication), so
+EXACT dedup stays non-trivial — but measure before assuming more: on
+the ~54-word synthetic docs a rotation changes only the ~2(k-1)
+boundary shingles, so cross-copy pairs are still NEAR-dups (r11
+ground truth: 9000/9000 sampled same-source copy pairs at 10x have
+3-gram Jaccard >= 0.5, mean 0.91 — true pairs ~ n_src * C(factor,2),
+i.e. ~1600x the 1x pair count at factor 10; r8 measured the 5x slice
+of the same curve as 116x). Scaled-corpus wall-clock growth for
+pair-bound operators must be adjudicated against THAT pair curve,
+not against the data factor. Embeddings densify the same way (copies
+are 1e-3-nudged, cosine ~1).
 
 Usage: make_scale.py [factor] [outdir]   (defaults: 5 /tmp/sf0.5)
 """
@@ -27,13 +32,17 @@ def copies(sql_per_copy):
 
 # documents: shift doc_id, rotate words by i (breaks shingles across copies)
 maxdoc = con.execute(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
+# n_chars is recomputed (= length(text), the testdata invariant) since
+# rotation re-joins words on single spaces; dropping it broke every
+# op that reads the stored length column (the 10x sweep's 3 failures)
 con.execute(f"""COPY (
+  SELECT doc_id, text, lang, source, length(text) AS n_chars FROM (
   {copies(lambda i: f'''
     SELECT doc_id + {i * maxdoc} AS doc_id,
       CASE WHEN {i} = 0 THEN text ELSE
         array_to_string(list_concat(w[{i}+1:], w[1:{i}]), ' ') END AS text,
       lang, source
-    FROM (SELECT *, string_split(text, ' ') AS w FROM '{src}/documents.parquet')''')}
+    FROM (SELECT *, string_split(text, ' ') AS w FROM '{src}/documents.parquet')''')})
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
 # embeddings: shift vec_id; nudge each copy by a tiny per-copy constant so

@@ -87,6 +87,10 @@ object Clusters {
       val nsig = checksum(next)
       converged = nsig == sig
       sig = nsig
+      // the superseded round's edge-list blocks are the largest
+      // checkpoint litter in the engine — release them NOW, not at
+      // driver GC ([[Ckpt]]; next is already materialized)
+      Ckpt.release(e)
       e = next
       iter += 1
     }

@@ -144,9 +144,11 @@ object Graph {
       val frontier = dist.filter(col("dist") === r - 1)
       val next = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), lit(r).as("dist"))
+      val prevDist = dist
       dist = dist.unionAll(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      Ckpt.release(prevDist) // superseded round blocks (Ckpt discipline)
       live = !dist.filter(col("dist") === r).isEmpty
       r += 1
     }
@@ -283,10 +285,12 @@ object Graph {
     for (_ <- 1 to rounds) {
       val counts = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val prevLabels = labels
       labels = counts.groupBy(col("src"))
         .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
         .select(col("src").as("node"), col("lbl"))
         .localCheckpoint()
+      Ckpt.release(prevLabels) // superseded round blocks (Ckpt discipline)
     }
     Seq(edges, pinned).foreach(_.unpersist())
     labels
@@ -508,6 +512,7 @@ object Graph {
     var r = 1
     var live = true
     while (r <= rounds && live) {
+      val prevAlive = alive
       alive = edges
         .join(alive, col("src") === col("node")).drop("node")
         .join(alive.withColumnRenamed("node", "node2"),
@@ -517,6 +522,7 @@ object Graph {
         .filter(col("deg") >= col("k"))
         .select(col("src").as("node"))
         .localCheckpoint()
+      Ckpt.release(prevAlive) // superseded round blocks (Ckpt discipline)
       val c = alive.count()
       live = c != prev
       prev = c
@@ -529,6 +535,7 @@ object Graph {
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
       .localCheckpoint(true)
+    Ckpt.release(alive) // superseded once core is materialized
     Seq(edges, pinned).foreach(_.unpersist())
     core
   }

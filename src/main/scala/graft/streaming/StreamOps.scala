@@ -909,6 +909,10 @@ object StreamOps {
       .withColumn(versionCol, lit(Long.MinValue))
       .withColumn(tieCol, lit(Long.MinValue))
       .withColumn(opCol, lit("u"))
+    // only frames THIS op checkpointed are ever released — the
+    // caller's `initial` plan may itself be RDD-backed and is not ours
+    // to free (graft.operators.Ckpt discipline)
+    var ownCkpt: DataFrame = null
     updates.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -916,6 +920,8 @@ object StreamOps {
           .mergeVersioned(state, batch, keyCol, versionCol, tieCol)
           .localCheckpoint() // pin the merged state; else the lineage
                              // re-reads every past batch on each merge
+        if (ownCkpt != null) graft.operators.Ckpt.release(ownCkpt)
+        ownCkpt = state
         onSnapshot(state.filter(col(opCol) =!= "d")
           .drop(versionCol, tieCol, opCol))
       }

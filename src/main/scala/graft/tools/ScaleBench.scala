@@ -1,0 +1,89 @@
+package graft.tools
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import org.apache.spark.sql.DataFrame
+
+/** Full-suite scale sweep driver (r10 verdict item 2): times every
+  * registered query on SPARK_GRAFT_SF_DIR like [[graft.Bench]] (same
+  * session, same forced-evaluation sink) but built for hunting SCALE
+  * CLIFFS on synthetic up-scaled corpora rather than gating budgets:
+  *
+  *   - per-query progress printed AS IT RUNS (a wedged query is
+  *     visible immediately, not after the whole sweep);
+  *   - a watchdog cancels any query past SPARK_GRAFT_TIMEOUT_S
+  *     (default 180 s) via its job group and records it as a TIMEOUT
+  *     row — a cliff becomes a named result instead of an unbounded
+  *     stall (the first 10× attempt sat 30+ minutes inside ONE
+  *     single-task spill sort with zero output);
+  *   - single iteration per query (growth ratios compare against a
+  *     same-host Bench sweep; median-of-3 noise damping matters for
+  *     2× budget gates, not for 10×-growth reading).
+  *
+  * Output: one JSON line per query to stdout and the Bench-style
+  * aggregate to SPARK_GRAFT_BENCH_OUT (default /tmp/graft_scale.json)
+  * so scripts/scale_compare.py can read it.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1.0")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_TIMEOUT_S", "180").toLong
+    // median-of-N within the JVM (the Bench protocol) — damps both
+    // host noise and the first-execution JIT/codegen-compile cost that
+    // a fresh-JVM single shot would charge to the first heavy query
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "1").toInt
+    val only = args.toSet
+    val spark = graft.Bench.benchSession(cpus)
+    val sc = spark.sparkContext
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val watchdog = Executors.newSingleThreadScheduledExecutor()
+    val queries = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = queries.map { case (name, fn) =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, String)]
+      // stop iterating on the first failure/timeout — a wedged query
+      // would wedge every remaining iteration too
+      while (runs.size < iters && runs.forall(_._2 == "ok")) {
+        spark.catalog.clearCache()
+        sc.setJobGroup(name, name, interruptOnCancel = true)
+        val cancel = watchdog.schedule(new Runnable {
+          def run(): Unit = sc.cancelJobGroup(name)
+        }, timeoutS, TimeUnit.SECONDS)
+        val t0 = System.nanoTime()
+        val outcome =
+          try { graft.Bench.forceEval(fn(spark, sfDir)); "ok" }
+          catch {
+            case e: Throwable =>
+              val cancelled = (System.nanoTime() - t0) / 1e9 >= timeoutS - 1
+              if (cancelled) "timeout"
+              else { System.err.println(s"[scale] $name failed: ${e.getMessage}"); "fail" }
+          } finally {
+            cancel.cancel(false)
+            sc.clearJobGroup()
+          }
+        runs += (((System.nanoTime() - t0) / 1e9, outcome))
+      }
+      val sec =
+        if (runs.exists(_._2 != "ok")) runs.last._1
+        else runs.map(_._1).sorted.apply(runs.size / 2)
+      val outcome = runs.map(_._2).find(_ != "ok").getOrElse("ok")
+      println(f"""[scale] {"query":"$name","sec":$sec%.2f,"outcome":"$outcome","runs":${runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")}}""")
+      (name, sec, outcome)
+    }
+    watchdog.shutdownNow()
+    val qs = results.collect { case (k, v, "ok") => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val bad = results.collect { case (k, _, o) if o != "ok" => "\"" + k + "\":\"" + o + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, "ok") => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"not_ok":$bad,"sf":"$sfDir","iters":$iters,"timeout_s":$timeoutS}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_scale.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
