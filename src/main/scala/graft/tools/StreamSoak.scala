@@ -36,7 +36,11 @@ import graft.streaming.StreamOps
   * Output: one human table + one JSON line per op on stdout.
   */
 object StreamSoak {
-  private val NumUsers = 50000L
+  /** Distinct-user cardinality of the synthetic stream — the lever for
+    * probing the "state is user-dim-bounded" claims (override with
+    * SPARK_GRAFT_SOAK_USERS; the r11 table ran 50k and 500k). */
+  private val NumUsers =
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_USERS", "50000").toLong
 
   /** value → Evt columns. Event time is an ACCELERATED synthetic
     * clock — 1 ms of event time per row, so at 200k rows/s event time
