@@ -30,7 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // extra forked-JVM flags for bench experiments (GC logging/tuning),
   // e.g. SPARK_GRAFT_JVM_OPTS="-Xlog:gc:file=/tmp/gc.log"
-  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+"))
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
 // Suites share one SparkSession (SparkSpec.session) and some tests
 // mutate session confs (BucketingSpec) — run suites serially.
 Test / parallelExecution := false

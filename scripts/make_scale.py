@@ -16,13 +16,32 @@ pair-bound operators must be adjudicated against THAT pair curve,
 not against the data factor. Embeddings densify the same way (copies
 are 1e-3-nudged, cosine ~1).
 
-Usage: make_scale.py [factor] [outdir]   (defaults: 5 /tmp/sf0.5)
+Mode `independent` (r12, the verdict-1 de-densification): each copy is
+an INDEPENDENT corpus with the 1x corpus's natural near-dup density,
+so pair-bound operators should read near-LINEAR directly — no
+pair-curve adjudication needed. Documents: copy i maps every token
+through a copy-specific VOCABULARY PERMUTATION (rank under one keyed
+hash ordering -> rank under another). Within a copy every Jaccard
+relation of the 1x corpus is preserved EXACTLY (a bijection on tokens
+is a bijection on shingles), so the natural near-dups replicate at
+natural density; across copies two shingles collide only if n
+consecutive tokens all map to the same images — vanishing. Embeddings:
+copy i applies a copy-specific SIGNED DIMENSION PERMUTATION (an
+orthogonal transform: within-copy dot products and norms are exact,
+cross-copy cosines decorrelate to the isotropic background). True
+pair count therefore grows ~factor x (vs ~n_src * C(factor,2) in
+rotated mode); verify with scripts/pair_density.py.
+
+Usage: make_scale.py [factor] [outdir] [rotated|independent]
+       (defaults: 5 /tmp/sf0.5 rotated)
 """
-import sys, os
+import sys, os, random
 import duckdb
 
 factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.5"
+mode = sys.argv[3] if len(sys.argv) > 3 else "rotated"
+assert mode in ("rotated", "independent"), mode
 src = "/root/testdata/sf0.1"
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
@@ -30,31 +49,94 @@ con = duckdb.connect()
 def copies(sql_per_copy):
     return "\nUNION ALL\n".join(sql_per_copy(i) for i in range(factor))
 
-# documents: shift doc_id, rotate words by i (breaks shingles across copies)
+# documents: shift doc_id; per-copy text transform depends on mode
 maxdoc = con.execute(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
 # n_chars is recomputed (= length(text), the testdata invariant) since
-# rotation re-joins words on single spaces; dropping it broke every
-# op that reads the stored length column (the 10x sweep's 3 failures)
-con.execute(f"""COPY (
-  SELECT doc_id, text, lang, source, length(text) AS n_chars FROM (
-  {copies(lambda i: f'''
-    SELECT doc_id + {i * maxdoc} AS doc_id,
-      CASE WHEN {i} = 0 THEN text ELSE
-        array_to_string(list_concat(w[{i}+1:], w[1:{i}]), ' ') END AS text,
-      lang, source
-    FROM (SELECT *, string_split(text, ' ') AS w FROM '{src}/documents.parquet')''')})
-) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+# both transforms re-join words on single spaces; dropping it broke
+# every op that reads the stored length column (the 10x sweep's 3
+# failures)
+if mode == "rotated":
+    # rotate words by i (breaks shingles across copies, but boundary
+    # shingles only: cross-copy pairs stay TRUE near-dups — see header)
+    con.execute(f"""COPY (
+      SELECT doc_id, text, lang, source, length(text) AS n_chars FROM (
+      {copies(lambda i: f'''
+        SELECT doc_id + {i * maxdoc} AS doc_id,
+          CASE WHEN {i} = 0 THEN text ELSE
+            array_to_string(list_concat(w[{i}+1:], w[1:{i}]), ' ') END AS text,
+          lang, source
+        FROM (SELECT *, string_split(text, ' ') AS w FROM '{src}/documents.parquet')''')})
+    ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+else:
+    # independent: per-copy vocabulary permutation (copy 0 = identity).
+    # vocab ordered by hash(word||'a{i}') pairs positionally with vocab
+    # ordered by hash(word||'b{i}') — a bijection on the token set.
+    con.execute(f"CREATE TABLE vocab AS SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM '{src}/documents.parquet'")
+    nvocab = con.execute("SELECT count(*) FROM vocab").fetchone()[0]
+    print(f"vocab: {nvocab} distinct tokens", flush=True)
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(f"""
+              SELECT doc_id, text, lang, source
+              FROM '{src}/documents.parquet'""")
+            continue
+        con.execute(f"""CREATE OR REPLACE TABLE map_{i} AS
+          SELECT a.word, b.word AS mapped FROM
+            (SELECT word, row_number() OVER (ORDER BY md5(word || 'a{i}')) AS r FROM vocab) a
+            JOIN
+            (SELECT word, row_number() OVER (ORDER BY md5(word || 'b{i}')) AS r FROM vocab) b
+            USING (r)""")
+        parts.append(f"""
+          SELECT doc_id + {i * maxdoc} AS doc_id,
+            array_to_string(list(mapped ORDER BY pos), ' ') AS text,
+            any_value(lang) AS lang, any_value(source) AS source
+          FROM (
+            SELECT doc_id, lang, source,
+              generate_subscripts(w, 1) AS pos, unnest(w) AS word
+            FROM (SELECT *, string_split(text, ' ') AS w
+                  FROM '{src}/documents.parquet')) t
+          JOIN map_{i} USING (word)
+          GROUP BY doc_id""")
+    union = "\nUNION ALL\n".join(parts)
+    con.execute(f"""COPY (
+      SELECT doc_id, text, lang, source, length(text) AS n_chars
+      FROM ({union})
+    ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
-# embeddings: shift vec_id; nudge each copy by a tiny per-copy constant so
-# vectors are distinct but the cluster geometry survives
+# embeddings: shift vec_id; per-copy vector transform depends on mode
 maxvec = con.execute(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
-con.execute(f"""COPY (
-  {copies(lambda i: f'''
-    SELECT vec_id + {i * maxvec} AS vec_id,
-      list_transform(embedding, x -> CAST(x + {i} * 1e-3 AS FLOAT)) AS embedding,
-      label
-    FROM '{src}/embeddings.parquet' ''')}
-) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+if mode == "rotated":
+    # nudge each copy by a tiny per-copy constant so vectors are
+    # distinct but the cluster geometry survives (copies stay cos~1)
+    con.execute(f"""COPY (
+      {copies(lambda i: f'''
+        SELECT vec_id + {i * maxvec} AS vec_id,
+          list_transform(embedding, x -> CAST(x + {i} * 1e-3 AS FLOAT)) AS embedding,
+          label
+        FROM '{src}/embeddings.parquet' ''')}
+    ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
+else:
+    # independent: signed dimension permutation per copy (orthogonal —
+    # within-copy geometry exact, cross-copy cosines decorrelated)
+    def emb_expr(i):
+        if i == 0:
+            return "embedding"
+        rng = random.Random(1000 + i)
+        perm = list(range(64))
+        rng.shuffle(perm)
+        signs = [rng.choice([-1, 1]) for _ in range(64)]
+        terms = ", ".join(
+            f"CAST(embedding[{perm[j] + 1}] * {signs[j]} AS FLOAT)"
+            for j in range(64))
+        return f"list_value({terms})"
+    con.execute(f"""COPY (
+      {copies(lambda i: f'''
+        SELECT vec_id + {i * maxvec} AS vec_id,
+          {emb_expr(i)} AS embedding,
+          label
+        FROM '{src}/embeddings.parquet' ''')}
+    ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
 
 # orders/lineitem: shift order keys per copy; customer/supplier/part key
 # spaces stay SHARED so the bipartite graphs densify the way a bigger

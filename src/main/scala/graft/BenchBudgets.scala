@@ -77,8 +77,9 @@ object BenchBudgets {
                                     // adamic_adar's wedge fan-out)
     "ads_ab_test" -> 0.45,          // frozen r7 (median 0.30)
     "ads_revenue_conc" -> 0.85,     // frozen r7 (median 0.63)
-    "emb_ann_recall" -> 1.2,        // frozen r7 (median 0.86 — runs
-                                    // BOTH ANN pipelines)
+    "emb_ann_recall" -> 0.85,       // re-frozen r12: native
+                                    // graft_hyperplane_sig (median
+                                    // 0.60 — runs BOTH ANN pipelines)
     "dq_freshness" -> 0.7,  // frozen r6 (median 0.52, control q1 1.17)
     "ads_churn" -> 1.55,  // frozen r5 (median 1.20, control q1 1.22)
     "ads_basket_affinity" -> 2.0,  // frozen r5 (median 1.57 with the
@@ -94,15 +95,18 @@ object BenchBudgets {
     "ann_ivf_pq" -> 1.65,  // re-frozen r9: the r8 Lloyd-replay witness
                            // reshape made 1.2 a zero-cushion number
                            // (quiet-host median 1.27)
-    "ann_lsh" -> 0.6,
+    "ann_lsh" -> 0.6,  // kept r12: native graft_hyperplane_sig is
+                       // plan-neutral at sf0.1's 1k vectors (median
+                       // 0.54) — the win is per-row cost at scale
     "dedup_clusters" -> 3.9,  // re-frozen r10: native Shingles (was 6.92)
     "dedup_containment" -> 2.75,  // re-frozen r10: native Shingles (was 6.5)
                                  // left_semi cut (median 4.97; first
                                  // freeze 9.0 from the uncut 7.38 plan)
     "dedup_semantic" -> 1.4,  // frozen r5 (quiet-host median 1.07)
-    "dedup_embedding" -> 2.4,  // re-frozen r8 per the r7 verdict:
-                           // the r7 multi-probe reshape holds
-                           // (load-adj median 1.87); was r4: native graft_dot
+    "dedup_embedding" -> 0.95,  // re-frozen r12: native
+                           // graft_hyperplane_sig replaced the 64-bit
+                           // lambda sketch (median 0.67; was 2.4 on
+                           // the r8 interpreted-fold plan)
     "dedup_exact" -> 0.3,
     "dedup_minhash_lsh" -> 3.65,
     "dedup_minhash_lsh_native" -> 1.3,  // re-frozen r10: native Shingles (was 2.11)
@@ -147,10 +151,10 @@ object BenchBudgets {
     "ea_path_analysis" -> 1.50,
     "emb_centroids" -> 0.55,
     "emb_knn_graph" -> 5.7,       // exact all-pairs baseline by design
-    "emb_knn_graph_lsh" -> 1.85,  // re-frozen r8: derived nbits=6 at
-                              // sf0.1 (< the old fixed 8) admits more
-                              // candidates at THIS size; the lever
-                              // buys O(n log n) growth past it
+    "emb_knn_graph_lsh" -> 0.95,  // re-frozen r12: native
+                              // graft_hyperplane_sig (median 0.68; the
+                              // r8 derived-nbits lever note stands —
+                              // nbits=6 at sf0.1, O(n log n) past it)
     "graph_triangles" -> 6.2,     // adjacency-intersection closure
     "graph_label_prop" -> 5.2,    // re-frozen r10: dst-partitioned edge cache
                                   // (median 4.2-4.9; was 6.5, r5 median 5.35;

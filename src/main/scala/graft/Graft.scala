@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, BitmapUnionCard, BloomContains, BloomFilterAgg, DotProduct, MinHashBands, MinHashSig, RollingHash64, SimHashAgg, ThetaIntersectCard, ThetaSketchAgg, ThetaUnionCard, TopKFreqAgg, VecSumAgg}
+import graft.functions.{BitmapAgg, BitmapAndCard, BitmapCard, BitmapUnionCard, BloomContains, BloomFilterAgg, DotProduct, HyperplaneSig, MinHashBands, MinHashSig, RollingHash64, SimHashAgg, ThetaIntersectCard, ThetaSketchAgg, ThetaUnionCard, TopKFreqAgg, VecSumAgg}
 
 /** User-facing entry points: a tuned session builder, table views for
   * the SQL surface, and native function registration. A user of the
@@ -179,5 +179,23 @@ object GraftExtensions {
       unary("graft_theta_union_card")(ThetaUnionCard(_))),
     (FunctionIdentifier("graft_theta_intersect_card"),
       new ExpressionInfo(classOf[ThetaIntersectCard].getName, "graft_theta_intersect_card"),
-      unary("graft_theta_intersect_card")(ThetaIntersectCard(_))))
+      unary("graft_theta_intersect_card")(ThetaIntersectCard(_))),
+    (FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+      { children =>
+        require(children.length == 4,
+          "graft_hyperplane_sig expects (vec, nBits, dim, seed)")
+        def intLit(e: Expression, what: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long,
+            org.apache.spark.sql.types.LongType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_sig: $what must be an integral literal, got $other")
+        }
+        HyperplaneSig(children.head,
+          intLit(children(1), "nBits").toInt,
+          intLit(children(2), "dim").toInt,
+          intLit(children(3), "seed"))
+      }))
 }

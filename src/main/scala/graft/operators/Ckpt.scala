@@ -24,10 +24,19 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * is unusable by design. */
 object Ckpt {
   /** Unpersists the checkpoint RDD backing a localCheckpoint'd frame.
-    * No-op on frames that are not checkpoint-backed. Non-blocking:
-    * block deletion proceeds async while the next round runs. */
+    *
+    * Matches ONLY a root-level `LogicalRDD` — the exact shape
+    * `localCheckpoint()` returns. A derived view (filter/select over a
+    * checkpointed frame), a `createDataFrame(rdd)` whose RDD is cached
+    * elsewhere, or any other plan is a no-op: walking the whole tree
+    * would unpersist RDDs the caller does not own, and a released
+    * local checkpoint has no lineage to recompute from, so a shared
+    * frame would become permanently unreadable. Non-blocking: block
+    * deletion proceeds async while the next round runs. */
   def release(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a bare checkpoint frame: deliberately untouched
+    }
 }

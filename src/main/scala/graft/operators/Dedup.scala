@@ -658,21 +658,21 @@ object Dedup {
 
     val nTables = 8
     val bitsPerTable = 8
-    val planes = Hyperplanes.make(nTables * bitsPerTable, dim = 64, seed = 7)
-    // ONE 64×64 2-D literal + one transform computes all 64 sketch
-    // bits — 64 independent dot-product expression trees would bloat
-    // the generated code ~64× (measured 0.85 s → 0.69 s at sf0.1 for
-    // the sketch projection alone); `bits` is materialized as a column
-    // so the table keys below read row fields, not re-evaluate it
-    val bits = transform(typedLit(planes.map(_.toSeq).toSeq), p =>
-      when(aggregate(zip_with(col("v"), p, (x, c) => x * c),
-        lit(0.0), (a, x) => a + x) >= 0, 1L).otherwise(0L))
-    val sketched = emb.withColumn("bits", bits).select(
+    // ONE native codegen'd pass computes all 64 sign bits packed in a
+    // LONG (graft.functions.HyperplaneSig — sign-exact with the former
+    // transform/zip_with lambda tower, same seeded draw the oracle
+    // renders); table t's key is just its 8-bit slice. The arithmetic
+    // shiftright's sign extension is masked off by the & 255, so table
+    // 7 (which covers sign bit 63) keys identically to the old
+    // bits[t*8+b]*(1<<b) sum.
+    graft.Graft.registerFunctions(s)
+    val sig = call_function("graft_hyperplane_sig",
+      col("v"), lit(nTables * bitsPerTable), lit(64), lit(7L))
+    val sketched = emb.withColumn("sig", sig).select(
       col("vec_id") +: col("v") +:
         (0 until nTables).map { t =>
-          (0 until bitsPerTable).map(b =>
-            element_at(col("bits"), t * bitsPerTable + b + 1) * (1L << b))
-            .reduce[org.apache.spark.sql.Column](_ + _).as(s"tbl$t")
+          shiftright(col("sig"), t * bitsPerTable).bitwiseAND(lit(255L))
+            .as(s"tbl$t")
         }: _*)
 
     // candidates as bare (i, j) ids first; vectors re-joined after the

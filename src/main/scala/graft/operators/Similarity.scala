@@ -80,16 +80,17 @@ object Similarity {
       |SELECT q_id, rnk, vec_id, cosine FROM ranked WHERE rnk <= $AnnK
       |ORDER BY q_id, rnk""".stripMargin
 
-  /** Random-hyperplane sign sketch as ONE 2-D literal + transform
-    * (see Dedup sketch note): bit i set iff v · plane_i ≥ 0. */
-  private[graft] def hyperplaneSketch(v: Column, planes: Array[Array[Double]]): Column =
-    aggregate(
-      transform(typedLit(planes.zipWithIndex.map { case (p, i) =>
-        (p.toSeq, 1L << i)
-      }.toSeq), pw =>
-        when(aggregate(zip_with(v, pw("_1"), (x, c) => x * c),
-          lit(0.0), (a, x) => a + x) >= 0, pw("_2")).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
+  /** Random-hyperplane sign sketch, packed LONG: bit i set iff
+    * v · plane_i ≥ 0. Native codegen'd expression
+    * ([[graft.functions.HyperplaneSig]]) — the former
+    * `aggregate(transform(zip_with(...)))` lambda tower was
+    * CodegenFallback on every declared 100 TB embedding path; the
+    * planes are the same seeded draw the DuckDB oracles render via
+    * [[Hyperplanes.sqlLit]], derived inside the expression from
+    * (nBits, dim, seed). */
+  private[graft] def hyperplaneSketch(v: Column, nBits: Int, seed: Long,
+    dim: Int = 64): Column =
+    call_function("graft_hyperplane_sig", v, lit(nBits), lit(dim), lit(seed))
 
   /** LSH-bucketed ANN: 8-bit random-hyperplane sketch partitions the
     * corpus; each query only scans buckets within Hamming distance ≤ 3
@@ -99,8 +100,7 @@ object Similarity {
     * on real (clustered) embedding corpora the same sketch gives far
     * better recall at far lower probe fractions. */
   def annLsh(s: SparkSession, d: String, nQueries: Int = 8, k: Int = AnnK): DataFrame = {
-    val planes = Hyperplanes.make(8, dim = 64, seed = 11)
-    def sketch(v: Column): Column = hyperplaneSketch(v, planes)
+    def sketch(v: Column): Column = hyperplaneSketch(v, nBits = 8, seed = 11)
 
     val c = corpus(s, d).withColumn("bucket", sketch(col("v")))
     val q = c.filter(col("vec_id") < nQueries)
@@ -259,13 +259,12 @@ object Similarity {
     * whole construction (count → width → mask → probe) replays in the
     * DuckDB oracle. */
   def knnGraphLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val planes = Hyperplanes.make(KnnLshMaxBits, dim = 64, seed = 11)
     val c0 = corpus(s, d)
     val nb = c0.agg(count(lit(1)).as("n"))
       .select(least(lit(KnnLshMaxBits), greatest(lit(4),
         length(bin(col("n"))) - 1 - 4)).as("nbits"))
     val c = c0.crossJoin(broadcast(nb))
-      .withColumn("bucket", hyperplaneSketch(col("v"), planes)
+      .withColumn("bucket", hyperplaneSketch(col("v"), KnnLshMaxBits, seed = 11)
         .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), nbits) - 1")))
       .withColumn("nrm", norm(col("v")))
     val probes = c.select(col("vec_id").as("q_id"), col("v").as("qv"),

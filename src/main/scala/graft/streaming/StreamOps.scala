@@ -898,7 +898,12 @@ object StreamOps {
     * dim semantics cannot drift. The reference upserts row-by-row into
     * Phoenix; here a whole micro-batch merges in one distributed pass
     * and `onSnapshot` receives the post-merge table (in production: a
-    * write to the dim store / Delta-style table). */
+    * write to the dim store / Delta-style table).
+    *
+    * `onSnapshot` must FULLY CONSUME the snapshot before returning:
+    * the frame is checkpoint-backed and its blocks are released at the
+    * start of the NEXT micro-batch (Ckpt discipline), so a retained
+    * reference read asynchronously later fails with lost blocks. */
   def dimUpsertStream(updates: DataFrame, initial: DataFrame,
     keyCol: String, versionCol: String, tieCol: String, opCol: String)(
     onSnapshot: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {

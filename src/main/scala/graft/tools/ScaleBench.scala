@@ -49,16 +49,22 @@ object ScaleBench {
       while (runs.size < iters && runs.forall(_._2 == "ok")) {
         spark.catalog.clearCache()
         sc.setJobGroup(name, name, interruptOnCancel = true)
-        val cancel = watchdog.schedule(new Runnable {
-          def run(): Unit = sc.cancelJobGroup(name)
-        }, timeoutS, TimeUnit.SECONDS)
+        // timeout-vs-failure is classified by this FLAG, not by elapsed
+        // time (a genuine failure near the deadline must read "fail");
+        // the cancel re-fires every 5 s after the deadline because
+        // cancelJobGroup only kills jobs active AT fire time — a
+        // multi-job query between jobs at the first fire would
+        // otherwise keep running unbounded
+        val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val cancel = watchdog.scheduleAtFixedRate(new Runnable {
+          def run(): Unit = { fired.set(true); sc.cancelJobGroup(name) }
+        }, timeoutS, 5, TimeUnit.SECONDS)
         val t0 = System.nanoTime()
         val outcome =
           try { graft.Bench.forceEval(fn(spark, sfDir)); "ok" }
           catch {
             case e: Throwable =>
-              val cancelled = (System.nanoTime() - t0) / 1e9 >= timeoutS - 1
-              if (cancelled) "timeout"
+              if (fired.get()) "timeout"
               else { System.err.println(s"[scale] $name failed: ${e.getMessage}"); "fail" }
           } finally {
             cancel.cancel(false)
@@ -80,10 +86,14 @@ object ScaleBench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, "ok") => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"not_ok":$bad,"sf":"$sfDir","iters":$iters,"timeout_s":$timeoutS}"""
-    println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_scale.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // full per-query record → sink file + stderr; stdout ends with a
+    // compact line that fits the driver's ~2000-char tail capture
+    System.err.println(line)
+    val nOk = results.count(_._3 == "ok")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries_ok":$nOk,"queries_total":${results.size},"not_ok":$bad,"sf":"$sfDir","iters":$iters,"timeout_s":$timeoutS,"per_query_file":"$outPath"}""")
     spark.stop()
   }
 }

@@ -25,8 +25,9 @@ import graft.streaming.StreamOps
   * Event synthesis mirrors the testdata's shape: user_id from a hash
   * spread over [[NumUsers]] keys (state bounds are per-key claims —
   * key cardinality is the lever), event_type a fixed 10-way mix with
-  * purchases rare (attribution/funnel conversions), ts = the rate
-  * source's own wall-clock timestamp so watermarks advance naturally.
+  * purchases rare (attribution/funnel conversions), ts = an
+  * ACCELERATED synthetic event clock (1 ms per row — see [[evt]]) so
+  * watermarks close and the ripen/prune cycle runs inside the soak.
   * For the near-dup gate each row becomes a 40-word document of hashed
   * hex words (shingle-able, near-unique — matches stay rare, as in a
   * real ingest), and the corpus side is the sf0.01 documents table,
@@ -85,6 +86,11 @@ object StreamSoak {
     * the progress digest. */
   private def soak(s: SparkSession, name: String, rps: Long, soakSec: Int)(
       build: DataFrame => DataFrame): String = {
+    // recentProgress is capped by this conf (default 100): with the
+    // 2 s trigger a soak past ~200 s would silently undercount batches
+    // and total rows — size the buffer to the soak length instead
+    s.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      math.max(100, soakSec).toString)
     val out = build(rateSource(s, rps))
     val q = out.writeStream
       .format("noop")

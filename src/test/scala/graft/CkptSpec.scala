@@ -41,6 +41,22 @@ class CkptSpec extends SparkSpec {
     assert(sc.getPersistentRDDs.keySet == before)
   }
 
+  test("release on a DERIVED view over a live checkpoint is a no-op (root-match contract)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val base = spark.range(500).toDF("v").localCheckpoint()
+    val derived = base.filter(col("v") % 2 === 0).select((col("v") + 1).as("w"))
+    // derived's analyzed plan CONTAINS base's LogicalRDD but is not a
+    // bare checkpoint — releasing it must not unpersist an RDD the
+    // caller does not own (a released local checkpoint has no lineage)
+    Ckpt.release(derived)
+    assert((sc.getPersistentRDDs.keySet -- before).size == 1,
+      "release on a derived view unpersisted the shared parent checkpoint")
+    assert(base.count() == 500) // parent still fully readable
+    Ckpt.release(base)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("the star-contraction loop leaves no intermediate round pinned after the query") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.HyperplaneSig
+import graft.operators.Hyperplanes
+
+/** The native [[graft.functions.HyperplaneSig]] expression is
+  * sign-exact with the lambda tower it replaced
+  * (`aggregate(transform(planesLit, p -> when(zip_with-dot >= 0,
+  * 1<<i)))`) on the real embeddings corpus for every (nBits, seed)
+  * the engine uses, and its codegen, interpreted, and plain-driver
+  * evaluations agree — the native-primitive triple pin. */
+class HyperplaneSigSpec extends SparkSpec {
+
+  /** The r11-era column formulation, kept verbatim as the reference. */
+  private def lambdaForm(v: Column, planes: Array[Array[Double]]): Column =
+    aggregate(
+      transform(typedLit(planes.zipWithIndex.map { case (p, i) =>
+        (p.toSeq, 1L << i)
+      }.toSeq), pw =>
+        when(aggregate(zip_with(v, pw("_1"), (x, c) => x * c),
+          lit(0.0), (a, x) => a + x) >= 0, pw("_2")).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+
+  /** Straight-line driver re-implementation (no Spark types). */
+  private def driverRef(v: Array[Double], planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) { acc += v(j) * planes(i)(j); j += 1 }
+      if (acc >= 0.0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  private def corpus = Tables.embeddings(spark, sf0001)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("native sig == lambda column form on the corpus for every engine (nBits, seed)") {
+    graft.Graft.registerFunctions(spark)
+    // (8, 11) = ann_lsh; (24, 11) = emb_knn_graph_lsh; (64, 7) = dedup_embedding
+    Seq((8, 11L), (24, 11L), (64, 7L)).foreach { case (nBits, seed) =>
+      val planes = Hyperplanes.make(nBits, dim = 64, seed = seed)
+      val diff = corpus.select(
+        call_function("graft_hyperplane_sig",
+          col("v"), lit(nBits), lit(64), lit(seed)).as("native"),
+        lambdaForm(col("v"), planes).as("lambda"))
+        .filter(col("native") =!= col("lambda")).count()
+      assert(diff == 0L, s"sig mismatch on $diff rows at nBits=$nBits seed=$seed")
+    }
+  }
+
+  test("codegen == interpreted == driver reference; nulls and corrupt rows") {
+    val nBits = 24
+    val seed = 11L
+    val planes = Hyperplanes.make(nBits, dim = 64, seed = seed)
+    val vecs = corpus.limit(64).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val interpreted = HyperplaneSig(
+      BoundReference(0, ArrayType(DoubleType), nullable = true), nBits, 64, seed)
+    vecs.foreach { v =>
+      val fromInterp = interpreted.eval(InternalRow(ArrayData.toArrayData(v)))
+      assert(fromInterp == driverRef(v, planes), "interpreted != driver reference")
+    }
+    // whole-stage-codegen'd path over the same rows
+    graft.Graft.registerFunctions(spark)
+    val fromCodegen = corpus.limit(64).orderBy("vec_id")
+      .select(col("vec_id"), call_function("graft_hyperplane_sig",
+        col("v"), lit(nBits), lit(64), lit(seed)).as("sig"))
+      .collect().map(_.getLong(1))
+    val expected = corpus.limit(64).orderBy("vec_id").collect()
+      .map(r => driverRef(r.getSeq[Double](1).toArray, planes))
+    assert(fromCodegen.toSeq == expected.toSeq, "codegen != driver reference")
+    // NULL vector -> NULL (unary null semantics)
+    assert(interpreted.eval(InternalRow(null)) == null)
+    // length mismatch RAISES (graft_dot corrupt-row discipline)
+    val short = ArrayData.toArrayData(Array(1.0, 2.0))
+    assertThrows[IllegalArgumentException] {
+      interpreted.eval(InternalRow(short))
+    }
+  }
+
+  test("the 8-bit table keys of dedup_embedding slice exactly from the packed 64-bit sig") {
+    // (sig >> 8t) & 255 must equal the per-table bit sum of the old
+    // bits-array form — i.e. table 7's key survives the sign bit
+    val planes = Hyperplanes.make(64, dim = 64, seed = 7)
+    val v = corpus.limit(16).collect().map(_.getSeq[Double](1).toArray)
+    v.foreach { vec =>
+      val sig = driverRef(vec, planes)
+      (0 until 8).foreach { t =>
+        val fromSlice = (sig >> (t * 8)) & 255L
+        val fromBits = (0 until 8).map { b =>
+          val i = t * 8 + b
+          (if ((sig & (1L << i)) != 0) 1L else 0L) << b
+        }.sum
+        assert(fromSlice == fromBits, s"table $t key mismatch")
+      }
+    }
+  }
+}

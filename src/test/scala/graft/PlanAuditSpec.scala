@@ -173,10 +173,11 @@ class PlanAuditSpec extends SparkSpec {
       "probe-list sort over k=8 centroid distances on the capped (8-row) query side only"),
     "ann_ivf_pq" -> (hofLambda ++ Set("ArraySort"),
       "probe-list sort over k=8 centroid distances on the capped query side only"),
-    "ann_lsh" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
-      "16-hyperplane signature fold per row over a literal plane table; hot dots go through graft_dot; measured within budget (BenchBudgets)"),
-    "dedup_embedding" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
-      "hyperplane bucket signature per row + exact-cosine verify on banded candidates only"),
+    // ann_lsh / dedup_embedding / emb_knn_graph_lsh / emb_ann_recall:
+    // REMOVED in r12 — the hyperplane signature fold is now the native
+    // codegen'd graft_hyperplane_sig (functions/HyperplaneSig.scala),
+    // so the declared 100 TB embedding paths carry no interpreted
+    // lambda sites at all
     "dedup_semantic" -> (hofLambda ++ Set("ArraySort"),
       "per-cluster candidate ordering; cluster size bounded by the IVF centroid fan-in"),
     "dedup_span_removal" -> (hofLambda ++ Set("ArraySort", "ArrayTransform"),
@@ -187,10 +188,6 @@ class PlanAuditSpec extends SparkSpec {
       "from_json is CodegenFallback in Spark itself; no codegen'd JSON parser exists — inherent operator cost"),
     "ea_path_analysis" -> (hofLambda ++ Set("ArrayTransform"),
       "per-session path arrays: bounded by session length after sessionize"),
-    "emb_ann_recall" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
-      "recall harness: folds run on the capped (8-row) query side join only"),
-    "emb_knn_graph_lsh" -> (hofLambda ++ Set("ArrayAggregate", "ArrayTransform", "ZipWith"),
-      "exact-cosine verify per banded candidate pair; occupancy pinned ~16/bucket in-plan, candidates O(n log n)"),
     "emb_outliers" -> (hofLambda ++ Set("ArrayAggregate", "ArraySort", "ArrayTransform", "ZipWith"),
       "distance fold per row against k=8 broadcast centroids; centroid assembly is a k-bounded collect"),
     "emb_rp_project" -> (hofLambda ++ Set("ArrayTransform"),
@@ -232,10 +229,11 @@ class PlanAuditSpec extends SparkSpec {
     val live = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> (CodegenAuditSupport.fallbackClasses(fn(spark, sf0001)) -- fallbackAggClasses)
     }.filter(_._2.nonEmpty).toMap
-    // the detector must actually detect: ann_lsh's hyperplane fold is a
-    // KNOWN lambda site — if the walker breaks, this catches it
-    assert(live.get("ann_lsh").exists(_.contains("ZipWith")),
-      s"detector failed its sentinel; ann_lsh classes: ${live.get("ann_lsh")}")
+    // the detector must actually detect: emb_outliers' centroid
+    // distance fold is a KNOWN lambda site — if the walker breaks,
+    // this catches it (was ann_lsh until its fold went native in r12)
+    assert(live.get("emb_outliers").exists(_.contains("ZipWith")),
+      s"detector failed its sentinel; emb_outliers classes: ${live.get("emb_outliers")}")
     val offenders = live.toSeq.sortBy(_._1).flatMap { case (name, classes) =>
       fallbackAllowed.get(name) match {
         case None => Some(s"$name: ${classes.toSeq.sorted.mkString(",")} (not whitelisted)")
