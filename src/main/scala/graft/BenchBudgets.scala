@@ -246,7 +246,13 @@ object BenchBudgets {
     "text_chunk" -> 0.58,
     "text_fingerprint" -> 0.32,
     "text_lang_id" -> 0.64,
-    "text_lm_score" -> 0.85,
+    "text_lm_score" -> 1.85,  // re-frozen r12: vocab-capped broadcast
+                              // model + OOV floor (median 1.34 — the
+                              // +0.6 s over the old shuffle-join plan
+                              // is three broadcast-build stages of
+                              // fixed latency; the cap removes the
+                              // corpus-growing model shuffle that read
+                              // 12.6x at 10x in the r11 sweep)
     "text_length_hist" -> 0.50,
     "text_ngram_freq" -> 1.76,
     "text_pack" -> 0.89,

@@ -221,7 +221,12 @@ object ExchangeBudgets {
     "text_lang_id" -> 1,
     "text_length_hist" -> 2,
     "text_lm_bigram" -> 9,
-    "text_lm_score" -> 5,
+    "text_lm_score" -> 6,  // r12 vocab-cap replan: +1 bounded exchange
+                           // (top-V model selection) but the
+                           // corpus-sized term stream now takes a
+                           // BROADCAST join instead of a shuffle —
+                           // every remaining exchange is vocab- or
+                           // doc-keyed, none is the token stream
     "text_ngram_freq" -> 2,
     "text_pack" -> 3,
     "text_pii_scrub" -> 1,

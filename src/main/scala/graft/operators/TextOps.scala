@@ -278,40 +278,74 @@ object TextOps {
     * engine analog trains the unigram MLE on the corpus itself in one
     * aggregate): score(doc) = mean over tokens of ln p(token), with
     * p = corpus term frequency. Very negative = rare-token gibberish;
-    * high = common fluent text. Cross-engine compare: each per-token
-    * log-prob is ROUNDED to 6 dp (libm ln differs in the last ulp
-    * between engines — the tfidf lesson) and the per-doc sum runs on
-    * exact DECIMAL, so the mean is reduction-order-independent under
-    * any partitioning. Shuffle profile: one (term) hash-agg whose
-    * result joins back to the term stream + one (doc) hash-agg —
-    * the raw corpus is scanned once. */
-  def lmScore(s: SparkSession, d: String): DataFrame = {
+    * high = common fluent text.
+    *
+    * The MODEL is CAPPED at the `vocabCap` most frequent types
+    * (ct desc, term asc — deterministic at the rank boundary); every
+    * term outside the cap scores at the OOV FLOOR ln(ct_V / total),
+    * where ct_V is the rank-V count — an out-of-model term's true
+    * probability can only be ≤ that, so the floor is the tight upper
+    * bound (the CCNet cutoff shape; the floor is PART of the score
+    * definition and the oracle replays it). The cap is the 100 TB
+    * lever (r12 — the r11 10x sweep read 12.6x here): an uncapped
+    * model join shuffles the corpus-sized term stream against a
+    * vocabulary that grows with the corpus, while the capped model is
+    * ≤ vocabCap rows at ANY corpus size, so the term stream takes a
+    * BROADCAST hash join — zero shuffle — and the whole plan is one
+    * vocab-sized train agg (partial-aggregable) + one (doc) hash-agg.
+    * The registered query runs vocabCap = 24, under the test corpus's
+    * 31-type vocabulary, so the floor path is oracle-exercised; the
+    * production default is 1 << 16.
+    *
+    * Cross-engine compare: each per-token log-prob is ROUNDED to 6 dp
+    * (libm ln differs in the last ulp between engines — the tfidf
+    * lesson) and the per-doc sum runs on exact DECIMAL, so the mean is
+    * reduction-order-independent under any partitioning. */
+  def lmScore(s: SparkSession, d: String, vocabCap: Int = 1 << 16): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val terms = Tables.documents(s, d).select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
-    val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("ct"))
+    // cached: tf feeds THREE broadcast subtrees (total, model, floor)
+    // that compile as separate broadcast-build jobs, so without the
+    // cache the corpus tokenize+agg would run once per subtree (the
+    // lmBigram docs-cache discipline; Bench clears caches between
+    // queries). The cached frame is (term, count) — vocab-sized,
+    // spillable, never the token stream.
+    val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("ct")).cache()
+    // total counts ALL tokens (the true MLE denominator), the model
+    // keeps only the top-V types; both end up broadcast-sized
     val total = tf.agg(sum(col("ct")).as("total"))
-    terms.join(tf, "term").crossJoin(broadcast(total))
-      .withColumn("lp", round(log(col("ct").cast("double") / col("total")), 6)
-        .cast(DecimalType(18, 6)))
+    val model = tf.orderBy(col("ct").desc, col("term")).limit(vocabCap)
+    val floorCt = model.agg(min(col("ct")).as("floor_ct"))
+    terms.join(broadcast(model), Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(floorCt))
+      .withColumn("lp",
+        round(log(coalesce(col("ct"), col("floor_ct")).cast("double") / col("total")), 6)
+          .cast(DecimalType(18, 6)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        (sum(col("lp")).cast("double") / count(lit(1))).as("mean_logprob"))
+        (sum(col("lp")).cast("double") / count(lit(1))).as("mean_logprob"),
+        count(when(col("ct").isNull, 1)).as("n_oov"))
       .orderBy(col("doc_id"))
   }
 
-  val lmScoreSql: String =
-    """WITH terms AS (
+  def lmScoreSql(vocabCap: Int = 24): String =
+    s"""WITH terms AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
       |  FROM documents),
-      |tf AS (SELECT term, count(*) AS ct FROM terms GROUP BY 1),
+      |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM terms GROUP BY 1),
       |total AS (SELECT CAST(sum(ct) AS BIGINT) AS total FROM tf),
+      |model AS (SELECT term, ct FROM tf ORDER BY ct DESC, term LIMIT $vocabCap),
+      |floorc AS (SELECT min(ct) AS floor_ct FROM model),
       |lp AS (
-      |  SELECT doc_id,
-      |    CAST(round(ln(CAST(ct AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS lp
-      |  FROM terms JOIN tf USING (term) CROSS JOIN total)
+      |  SELECT doc_id, m.ct,
+      |    CAST(round(ln(CAST(coalesce(m.ct, floor_ct) AS DOUBLE) / total), 6)
+      |      AS DECIMAL(18,6)) AS lp
+      |  FROM terms LEFT JOIN model m USING (term) CROSS JOIN total CROSS JOIN floorc)
       |SELECT doc_id, count(*) AS n_terms,
-      |  CAST(sum(lp) AS DOUBLE) / count(*) AS mean_logprob
+      |  CAST(sum(lp) AS DOUBLE) / count(*) AS mean_logprob,
+      |  CAST(count(*) FILTER (ct IS NULL) AS BIGINT) AS n_oov
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** GUARANTEED frequent items via the native Misra–Gries aggregate

@@ -73,6 +73,16 @@ class PlanAuditSpec extends SparkSpec {
     "ts_cusum" -> "daily-grain input: two running windows over the day series",
     "ads_revenue_conc" -> "global rank over the per-customer rollup (the ads_rfm precedent)")
 
+  // plan audits must see the COLD plan: an InMemoryRelation left by an
+  // earlier suite running a query that .cache()s an intermediate (the
+  // lmScore tf / lmBigram docs discipline; suites share one session)
+  // hides every exchange beneath the cache point and silently drifts
+  // the pinned counts — clear before every audit
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    spark.catalog.clearCache()
+    super.withFixture(test)
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.sparkPlan.toString
