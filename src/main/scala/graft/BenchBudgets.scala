@@ -102,11 +102,16 @@ object BenchBudgets {
     "dedup_containment" -> 2.75,  // re-frozen r10: native Shingles (was 6.5)
                                  // left_semi cut (median 4.97; first
                                  // freeze 9.0 from the uncut 7.38 plan)
-    "dedup_semantic" -> 1.4,  // frozen r5 (quiet-host median 1.07)
-    "dedup_embedding" -> 0.95,  // re-frozen r12: native
-                           // graft_hyperplane_sig replaced the 64-bit
-                           // lambda sketch (median 0.67; was 2.4 on
-                           // the r8 interpreted-fold plan)
+    "dedup_semantic" -> 1.95,  // re-frozen r12: derived k (floors at
+                               // 16 here — the corpus count pass adds
+                               // ~0.3 s; median 1.40, and 10× growth
+                               // reads 11.5× = linear in candidates)
+    "dedup_embedding" -> 1.65,  // re-frozen r12 twice: native
+                           // graft_hyperplane_sig (median 0.67) then
+                           // the derived band geometry (median 1.19 —
+                           // the 1-row count/broadcast stages add
+                           // fixed latency and buy linear candidates
+                           // at 10×: 28× → 2.0×)
     "dedup_exact" -> 0.3,
     "dedup_minhash_lsh" -> 3.65,
     "dedup_minhash_lsh_native" -> 1.3,  // re-frozen r10: native Shingles (was 2.11)

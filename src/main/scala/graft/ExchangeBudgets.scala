@@ -54,7 +54,10 @@ object ExchangeBudgets {
     // reuse exchange — static count up 13 → 21, runtime work DOWN
     // (5×-data growth 9.2× → 3.2×, BENCH_NOTES r11)
     "dedup_containment" -> 21,
-    "dedup_embedding" -> 2,
+    "dedup_embedding" -> 4,  // r12 derived band geometry: +2 bounded
+                             // exchanges (the 1-row count→(w,ntab)
+                             // scalar) buy LINEAR candidates at any n
+                             // — the fixed 8×8 layout was n²/256
     "dedup_exact" -> 2,
     "dedup_gram_frac" -> 3,
     "dedup_incremental" -> 8,

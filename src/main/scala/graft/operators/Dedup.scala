@@ -649,38 +649,55 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
     * + exact cosine on candidates. Hyperplanes are seeded-PRNG literal
-    * arrays baked into the plan (computed once at plan time, shipped in
-    * the task closure) — the sketch per row is 64 literal-array dot
-    * products, no per-element hashing; 8 tables × 8 bits. */
+    * arrays baked into the plan; ONE native codegen'd pass
+    * (graft.functions.HyperplaneSig) computes all 64 sign bits packed
+    * in a LONG, and table t's key is its `w`-bit slice of the sig.
+    *
+    * The table WIDTH is derived in-plan from the corpus size (r12 —
+    * the knnGraphLsh derived-nbits recipe applied to the banding):
+    * w = clamp(⌊log₂ n⌋ − 3, 8, 16) bits, nTables = 64 div w. The r12
+    * 10×-independent sweep caught the fixed 8×8 layout going
+    * QUADRATIC: with 2⁸ buckets per table, random same-bucket
+    * collisions grow n²/256 and dominated at n = 20 000 (28× at 10×
+    * data, warm). Derived width keeps expected occupancy ≤ 2⁴ per
+    * bucket to n = 2¹⁹ (candidates ~16·n·nTables = linear); past the
+    * 16-bit cap a second sig long is the next lever. Fewer, wider
+    * tables trade recall exactly as LSH theory prices it (p^w per
+    * table, 1−(1−p^w)^nTables overall — ~99 % → ~84 % for cos≈0.95
+    * pairs at the 10× point); the verify stage stays exact, so
+    * precision is untouched. At every gate SF (n ≤ 4096) the clamp
+    * floors at w = 8, nTables = 8 — bit-identical to the fixed layout,
+    * so oracle outputs and specs are unchanged there; the whole
+    * derivation (count → w → slice keys) replays in the DuckDB oracle.
+    *
+    * The arithmetic shiftright's sign extension is masked off by the
+    * & (2^w − 1), so the table covering sign bit 63 keys identically
+    * to the bits[t·w+b]·(1<<b) sum the oracle computes. */
   def embeddingNearDup(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-    val nTables = 8
-    val bitsPerTable = 8
-    // ONE native codegen'd pass computes all 64 sign bits packed in a
-    // LONG (graft.functions.HyperplaneSig — sign-exact with the former
-    // transform/zip_with lambda tower, same seeded draw the oracle
-    // renders); table t's key is just its 8-bit slice. The arithmetic
-    // shiftright's sign extension is masked off by the & 255, so table
-    // 7 (which covers sign bit 63) keys identically to the old
-    // bits[t*8+b]*(1<<b) sum.
     graft.Graft.registerFunctions(s)
+    // derived band geometry: one bounded count → a 1-row broadcast
+    val nb = emb.agg(count(lit(1)).as("n"))
+      .select(least(lit(16), greatest(lit(8),
+        length(bin(col("n"))) - 1 - 3)).cast("int").as("w"))
+      .withColumn("ntab", expr("CAST(64 div w AS INT)"))
     val sig = call_function("graft_hyperplane_sig",
-      col("v"), lit(nTables * bitsPerTable), lit(64), lit(7L))
-    val sketched = emb.withColumn("sig", sig).select(
-      col("vec_id") +: col("v") +:
-        (0 until nTables).map { t =>
-          shiftright(col("sig"), t * bitsPerTable).bitwiseAND(lit(255L))
-            .as(s"tbl$t")
-        }: _*)
+      col("v"), lit(64), lit(64), lit(7L))
+    val sketched = emb.crossJoin(broadcast(nb)).withColumn("sig", sig)
 
     // candidates as bare (i, j) ids first; vectors re-joined after the
-    // distinct so the wide arrays never go through the dedup shuffle
-    val bandRows = sketched.select(
-      col("vec_id"),
-      posexplode(array((0 until nTables).map(t => col(s"tbl$t")): _*))
-        .as(Seq("tbl", "bk")))
+    // distinct so the wide arrays never go through the dedup shuffle.
+    // ONE posexplode over the max 8 table slots, cut at ntab (the
+    // knnGraphLsh mask-fanout recipe — never a unionAll per table)
+    val bandRows = sketched
+      .select(col("vec_id"), col("w"), col("ntab"), col("sig"),
+        posexplode(array((0 until 8).map(i => lit(i)): _*)).as(Seq("pos", "tbl")))
+      .filter(col("tbl") < col("ntab"))
+      .select(col("vec_id"), col("tbl"),
+        expr("shiftright(sig, tbl * w) & (shiftleft(CAST(1 AS BIGINT), w) - 1)")
+          .as("bk"))
     val pairs = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bk") === col("y.bk") &&
@@ -704,22 +721,29 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Generated DuckDB oracle for [[embeddingNearDup]] (r7 promotion):
-    * the 64 seeded hyperplanes embed as ONE literal, each vector's 64
-    * sign bits replay exactly ([[Hyperplanes.sqlBucket]] note), the
-    * 8×8 table keys, band equi-join and cosine≥0.4 verify replay
+  /** Generated DuckDB oracle for [[embeddingNearDup]] (r7 promotion;
+    * r12: the derived band geometry replays too): the 64 seeded
+    * hyperplanes embed as ONE literal, each vector's 64 sign bits
+    * replay exactly ([[Hyperplanes.sqlBucket]] note), w and nTables
+    * recompute from the same count via the integer bit-length, the
+    * per-table key is the bit-array sum over its w-bit slice (the
+    * packed-sig slice on the engine side — HyperplaneSigSpec pins the
+    * equivalence), and the band equi-join and cosine≥0.4 verify replay
     * directly — `graft_dot` and `list_dot_product` share the same
     * ascending-index fold. */
   val embeddingNearDupSql: String = {
     val pl = Hyperplanes.make(64, dim = 64, seed = 7)
     s"""WITH pls AS (SELECT ${Hyperplanes.sqlLit(pl)} AS pl),
+       |nb AS (SELECT least(16, greatest(8, length(bin(count(*))) - 1 - 3)) AS w,
+       |         64 // least(16, greatest(8, length(bin(count(*))) - 1 - 3)) AS ntab
+       |       FROM embeddings),
        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |        [CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), pl[i+1]) >= 0
        |           THEN 1 ELSE 0 END for i in range(0,64)] AS bits
        |      FROM embeddings, pls),
        |bands AS (SELECT vec_id, t,
-       |    list_sum([bits[t*8+b+1]*(1<<b) for b in range(0,8)]) AS bk
-       |  FROM c, (SELECT unnest(range(0,8)) AS t) r),
+       |    list_sum([bits[t*w+b+1]*(1::BIGINT<<b) for b in range(0, w)]) AS bk
+       |  FROM c, nb, (SELECT unnest(range(0,8)) AS t) r WHERE t < ntab),
        |pairs AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
        |  FROM bands x JOIN bands y
        |    ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id),

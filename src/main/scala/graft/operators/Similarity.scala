@@ -472,8 +472,20 @@ object Similarity {
     * centroid. Every multiply-referenced CTE is MATERIALIZED (the
     * graph_kcore exponential-inline lesson). Ends with
     * `fin(cent_id, cv)`; append further CTEs with a leading comma. */
-  private def ivfSqlPrefix(nLists: Int, iters: Int, trainCap: Int = 2048): String = {
+  /** `derivedK = true` replays [[semanticDedup]]'s corpus-derived
+    * cluster count: k = clamp(count/256, nLists, 512) computed in a
+    * 1-row CTE, consumed as a scalar subquery by the seed cut — the
+    * Lloyd iteration stages are k-agnostic, so nothing else changes. */
+  private def ivfSqlPrefix(nLists: Int, iters: Int, trainCap: Int = 2048,
+      derivedK: Boolean = false): String = {
     import SqlHash._
+    val kSql = if (derivedK) "(SELECT k FROM nb)" else nLists.toString
+    val nbCte = if (derivedK)
+      s"""nb AS MATERIALIZED (
+         |  SELECT greatest($nLists, least(512, count(*) // 256)) AS k
+         |  FROM embeddings),
+         |""".stripMargin
+    else ""
     val hash = bind("lv", "CAST(vec_id AS HUGEINT)",
       toSigned(hashLong("lv", "42::HUGEINT", "iv")))
     def iterStage(i: Int): String = {
@@ -500,7 +512,7 @@ object Similarity {
          |  SELECT p.cent_id, coalesce(m.mv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN m$i m USING (cent_id))"""
     }
-    s"""WITH corpus AS MATERIALIZED (
+    s"""WITH ${nbCte}corpus AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |hord AS MATERIALIZED (
        |  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) AS rn
@@ -509,7 +521,7 @@ object Similarity {
        |c0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
        |         v AS cv
-       |  FROM hord WHERE rn <= $nLists),
+       |  FROM hord WHERE rn <= $kSql),
        |${(1 to iters).map(iterStage).mkString(",\n")},
        |fin AS MATERIALIZED (SELECT cent_id, cv FROM c$iters)"""
   }
@@ -1275,9 +1287,23 @@ object Similarity {
   def semanticDedup(s: SparkSession, d: String, nClusters: Int = 16,
     tau: Double = 0.4, kmeansIters: Int = 3, nProbe: Int = 2): DataFrame = {
     val c = corpus(s, d)
-    val key = (d, nClusters, kmeansIters)
+    // derived cluster COUNT (r12 — the graph_kcore/knnGraphLsh
+    // derived-k recipe): k = clamp(n/256, nClusters, 512), one bounded
+    // count to the driver (which already runs the Lloyd loop). The
+    // fixed k = 16 went quadratic in the r12 10×-independent sweep:
+    // cluster SIZE grows with the corpus, and SemDeDup's within-cluster
+    // candidate pairs grow with its square (27× at 10× data, warm).
+    // Derived k pins expected cluster size at ~256, so candidates stay
+    // ~nProbe·256·n = linear; at every gate SF (n ≤ 4096) the clamp
+    // floors at nClusters = 16, so oracle outputs are unchanged there,
+    // and the SQL oracle re-derives the same k from its own count. The
+    // 512 cap keeps ≥4 training rows per seed on the 2048-row Lloyd
+    // sample; past n = 2¹⁷ cluster size grows again — scaling trainCap
+    // with k is the next lever.
+    val k = math.max(nClusters.toLong, math.min(512L, c.count() / 256L)).toInt
+    val key = (d, k, kmeansIters)
     val cents = Option(centroidCache.get(key)).getOrElse {
-      val trained = kmeansCentroids(c, nClusters, kmeansIters)
+      val trained = kmeansCentroids(c, k, kmeansIters)
       val prior = centroidCache.putIfAbsent(key, trained)
       if (prior != null) prior else trained
     }
@@ -1312,7 +1338,7 @@ object Similarity {
     * norm products commute, so the least/greatest reorientation keeps
     * the doubles identical), min-partner / max-evidence rollup. */
   val semanticDedupSql: String =
-    s"""${ivfSqlPrefix(nLists = 16, iters = 3)},
+    s"""${ivfSqlPrefix(nLists = 16, iters = 3, derivedK = true)},
        |simt AS MATERIALIZED (
        |  SELECT corpus.vec_id, f.cent_id,
        |    row_number() OVER (PARTITION BY corpus.vec_id ORDER BY

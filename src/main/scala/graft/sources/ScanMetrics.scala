@@ -36,4 +36,18 @@ object ScanMetrics {
     (scans.map(_.metrics("numFiles").value).sum,
       scans.map(_.metrics("filesSize").value).sum)
   }
+
+  /** Rows the scans actually EMITTED — numFiles/filesSize are
+    * PLANNING-time numbers (post partition pruning, pre reader), while
+    * parquet row-group skipping from pushed predicates happens at READ
+    * time: a file whose footer stats exclude the predicate emits ~0
+    * rows. This is the measured form of the Z-order claim. */
+  def rowsScanned(df: DataFrame): Long = {
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = executed.subqueries.flatMap(allScans) ++ allScans(executed)
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
 }

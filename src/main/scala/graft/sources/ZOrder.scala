@@ -61,4 +61,33 @@ object ZOrder {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** The 100 TB FACT-table layout (r12): date-partitioned (`dt=`)
+    * directories for partition/DPP pruning, Z-order clustering WITHIN
+    * each partition for footer-stat skipping on the clustered columns
+    * — the two pruning layers compose: a dim-filtered join prunes
+    * whole `dt=` directories at runtime, then the pushed column
+    * predicates skip row groups inside the surviving ones.
+    *
+    * One range exchange on (dt, z) makes every task a contiguous
+    * curve segment of mostly one date, so each `dt=` directory's
+    * files carry tight min/max footers on every clustered column;
+    * `nTasks` sets the per-partition file granularity (at real scale
+    * the 5M-row default per file plays this role). */
+  def clusterWriteDatePartitioned(df: DataFrame, path: String, dateCol: Column,
+      cols: Seq[String], nTasks: Int, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val exprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(exprs.head, exprs.tail: _*).head()
+    val bounds = cols.indices.map(i => (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
+    df.withColumn("dt", dateCol)
+      .withColumn("__z", mortonKey(cols.map(col), bounds))
+      .repartitionByRange(nTasks, col("dt"), col("__z"))
+      .sortWithinPartitions(col("dt"), col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("dt")
+      .parquet(path)
+  }
 }

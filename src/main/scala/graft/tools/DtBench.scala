@@ -140,6 +140,98 @@ object DtBench {
     println(s"[dtbench] events: $evParts dt-partitions, $evFiles files total; " +
       s"one-day visitor stats ($evDay): files_read=$visFiles bytes_read=$visBytes " +
       f"rows=$visRows median=$visSec%.2f s")
+
+    // ---- the FACT table (r12 verdict-7): lineitem, date-partitioned
+    // + Z-ordered, DPP-pruned through a dim join -------------------
+    // dt grain is MONTH at sf0.1 so each partition still holds ~16
+    // z-clustered files (day grain at this SF is ~240 rows/dir — one
+    // file, nothing left for the in-partition skip layer to prune; at
+    // real scale day-grain dirs hold hundreds of 5M-row files and the
+    // mechanics are identical — the grain is a layout config)
+    val liPath = s"$base/lineitem_dtz"
+    val liLinPath = s"$base/lineitem_dtlin"
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val month = date_format(col("l_shipdate"), "yyyy-MM")
+    graft.sources.ZOrder.clusterWriteDatePartitioned(
+      li, liPath, month, Seq("l_partkey", "l_suppkey"),
+      nTasks = 1328, maxRecordsPerFile = 20000L)
+    // linear control: same dt layout, classic single-column sort —
+    // isolates what the SECOND clustered axis buys
+    li.withColumn("dt", month)
+      .repartitionByRange(1328, col("dt"), col("l_partkey"))
+      .sortWithinPartitions(col("dt"), col("l_partkey"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 20000L)
+      .partitionBy("dt").parquet(liLinPath)
+    val (liParts, liFiles) = countFiles(liPath)
+    val fact = spark.read.parquet(liPath)
+    val factLin = spark.read.parquet(liLinPath)
+
+    // calendar dim (file-backed: a LocalRelation folds the filter and
+    // DPP sees no selective predicate — the FileSourcesSpec lesson),
+    // quarter attribute, filter ONE quarter → the fact's dt partitions
+    // prune AT RUNTIME from the dim's filter result
+    val dimPath = s"$base/calendar_dim"
+    fact.select(col("dt").cast("string").as("cal_month")).distinct()
+      .withColumn("quarter",
+        concat(substring(col("cal_month"), 1, 4), lit("-Q"),
+          ((substring(col("cal_month"), 6, 2).cast("int") - 1) / 3 + 1).cast("string")))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = dim.select(col("quarter")).distinct().orderBy(col("quarter"))
+      .collect().map(_.getString(0))
+    val targetQ = q(q.length / 2)
+
+    // one selective-quarter revenue-by-month query, three layouts; at
+    // toy file counts the DPP benefit heuristic needs the same pins
+    // FileSourcesSpec documents
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100")
+    // "yyyy-MM" is not parseable as a DATE, so the dt partition column
+    // reads back as STRING — the join key needs no cast (a cast on the
+    // partition column can defeat DPP, the FileSourcesSpec lesson)
+    def dppQuery(f: org.apache.spark.sql.DataFrame) = f
+      .join(dim.filter(col("quarter") === targetQ),
+        f("dt") === col("cal_month"))
+      .filter(col("l_partkey").between(1000, 1400) &&
+        col("l_suppkey").between(100, 120))
+      .groupBy(col("cal_month"))
+      .agg(graft.operators.Agg.moneySum(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n"))
+    def flatQuery = {
+      val f = graft.Tables.lineitem(spark, sfDir)
+        .withColumn("dt", date_format(col("l_shipdate"), "yyyy-MM"))
+      dppQuery(f)
+    }
+
+    def rowsScanned(df: org.apache.spark.sql.DataFrame): Long =
+      graft.sources.ScanMetrics.rowsScanned(df)
+    def measure(build: => org.apache.spark.sql.DataFrame): (Double, Long, Long, Long) = {
+      val runs = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val df = build
+        val t0 = System.nanoTime()
+        df.collect()
+        ((System.nanoTime() - t0) / 1e9, filesRead(df), rowsScanned(df))
+      }
+      val med = runs.sortBy(_._1).apply(1)
+      (med._1, med._2._1, med._2._2, med._3)
+    }
+    val (zSec, zFiles, zBytes, zRows) = measure(dppQuery(fact))
+    val (linSec, linFiles, _, linRows) = measure(dppQuery(factLin))
+    val (flatSec, flatFiles, flatBytes, flatRows) = measure(flatQuery)
+    val dppPlan = dppQuery(fact)
+    dppPlan.collect()
+    val hasDpp = graft.sources.ScanMetrics
+      .allScans(dppPlan.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).map(_.toString).mkString.contains("dynamicpruning")
+
+    println(s"[dtbench] lineitem fact: $liParts dt(month)-partitions, $liFiles files; " +
+      s"quarter $targetQ DPP join + (partkey,suppkey) predicate:")
+    println(f"[dtbench]   dt+zorder : files_read=$zFiles bytes=$zBytes rows_scanned=$zRows median=$zSec%.2f s dpp=$hasDpp")
+    println(f"[dtbench]   dt+linear : files_read=$linFiles rows_scanned=$linRows median=$linSec%.2f s")
+    println(f"[dtbench]   flat      : files_read=$flatFiles bytes=$flatBytes rows_scanned=$flatRows median=$flatSec%.2f s")
     spark.stop()
   }
 }

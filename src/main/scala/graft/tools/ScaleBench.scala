@@ -71,6 +71,11 @@ object ScaleBench {
             sc.clearJobGroup()
           }
         runs += (((System.nanoTime() - t0) / 1e9, outcome))
+        // a cancelled query leaves the executor heap full of its
+        // in-flight task garbage (the r12 sweep charged a clean 2.9 s
+        // query 59 s because it ran right after the all-pairs baseline
+        // timed out) — settle before the next measurement
+        if (outcome != "ok") { System.gc(); Thread.sleep(3000) }
       }
       val sec =
         if (runs.exists(_._2 != "ok")) runs.last._1

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.StreamOps
+import graft.streaming.{ModernState, StreamOps}
 
 /** Load soak for the stateful streaming mirrors (r10 verdict #5): the
   * MemoryStream specs prove CORRECTNESS batch-by-batch but record
@@ -53,13 +53,15 @@ object StreamSoak {
     * reported O(total-rows) state that was all unripe buffer. With
     * the accelerated clock the ripen/prune cycle actually runs and
     * state settles to the real per-horizon footprint. */
-  private def evt(rate: DataFrame): DataFrame = {
+  private def evt(rate: DataFrame): DataFrame = evt(rate, NumUsers)
+
+  private def evt(rate: DataFrame, users: Long): DataFrame = {
     val types = array(
       lit("view"), lit("view"), lit("view"), lit("click"), lit("click"),
       lit("start"), lit("display"), lit("cart"), lit("favor"), lit("purchase"))
     rate.select(
       col("value").as("event_id"),
-      pmod(xxhash64(col("value")), lit(NumUsers)).as("user_id"),
+      pmod(xxhash64(col("value")), lit(users)).as("user_id"),
       element_at(types, (pmod(xxhash64(col("value"), lit(7)), lit(10)) + 1).cast("int"))
         .as("event_type"),
       (pmod(xxhash64(col("value"), lit(11)), lit(500)) + 1).cast("double").as("value"),
@@ -119,24 +121,102 @@ object StreamSoak {
     }
   }
 
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Runs `body` with the RocksDB state store provider set, restoring
+    * the previous provider after (the StreamingSpec swap pattern).
+    * `transformWithState` REQUIRES RocksDB; for classic ops this is
+    * the alternate-provider measurement. */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Kill-and-restore under load (r12 verdict-4): runs jumpDetect
+    * twice over the SAME deterministic rate-derived event stream —
+    * once continuously, once STOPPED at half-soak and restarted from
+    * its checkpoint — both into exactly-once parquet sinks, and
+    * asserts the jump VERDICT SETS are identical below the safe
+    * horizon (the slower run's max progress minus gap + watermark +
+    * slack, all event-time). Users are spread 5M wide so most events
+    * are isolated and verdicts are DENSE — a lost/duplicated state
+    * row after restore shows up as a set difference, not silence. */
+  private def restoreCheck(s: SparkSession, soakSec: Int): String = {
+    val root = "/tmp/soak_restore"
+    rmTree(root)
+    val users = 5000000L
+    def run(tag: String, kill: Boolean): Unit = {
+      def start() = StreamOps.jumpDetect(evt(rateSource(s, 200000L), users)
+          .as[StreamOps.Evt](org.apache.spark.sql.Encoders.product[StreamOps.Evt]))
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$root/$tag/data")
+        .option("checkpointLocation", s"$root/$tag/ckpt")
+        .trigger(Trigger.ProcessingTime("2 seconds"))
+        .outputMode("append")
+        .start()
+      if (!kill) {
+        val q = start(); Thread.sleep(soakSec * 1000L); q.stop(); q.awaitTermination()
+      } else {
+        val q1 = start(); Thread.sleep(soakSec * 500L); q1.stop(); q1.awaitTermination()
+        val q2 = start(); Thread.sleep(soakSec * 500L); q2.stop(); q2.awaitTermination()
+      }
+    }
+    run("ref", kill = false)
+    run("killed", kill = true)
+    val ref = s.read.parquet(s"$root/ref/data")
+    val kil = s.read.parquet(s"$root/killed/data")
+    import org.apache.spark.sql.functions.{col, max}
+    // verdicts are determined once the candidate's whole evidence
+    // window (gap) plus the watermark horizon lies below a run's
+    // progress; the max emitted jump tracks progress densely here
+    val margin = (graft.operators.Sessions.GapMs + 600000L + 300000L)
+    val maxRef = ref.agg(max(col("ts_ms"))).head().getLong(0)
+    val maxKil = kil.agg(max(col("ts_ms"))).head().getLong(0)
+    val bound = math.min(maxRef, maxKil) - margin
+    val r = ref.filter(col("ts_ms") <= bound)
+    val k = kil.filter(col("ts_ms") <= bound)
+    val nRef = r.count()
+    val onlyRef = r.exceptAll(k).count()
+    val onlyKil = k.exceptAll(r).count()
+    val ok = onlyRef == 0 && onlyKil == 0 && nRef > 0
+    s"""{"op":"jumpDetect[kill+restore]","verdicts_below_bound":$nRef,"only_in_ref":$onlyRef,"only_in_restored":$onlyKil,"equal":$ok}"""
+  }
+
+  private def rmTree(p: String): Unit = {
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSec = args.headOption.map(_.toInt).getOrElse(45)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // families: comma list of windowed,cep,rocksdb,restore,gate (default all)
+    val fams: Set[String] =
+      if (args.length > 2) args(2).split(",").toSet
+      else Set("windowed", "cep", "rocksdb", "restore", "gate")
     // fresh checkpoints per run (state footprint must start from zero)
-    val ckptRoot = java.nio.file.Paths.get("/tmp/soak_ckpt")
-    if (java.nio.file.Files.exists(ckptRoot)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckptRoot).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    rmTree("/tmp/soak_ckpt")
     val spark = graft.Bench.benchSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     import spark.implicits._
     graft.Graft.registerFunctions(spark)
 
-    // the nearDupGate corpus: the shipped batch build over real docs
-    val corpus = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    def evts(r: DataFrame) = evt(r).as[StreamOps.Evt]
 
-    val results = Seq(
+    val results = Seq.newBuilder[String]
+    if (fams("windowed")) results ++= Seq(
       // windowed-distinct spectrum: rows-state vs bitmap-state vs HLL
       soak(spark, "dauStream", 400000L, soakSec)(r => StreamOps.dauStream(evt(r))),
       soak(spark, "bitmapDistinctWindowed", 400000L, soakSec)(r =>
@@ -149,16 +229,46 @@ object StreamSoak {
       // the default 24 h window would simply never prune here and the
       // reading would again be accumulation, not footprint
       soak(spark, "attributionStream", 200000L, soakSec)(r =>
-        StreamOps.attributionStream(evt(r).as[StreamOps.Evt],
-          windowUs = 3600000000L).toDF()),
+        StreamOps.attributionStream(evts(r), windowUs = 3600000000L).toDF()),
       soak(spark, "sequenceCountStream", 200000L, soakSec)(r =>
-        StreamOps.sequenceCountStream(evt(r).as[StreamOps.Evt]).toDF()),
+        StreamOps.sequenceCountStream(evts(r)).toDF()))
+    if (fams("cep")) results ++= Seq(
+      // the per-key CEP family (r12 verdict-4): first-visit state,
+      // loose bounce candidate/confirm, strict buffer-until-watermark
+      // CEP, and the 3-stage funnel ladder (1 h conversion window =
+      // ~18 wall-seconds at the accelerated clock, so anchors expire
+      // in-soak)
+      soak(spark, "uniqueVisit", 200000L, soakSec)(r =>
+        StreamOps.uniqueVisit(evts(r)).toDF()),
+      soak(spark, "jumpDetect", 200000L, soakSec)(r =>
+        StreamOps.jumpDetect(evts(r)).toDF()),
+      soak(spark, "jumpDetectStrict", 200000L, soakSec)(r =>
+        StreamOps.jumpDetectStrict(evts(r)).toDF()),
+      soak(spark, "funnelStream", 200000L, soakSec)(r =>
+        StreamOps.funnelStream(evts(r), windowUs = 3600000000L).toDF()))
+    if (fams("rocksdb")) results ++= withRocksDb(spark)(Seq(
+      // classic mirror on the alternate provider + the
+      // transformWithState twins (which REQUIRE RocksDB): same load,
+      // same rates, directly comparable rows/s and footprint
+      soak(spark, "jumpDetect[rocksdb]", 200000L, soakSec)(r =>
+        StreamOps.jumpDetect(evts(r)).toDF()),
+      soak(spark, "modern.uniqueVisit[rocksdb]", 200000L, soakSec)(r =>
+        ModernState.uniqueVisit(evts(r)).toDF()),
+      soak(spark, "modern.jumpDetect[rocksdb]", 200000L, soakSec)(r =>
+        ModernState.jumpDetect(evts(r)).toDF()),
+      soak(spark, "modern.jumpDetectStrict[rocksdb]", 200000L, soakSec)(r =>
+        ModernState.jumpDetectStrict(evts(r)).toDF())))
+    if (fams("restore"))
+      results += restoreCheck(spark, soakSec)
+    if (fams("gate")) {
       // the ingest gate: shingle+128-hash signature per doc + band join
-      soak(spark, "nearDupGate", 20000L, soakSec)(r =>
-        StreamOps.nearDupGate(doc(r), corpus)))
+      val corpus = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      results += soak(spark, "nearDupGate", 20000L, soakSec)(r =>
+        StreamOps.nearDupGate(doc(r), corpus))
+    }
 
     println("=== StreamSoak results ===")
-    results.foreach(println)
+    results.result().foreach(println)
     spark.stop()
   }
 }

@@ -89,20 +89,23 @@ class HyperplaneSigSpec extends SparkSpec {
     }
   }
 
-  test("the 8-bit table keys of dedup_embedding slice exactly from the packed 64-bit sig") {
-    // (sig >> 8t) & 255 must equal the per-table bit sum of the old
-    // bits-array form — i.e. table 7's key survives the sign bit
+  test("dedup_embedding table keys slice exactly from the packed sig at every derived width") {
+    // (sig >> t*w) & (2^w - 1) must equal the per-table bit sum the
+    // oracle computes from the bits array — including the table that
+    // covers sign bit 63 (w=8 t=7, w=16 t=3)
     val planes = Hyperplanes.make(64, dim = 64, seed = 7)
     val v = corpus.limit(16).collect().map(_.getSeq[Double](1).toArray)
     v.foreach { vec =>
       val sig = driverRef(vec, planes)
-      (0 until 8).foreach { t =>
-        val fromSlice = (sig >> (t * 8)) & 255L
-        val fromBits = (0 until 8).map { b =>
-          val i = t * 8 + b
-          (if ((sig & (1L << i)) != 0) 1L else 0L) << b
-        }.sum
-        assert(fromSlice == fromBits, s"table $t key mismatch")
+      Seq(8, 11, 16).foreach { w =>
+        (0 until 64 / w).foreach { t =>
+          val fromSlice = (sig >> (t * w)) & ((1L << w) - 1)
+          val fromBits = (0 until w).map { b =>
+            val i = t * w + b
+            (if ((sig & (1L << i)) != 0) 1L else 0L) << b
+          }.sum
+          assert(fromSlice == fromBits, s"w=$w table $t key mismatch")
+        }
       }
     }
   }

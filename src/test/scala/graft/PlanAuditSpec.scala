@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
     "ts_acf" -> "single-row (mean, variance) scalars broadcast to the lag products",
     "ts_cusum" -> "single-row (mean, sd, n) scalars broadcast to the running sums",
     "emb_knn_graph_lsh" -> "single-row derived-nbits scalar broadcast to the sketch mask (the graph_kcore derived-k recipe)",
+    "dedup_embedding" -> "single-row derived band-geometry (w, ntab) scalar broadcast to the sig slicer (the knnGraphLsh recipe)",
     "ts_seasonality" -> "single-row (N, S, Q, SS_within) scalars broadcast to the 7-row weekday rollup")
 
   /** Windows with an empty partition spec: legitimate ONLY where the

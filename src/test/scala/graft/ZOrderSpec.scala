@@ -61,6 +61,39 @@ class ZOrderSpec extends SparkSpec {
       s"z-order worst axis ($zx, $zy) must beat the linear layout's worst ($ly)")
   }
 
+  test("date-partitioned z layout: partitions' files bound BOTH clustered axes (fact-table layout)") {
+    val zDir = Files.createTempDirectory("graft-dtz").toFile.getAbsolutePath
+    val linDir = Files.createTempDirectory("graft-dtlin").toFile.getAbsolutePath
+    val src = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice")
+    val month = date_format(col("l_shipdate"), "yyyy-MM")
+    ZOrder.clusterWriteDatePartitioned(src, zDir, month,
+      Seq("l_partkey", "l_suppkey"), nTasks = 332, maxRecordsPerFile = 500L)
+    // linear control: same dt grain, classic single-column sort
+    src.withColumn("dt", month)
+      .repartitionByRange(332, col("dt"), col("l_partkey"))
+      .sortWithinPartitions(col("dt"), col("l_partkey"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 500L)
+      .partitionBy("dt").parquet(linDir)
+
+    // data preserved exactly (dt is derived, drop it for the diff)
+    val back = spark.read.parquet(zDir).drop("dt")
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+
+    // inside a busy partition the z files must bound BOTH axes where
+    // the linear layout leaves the second axis unclustered — the
+    // pruning property the in-partition skip layer depends on
+    val busy = spark.read.parquet(zDir).groupBy(col("dt"))
+      .count().orderBy(col("count").desc).limit(1)
+      .collect().head.get(0).toString
+    val (zx, zy) = meanRanges(s"$zDir/dt=$busy", "l_partkey", "l_suppkey")
+    val (_, ly) = meanRanges(s"$linDir/dt=$busy", "l_partkey", "l_suppkey")
+    assert(ly > 0.8, s"sanity: linear layout leaves l_suppkey unclustered (ly=$ly)")
+    assert(math.max(zx, zy) < ly * 0.75,
+      s"per-partition z worst axis ($zx, $zy) must beat the linear layout's worst ($ly)")
+  }
+
   test("morton interleave orders points along the curve (locality sanity)") {
     import spark.implicits._
     // quantized 2-bit toy grid: key(3,3)=15 is the max, key(0,0)=0 the
