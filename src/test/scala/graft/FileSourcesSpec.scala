@@ -151,7 +151,7 @@ class FileSourcesSpec extends SparkSpec {
     fact.select(col("dt").cast("string").as("cal_month")).distinct()
       .withColumn("quarter",
         concat(substring(col("cal_month"), 1, 4), lit("-Q"),
-          ((substring(col("cal_month"), 6, 2).cast("int") - 1) / 3 + 1).cast("string")))
+          (((substring(col("cal_month"), 6, 2).cast("int") - 1) .divide(lit(3))).cast("int") + 1).cast("string")))
       .write.mode("overwrite").parquet(dimPath)
     val dim = spark.read.parquet(dimPath)
     val targetQ = dim.select(col("quarter")).distinct().orderBy(col("quarter"))
