@@ -71,11 +71,17 @@ object ScaleBench {
             sc.clearJobGroup()
           }
         runs += (((System.nanoTime() - t0) / 1e9, outcome))
-        // a cancelled query leaves the executor heap full of its
-        // in-flight task garbage (the r12 sweep charged a clean 2.9 s
-        // query 59 s because it ran right after the all-pairs baseline
-        // timed out) — settle before the next measurement
-        if (outcome != "ok") { System.gc(); Thread.sleep(3000) }
+        // a cancelled query's tasks KEEP RUNNING after cancelJobGroup
+        // returns (a tight codegen'd loop polls the kill flag rarely —
+        // the r12 sweeps charged a clean 2.9 s query 59-86 s because
+        // the all-pairs baseline's zombie tasks were still burning all
+        // cores); wait for actual job quiescence, then settle the heap
+        if (outcome != "ok") {
+          val quietBy = System.nanoTime() + 120L * 1000000000L
+          while (sc.statusTracker.getActiveJobIds().nonEmpty &&
+            System.nanoTime() < quietBy) Thread.sleep(500)
+          System.gc(); Thread.sleep(2000)
+        }
       }
       val sec =
         if (runs.exists(_._2 != "ok")) runs.last._1
