@@ -680,8 +680,7 @@ object Dedup {
     graft.Graft.registerFunctions(s)
     // derived band geometry: one bounded count → a 1-row broadcast
     val nb = emb.agg(count(lit(1)).as("n"))
-      .select(least(lit(16), greatest(lit(8),
-        length(bin(col("n"))) - 1 - 3)).cast("int").as("w"))
+      .select(Hyperplanes.derivedWidth(col("n")).as("w"))
       .withColumn("ntab", expr("CAST(64 div w AS INT)"))
     val sig = call_function("graft_hyperplane_sig",
       col("v"), lit(64), lit(64), lit(7L))
@@ -1305,6 +1304,16 @@ object Hyperplanes {
   def make(n: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** [[graft.operators.Dedup.embeddingNearDup]]'s derived band width,
+    * w = clamp(⌊log₂ n⌋ − 3, 8, 16), as a column over the corpus
+    * count — single-sourced so the plan expression and the spec pin
+    * (HyperplaneSigSpec) cannot drift; the DuckDB oracle carries the
+    * same text with `//` division ([[Dedup.embeddingNearDupSql]]). */
+  def derivedWidth(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{bin, greatest, least, length, lit}
+    least(lit(16), greatest(lit(8), length(bin(n)) - 1 - 3)).cast("int")
   }
 
   /** The same planes as a DuckDB 2-D DOUBLE[][] literal. Scala's

@@ -1300,7 +1300,7 @@ object Similarity {
     // 512 cap keeps ≥4 training rows per seed on the 2048-row Lloyd
     // sample; past n = 2¹⁷ cluster size grows again — scaling trainCap
     // with k is the next lever.
-    val k = math.max(nClusters.toLong, math.min(512L, c.count() / 256L)).toInt
+    val k = Similarity.derivedClusters(c.count(), nClusters)
     val key = (d, k, kmeansIters)
     val cents = Option(centroidCache.get(key)).getOrElse {
       val trained = kmeansCentroids(c, k, kmeansIters)
@@ -1531,4 +1531,12 @@ object Similarity {
        |${legs.mkString("", "\nUNION ALL\n", "")}
        |ORDER BY vec_id, j""".stripMargin
   }
+
+  /** [[semanticDedup]]'s derived cluster count,
+    * k = clamp(n/256, floor, 512) — single-sourced so the driver
+    * derivation and the spec pin (HyperplaneSigSpec) cannot drift;
+    * the DuckDB oracle carries the same arithmetic in its `nb` CTE
+    * ([[ivfSqlPrefix]] with `derivedK = true`). */
+  def derivedClusters(n: Long, floor: Int = 16): Int =
+    math.max(floor.toLong, math.min(512L, n / 256L)).toInt
 }

@@ -89,6 +89,35 @@ class HyperplaneSigSpec extends SparkSpec {
     }
   }
 
+  test("derived band/cluster formulas: Spark expr == SQL == reference at sizes beyond the gate") {
+    // dedup_embedding's w and dedup_semantic's k are derived in TWO
+    // places each (the Spark plan / driver and the DuckDB oracle); the
+    // oracle compare only exercises the gate floor (w=8, k=16), so a
+    // formula drift at scale would be silent without this pin
+    import spark.implicits._
+    // independent references (straight bit math, no Spark functions)
+    def refW(n: Long): Int =
+      math.min(16, math.max(8, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 3))
+    def refK(n: Long): Int = math.max(16L, math.min(512L, n / 256L)).toInt
+    val ns = Seq(40L, 200L, 2000L, 4096L, 4097L, 20000L, 60000L, 524288L, 10000000L)
+    // the PRODUCTION column expression (shared with embeddingNearDup's plan)
+    val viaSpark = ns.toDF("n")
+      .select(col("n"), Hyperplanes.derivedWidth(col("n")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ns.foreach { n =>
+      assert(viaSpark(n) == refW(n), s"w drift at n=$n: spark=${viaSpark(n)} ref=${refW(n)}")
+      // the PRODUCTION driver derivation (shared with semanticDedup)
+      assert(graft.operators.Similarity.derivedClusters(n) == refK(n),
+        s"k drift at n=$n: ${graft.operators.Similarity.derivedClusters(n)} ref=${refK(n)}")
+      // the clamps floor exactly through the gate sizes (w first
+      // leaves 8 at n = 4096, a power of two: ⌊log₂ 4096⌋ − 3 = 9)
+      if (n <= 4095) assert(refW(n) == 8)
+      if (n <= 4351) assert(refK(n) == 16)
+    }
+    // sanity at the documented 10x point
+    assert(refW(20000) == 11 && refK(20000) == 78)
+  }
+
   test("dedup_embedding table keys slice exactly from the packed sig at every derived width") {
     // (sig >> t*w) & (2^w - 1) must equal the per-table bit sum the
     // oracle computes from the bits array — including the table that
