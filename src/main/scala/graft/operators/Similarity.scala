@@ -1300,6 +1300,16 @@ object Similarity {
     // 512 cap keeps ≥4 training rows per seed on the 2048-row Lloyd
     // sample; past n = 2¹⁷ cluster size grows again — scaling trainCap
     // with k is the next lever.
+    //
+    // REMAINING CURVE (measured r12: 11.5× at 10×, 68× at 30× data):
+    // candidates are linear but the centroid ASSIGN (topCents: k
+    // cosines per row) is O(n·k); with k = n/256 ≈ √n in this regime
+    // the total is ~O(n^1.5) — the SemDeDup shape. The next lever is
+    // an ANN-assisted assign: bucket the k centroids by the hyperplane
+    // sketch (graft_hyperplane_sig over the centroid literals) and
+    // compare each vector against the constant-size probed buckets
+    // only — what production SemDeDup uses a FAISS index for. Not
+    // worth the plan complexity below ~10⁵ vectors.
     val k = Similarity.derivedClusters(c.count(), nClusters)
     val key = (d, k, kmeansIters)
     val cents = Option(centroidCache.get(key)).getOrElse {
