@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench stdout contract (r12 verdict #1): the driver tail-parses the
+// LAST stdout line of `sbt "runMain graft.Bench"`. Two sbt behaviors
+// defeat that: the logger prefixes forked output with "[info] " and
+// appends "[success] Total time: ..." after the app exits. Inherit
+// stdout directly (no logger prefix) and drop the success banner so
+// the app's own last println IS the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task, so the
+// unused-setting lint can't see the use — exclude it explicitly.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -665,7 +665,7 @@ object Dedup {
     * tables trade recall exactly as LSH theory prices it (p^w per
     * table, 1−(1−p^w)^nTables overall — ~99 % → ~84 % for cos≈0.95
     * pairs at the 10× point); the verify stage stays exact, so
-    * precision is untouched. At every gate SF (n ≤ 4096) the clamp
+    * precision is untouched. At every gate SF (n ≤ 4095) the clamp
     * floors at w = 8, nTables = 8 — bit-identical to the fixed layout,
     * so oracle outputs and specs are unchanged there; the whole
     * derivation (count → w → slice keys) replays in the DuckDB oracle.

@@ -179,8 +179,21 @@ object StreamSoak {
     // window (gap) plus the watermark horizon lies below a run's
     // progress; the max emitted jump tracks progress densely here
     val margin = (graft.operators.Sessions.GapMs + 600000L + 300000L)
-    val maxRef = ref.agg(max(col("ts_ms"))).head().getLong(0)
-    val maxKil = kil.agg(max(col("ts_ms"))).head().getLong(0)
+    // a short soak / slow first batch can leave a sink empty — max()
+    // is then NULL and a bare getLong would NPE opaquely
+    def maxTs(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+      val row = df.agg(max(col("ts_ms"))).head()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+    val (refTs, kilTs) = (maxTs(ref), maxTs(kil))
+    if (refTs.isEmpty || kilTs.isEmpty) {
+      val which =
+        if (refTs.isEmpty && kilTs.isEmpty) "both"
+        else if (refTs.isEmpty) "ref" else "restored"
+      return s"""{"op":"jumpDetect[kill+restore]","equal":false,"reason":"no verdicts in $which sink"}"""
+    }
+    val maxRef = refTs.get
+    val maxKil = kilTs.get
     val bound = math.min(maxRef, maxKil) - margin
     val r = ref.filter(col("ts_ms") <= bound)
     val k = kil.filter(col("ts_ms") <= bound)

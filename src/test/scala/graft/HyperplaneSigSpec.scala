@@ -71,15 +71,20 @@ class HyperplaneSigSpec extends SparkSpec {
       val fromInterp = interpreted.eval(InternalRow(ArrayData.toArrayData(v)))
       assert(fromInterp == driverRef(v, planes), "interpreted != driver reference")
     }
-    // whole-stage-codegen'd path over the same rows
+    // whole-stage-codegen'd path over the same rows; snapshot ONCE
+    // (limit-before-orderBy picks arbitrary rows per execution on
+    // multi-partition input, so two executions could disagree)
     graft.Graft.registerFunctions(spark)
-    val fromCodegen = corpus.limit(64).orderBy("vec_id")
-      .select(col("vec_id"), call_function("graft_hyperplane_sig",
-        col("v"), lit(nBits), lit(64), lit(seed)).as("sig"))
-      .collect().map(_.getLong(1))
-    val expected = corpus.limit(64).orderBy("vec_id").collect()
-      .map(r => driverRef(r.getSeq[Double](1).toArray, planes))
-    assert(fromCodegen.toSeq == expected.toSeq, "codegen != driver reference")
+    val snapshot = corpus.orderBy("vec_id").limit(64).cache()
+    try {
+      val fromCodegen = snapshot
+        .select(col("vec_id"), call_function("graft_hyperplane_sig",
+          col("v"), lit(nBits), lit(64), lit(seed)).as("sig"))
+        .orderBy("vec_id").collect().map(_.getLong(1))
+      val expected = snapshot.orderBy("vec_id").collect()
+        .map(r => driverRef(r.getSeq[Double](1).toArray, planes))
+      assert(fromCodegen.toSeq == expected.toSeq, "codegen != driver reference")
+    } finally snapshot.unpersist()
     // NULL vector -> NULL (unary null semantics)
     assert(interpreted.eval(InternalRow(null)) == null)
     // length mismatch RAISES (graft_dot corrupt-row discipline)
