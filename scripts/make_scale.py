@@ -32,16 +32,30 @@ cross-copy cosines decorrelate to the isotropic background). True
 pair count therefore grows ~factor x (vs ~n_src * C(factor,2) in
 rotated mode); verify with scripts/pair_density.py.
 
-Usage: make_scale.py [factor] [outdir] [rotated|independent]
+Mode `heaps` (r13, the verdict-3 vocabulary-growth lever): documents
+follow `independent`'s per-copy bijection (within-copy Jaccard
+structure exact, cross-copy pairs vanishing — the pair curve stays
+linear), but copy i's TARGET vocabulary is drawn from a GROWING pool
+so the corpus-wide type count follows Heaps' law T(n) ~ T1 * sqrt(n/n1)
+(beta = 0.5): copy i introduces ceil(T1*(sqrt(i+1)-sqrt(i))) fresh
+tokens (source words + a copy suffix, so length stats stay close) and
+reuses a seeded sample of the existing pool for the rest. The
+`independent` mode keeps ONE 31-token vocab at every factor, so
+per-gram df grows ~factor and gram-join candidates follow sum(df^2) —
+the r12 dedup_ngram_jaccard 17x reading is that corpus pathology, not
+the operator; `heaps` is the realistic-vocabulary instrument that
+separates the two. Non-document tables transform as in `independent`.
+
+Usage: make_scale.py [factor] [outdir] [rotated|independent|heaps]
        (defaults: 5 /tmp/sf0.5 rotated)
 """
-import sys, os, random
+import sys, os, random, math
 import duckdb
 
 factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.5"
 mode = sys.argv[3] if len(sys.argv) > 3 else "rotated"
-assert mode in ("rotated", "independent"), mode
+assert mode in ("rotated", "independent", "heaps"), mode
 src = "/root/testdata/sf0.1"
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
@@ -71,9 +85,14 @@ else:
     # independent: per-copy vocabulary permutation (copy 0 = identity).
     # vocab ordered by hash(word||'a{i}') pairs positionally with vocab
     # ordered by hash(word||'b{i}') — a bijection on the token set.
+    # heaps: same bijection trick, but the TARGET side is a per-copy
+    # vocab drawn from a pool growing as T1*sqrt(copies) (see header).
     con.execute(f"CREATE TABLE vocab AS SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM '{src}/documents.parquet'")
     nvocab = con.execute("SELECT count(*) FROM vocab").fetchone()[0]
     print(f"vocab: {nvocab} distinct tokens", flush=True)
+    src_vocab = [r[0] for r in con.execute("SELECT word FROM vocab ORDER BY word").fetchall()]
+    pool = list(src_vocab)  # heaps: cumulative type pool (copy 0 = identity)
+    heaps_rng = random.Random(20260816)
     parts = []
     for i in range(factor):
         if i == 0:
@@ -81,12 +100,26 @@ else:
               SELECT doc_id, text, lang, source
               FROM '{src}/documents.parquet'""")
             continue
-        con.execute(f"""CREATE OR REPLACE TABLE map_{i} AS
-          SELECT a.word, b.word AS mapped FROM
-            (SELECT word, row_number() OVER (ORDER BY md5(word || 'a{i}')) AS r FROM vocab) a
-            JOIN
-            (SELECT word, row_number() OVER (ORDER BY md5(word || 'b{i}')) AS r FROM vocab) b
-            USING (r)""")
+        if mode == "heaps":
+            target_types = round(nvocab * math.sqrt(i + 1))
+            fresh = [f"{src_vocab[j % nvocab]}q{i}x{j}"
+                     for j in range(max(0, target_types - len(pool)))]
+            reuse = heaps_rng.sample(pool, nvocab - len(fresh))
+            copy_vocab = fresh + reuse
+            pool.extend(fresh)
+            heaps_rng.shuffle(copy_vocab)
+            vals = ", ".join(f"({r + 1}, '{w}')" for r, w in enumerate(copy_vocab))
+            con.execute(f"""CREATE OR REPLACE TABLE map_{i} AS
+              SELECT a.word, b.mapped FROM
+                (SELECT word, row_number() OVER (ORDER BY md5(word || 'a{i}')) AS r FROM vocab) a
+                JOIN (VALUES {vals}) b(r, mapped) USING (r)""")
+        else:
+            con.execute(f"""CREATE OR REPLACE TABLE map_{i} AS
+              SELECT a.word, b.word AS mapped FROM
+                (SELECT word, row_number() OVER (ORDER BY md5(word || 'a{i}')) AS r FROM vocab) a
+                JOIN
+                (SELECT word, row_number() OVER (ORDER BY md5(word || 'b{i}')) AS r FROM vocab) b
+                USING (r)""")
         parts.append(f"""
           SELECT doc_id + {i * maxdoc} AS doc_id,
             array_to_string(list(mapped ORDER BY pos), ' ') AS text,

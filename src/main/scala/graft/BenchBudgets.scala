@@ -224,6 +224,11 @@ object BenchBudgets {
                           // the cms_ok witness (median 0.81, was 0.47-budget)
     "q_cube" -> 0.48,
     "q_full_outer" -> 0.31,
+    "q_fact_dt_scan" -> 1.3,  // frozen r13 (steady median 0.97 on a
+                              // host at control 1.27; the one-time
+                              // layout materialization (~15 s at
+                              // sf0.1) lands only in a cold first
+                              // iteration and the median absorbs it)
     "q_gapfill" -> 0.35,
     "q_grouping_sets" -> 0.58,
     "q_heavy_hitters" -> 1.05,  // re-frozen r7: sketch-prune + exact-verify

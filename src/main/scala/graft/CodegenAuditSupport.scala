@@ -20,7 +20,26 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 object CodegenAuditSupport {
   def fallbackClasses(df: DataFrame): Set[String] = {
     val root = df.queryExecution.sparkPlan
-    (root +: root.subqueriesAll)
+    // NOT subqueriesAll: a DynamicPruningSubquery at the pre-AQE stage
+    // is a PlanExpression[LogicalPlan] — type erasure lets it through
+    // subqueriesAll's pattern and the LogicalPlan→SparkPlan cast blows
+    // at use (first hit: q_fact_dt_scan's DPP dim subquery, r13).
+    // Collect the plans untyped and keep only the physical ones; a
+    // logical DPP build side is re-audited in its own right when the
+    // dim-side plan is physical-planned at execution.
+    def physicalSubqueries(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val direct = p
+        .collect { case n => n }
+        .flatMap(_.expressions)
+        .flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            e.plan
+        })
+        .collect { case sp: org.apache.spark.sql.execution.SparkPlan => sp }
+      direct ++ direct.flatMap(physicalSubqueries)
+    }
+    (root +: physicalSubqueries(root))
       .flatMap(p => p.collect { case n => n })
       .flatMap(_.expressions)
       .flatMap(_.collect { case cf: CodegenFallback => cf.getClass.getSimpleName })

@@ -192,6 +192,10 @@ object ExchangeBudgets {
     "q_cube" -> 2,
     "q_custdist" -> 3,
     "q_full_outer" -> 3,
+    // r13: dim-side distinct+sort only — the fact side reaches the agg
+    // through DPP-pruned scans with no fact-table shuffle before the
+    // final group-by-month (3 months of rows post-pruning)
+    "q_fact_dt_scan" -> 2,
     "q_gapfill" -> 2,
     "q_grouping_sets" -> 2,
     "q_heavy_hitters" -> 4,

@@ -480,10 +480,16 @@ object Similarity {
       derivedK: Boolean = false): String = {
     import SqlHash._
     val kSql = if (derivedK) "(SELECT k FROM nb)" else nLists.toString
+    // derivedK also re-derives the Lloyd sample cap (r13 —
+    // [[derivedTrainCap]]: max(2048, 128·k), the ~128-rows-per-seed
+    // scaling); at every gate SF k floors at nLists so the cap floors
+    // at the historical trainCap and the training draw is unchanged
+    val capSql = if (derivedK) "(SELECT cap FROM nb)" else trainCap.toString
     val nbCte = if (derivedK)
       s"""nb AS MATERIALIZED (
-         |  SELECT greatest($nLists, least(512, count(*) // 256)) AS k
-         |  FROM embeddings),
+         |  SELECT k, greatest($trainCap, 128 * k) AS cap FROM (
+         |    SELECT greatest($nLists, least(512, count(*) // 256)) AS k
+         |    FROM embeddings)),
          |""".stripMargin
     else ""
     val hash = bind("lv", "CAST(vec_id AS HUGEINT)",
@@ -517,7 +523,7 @@ object Similarity {
        |hord AS MATERIALIZED (
        |  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) AS rn
        |  FROM (SELECT corpus.*, $hash AS h FROM corpus)),
-       |train AS MATERIALIZED (SELECT vec_id, v FROM hord WHERE rn <= $trainCap),
+       |train AS MATERIALIZED (SELECT vec_id, v FROM hord WHERE rn <= $capSql),
        |c0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
        |         v AS cv
@@ -1285,7 +1291,8 @@ object Similarity {
     * whole training + probe pipeline SQL-replayable
     * ([[semanticDedupSql]]). */
   def semanticDedup(s: SparkSession, d: String, nClusters: Int = 16,
-    tau: Double = 0.4, kmeansIters: Int = 3, nProbe: Int = 2): DataFrame = {
+    tau: Double = 0.4, kmeansIters: Int = 3, nProbe: Int = 2,
+    annMinK: Int = AnnAssignMinK): DataFrame = {
     val c = corpus(s, d)
     // derived cluster COUNT (r12 — the graph_kcore/knnGraphLsh
     // derived-k recipe): k = clamp(n/256, nClusters, 512), one bounded
@@ -1294,39 +1301,61 @@ object Similarity {
     // cluster SIZE grows with the corpus, and SemDeDup's within-cluster
     // candidate pairs grow with its square (27× at 10× data, warm).
     // Derived k pins expected cluster size at ~256, so candidates stay
-    // ~nProbe·256·n = linear; at every gate SF (n ≤ 4096) the clamp
+    // ~nProbe·256·n = linear; at every gate SF (n ≤ 4095) the clamp
     // floors at nClusters = 16, so oracle outputs are unchanged there,
-    // and the SQL oracle re-derives the same k from its own count. The
-    // 512 cap keeps ≥4 training rows per seed on the 2048-row Lloyd
-    // sample; past n = 2¹⁷ cluster size grows again — scaling trainCap
-    // with k is the next lever.
+    // and the SQL oracle re-derives the same k from its own count.
+    // trainCap scales with k (r13 — [[derivedTrainCap]], ~128 rows per
+    // seed) so the 512 cap no longer starves the Lloyd sample; the
+    // oracle re-derives the same cap from its own count.
     //
-    // REMAINING CURVE (measured r12: 11.5× at 10×, 68× at 30× data):
-    // candidates are linear but the centroid ASSIGN (topCents: k
-    // cosines per row) is O(n·k); with k = n/256 ≈ √n in this regime
-    // the total is ~O(n^1.5) — the SemDeDup shape. The next lever is
-    // an ANN-assisted assign: bucket the k centroids by the hyperplane
-    // sketch (graft_hyperplane_sig over the centroid literals) and
-    // compare each vector against the constant-size probed buckets
-    // only — what production SemDeDup uses a FAISS index for. Not
-    // worth the plan complexity below ~10⁵ vectors.
+    // CLOSED CURVE (r12 measured 11.5× at 10×, 68× at 30× data):
+    // candidates were linear but the centroid ASSIGN (topCents: k
+    // cosines per row) was O(n·k) ≈ O(n^1.5) under derived k ≈ √n/16.
+    // r13 replaces it past the guard with the ANN-assisted assign the
+    // r12 note specified — graft_cent_assign buckets the ≤512 centroids
+    // into ⌊64/w⌋ hyperplane band tables of w = derivedAssignWidth(k)
+    // bits (expected occupancy k/2^w ≤ ~4, one 64-bit sig per row) and
+    // each row probes its ⌊64/w⌋ buckets, taking exact cosines against
+    // only the gathered candidates: ≤ ~100 dim-dots per row at any
+    // derived k, linear in n.
+    // Bucketing only PRUNES the assign's candidate set — pairs still
+    // pass the exact cosine ≥ τ verify, so precision is untouched and
+    // the only cost is assign recall (CentAssignSpec pins it vs the
+    // exact path). BELOW the guard (k ≤ annMinK = 64, i.e. n ≤ 16384 —
+    // every gate SF) the exact topCents path runs unchanged, so all
+    // oracle outputs are bit-identical and the sig never appears in
+    // audited plans.
     val k = Similarity.derivedClusters(c.count(), nClusters)
     val key = (d, k, kmeansIters)
     val cents = Option(centroidCache.get(key)).getOrElse {
-      val trained = kmeansCentroids(c, k, kmeansIters)
+      val trained = kmeansCentroids(c, k, kmeansIters, derivedTrainCap(k))
       val prior = centroidCache.putIfAbsent(key, trained)
       if (prior != null) prior else trained
     }
     val assigned = c.withColumn("nrm", norm(col("v")))
+    val useAnn = k > annMinK
+    def annIds(n: Int): Column = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CentAssign(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("v")),
+        cents.map(_.v.toIndexedSeq).toIndexedSeq,
+        n, derivedAssignWidth(k),
+        derivedAssignTables(derivedAssignWidth(k)), AssignSeed))
     // probe side fans each vector to its nProbe nearest clusters (the
     // IVF recall lever, constant fan-out); the build side keeps single
     // assignment, so a pair is caught iff cluster(j) ∈ probes(i) —
     // cluster(j) is unique per j, hence no duplicate candidates
     val left = assigned
-      .withColumn("cluster", explode(topCents(cents, col("v"), nProbe)("cent_id")))
+      .withColumn("cluster",
+        if (useAnn) explode(annIds(nProbe))
+        else explode(topCents(cents, col("v"), nProbe)("cent_id")))
       .select(col("cluster"), col("vec_id").as("i"), col("v").as("vi"), col("nrm").as("ni"))
     val right = assigned
-      .withColumn("cluster", topCents(cents, col("v"), 1)(0)("cent_id"))
+      .withColumn("cluster",
+        // get() is null-safe on the (vanishingly rare) empty candidate
+        // set — a null cluster drops from the equi-join, a recall-only
+        // loss; the exact branch can never be empty (k ≥ 16)
+        if (useAnn) get(annIds(1), lit(0))
+        else topCents(cents, col("v"), 1)(0)("cent_id"))
       .select(col("cluster"), col("vec_id").as("j"), col("v").as("vj"), col("nrm").as("nj"))
     val pairs = left.join(right, "cluster")
       .filter(col("i") =!= col("j"))
@@ -1549,4 +1578,45 @@ object Similarity {
     * ([[ivfSqlPrefix]] with `derivedK = true`). */
   def derivedClusters(n: Long, floor: Int = 16): Int =
     math.max(floor.toLong, math.min(512L, n / 256L)).toInt
+
+  /** [[semanticDedup]]'s Lloyd sample size, max(2048, 128·k) — ~128
+    * training rows per seed at every derived k (the r12 512-cap note:
+    * a fixed 2048-row sample left 4 rows/seed at k = 512). Floors at
+    * the historical 2048 for every gate SF (k = 16 there), so gate
+    * training draws — and therefore every oracle — are unchanged; the
+    * DuckDB oracle re-derives the same cap from its own count
+    * ([[ivfSqlPrefix]] `derivedK` mode). Single-sourced and pinned
+    * beyond the gate floor by HyperplaneSigSpec. */
+  def derivedTrainCap(k: Int): Int = math.max(2048, 128 * k)
+
+  /** [[semanticDedup]]'s ANN-assign band width: w = clamp(⌈log₂ k⌉ −
+    * 2, 4, 8) bits per table keeps expected bucket occupancy k/2^w at
+    * ~2–4 for every derived k ≤ 512, so the per-row candidate gather
+    * stays constant-size. With [[AssignTables]] = 8 tables the packed
+    * signature is 8w ≤ 64 bits — ONE `graft_hyperplane_sig`-shaped
+    * long per row. Pinned beyond the gate floor by CentAssignSpec. */
+  def derivedAssignWidth(k: Int): Int = {
+    val ceilLog2 = 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1))
+    math.min(8, math.max(4, ceilLog2 - 2))
+  }
+
+  /** ANN-assign table count: use the FULL 64-bit signature budget —
+    * ⌊64/w⌋ tables of w bits each (16 at w=4 … 8 at w=8). The sig is
+    * ONE long either way, so extra tables cost only their probed
+    * candidates (occupancy ~2–4 each); recall compounds as
+    * 1−(1−p^w)^nTables. Measured on the sf0.01 corpus at the k=16
+    * floor: 8 tables gave 0.64 end-to-end dedup recall, the full
+    * budget lifts it past the 0.85 pin (CentAssignSpec). */
+  def derivedAssignTables(w: Int): Int = 64 / w
+
+  /** The assign sketch's fixed seed — distinct from every other
+    * seeded draw so no bucket structure is shared accidentally. */
+  private[graft] val AssignSeed = 0x5EED0CA55E77E13L
+
+  /** [[semanticDedup]] assign-path guard: the ANN-assisted assign
+    * activates only past k = 64 centroids (n > 16384 vectors under the
+    * derived-k regime). Below it the exact `topCents` assign is both
+    * cheaper (64 cosines beat a 64-bit sig + probes) and bit-pinned by
+    * the gate oracles — every gate SF sits at the k = 16 floor. */
+  private[graft] val AnnAssignMinK = 64
 }

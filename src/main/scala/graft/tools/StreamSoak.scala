@@ -216,7 +216,8 @@ object StreamSoak {
   def main(args: Array[String]): Unit = {
     val soakSec = args.headOption.map(_.toInt).getOrElse(45)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    // families: comma list of windowed,cep,rocksdb,restore,gate (default all)
+    // families: comma list of windowed,cep,rocksdb,restore,gate
+    // (default all) + opt-in `headroom` (rate-ladder capacity probe)
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
       else Set("windowed", "cep", "rocksdb", "restore", "gate")
@@ -271,6 +272,29 @@ object StreamSoak {
         ModernState.jumpDetect(evts(r)).toDF()),
       soak(spark, "modern.jumpDetectStrict[rocksdb]", 200000L, soakSec)(r =>
         ModernState.jumpDetectStrict(evts(r)).toDF())))
+    if (fams("headroom")) {
+      // r12 verdict-5: the transformWithState twins sustain 2-4x less
+      // than classic flatMapGroupsWithState under identical RocksDB
+      // load (typed-state column families + REAL timer writes are the
+      // API's price — the timer dedup in ModernState already avoids
+      // every avoidable re-registration). Offer an escalating rate
+      // ladder to the modern twins AND the classic twin on the same
+      // provider: the sustained rows/s plateau is the measured
+      // capacity pinned in SURVEY §4.
+      val ladder = Seq(200000L, 400000L, 800000L)
+      results ++= withRocksDb(spark)(ladder.flatMap { r =>
+        val tag = s"${r / 1000}k"
+        Seq(
+          soak(spark, s"jumpDetect[rocksdb,$tag]", r, soakSec)(x =>
+            StreamOps.jumpDetect(evts(x)).toDF()),
+          soak(spark, s"modern.jumpDetect[rocksdb,$tag]", r, soakSec)(x =>
+            ModernState.jumpDetect(evts(x)).toDF()),
+          soak(spark, s"modern.jumpDetectStrict[rocksdb,$tag]", r, soakSec)(x =>
+            ModernState.jumpDetectStrict(evts(x)).toDF()),
+          soak(spark, s"modern.uniqueVisit[rocksdb,$tag]", r, soakSec)(x =>
+            ModernState.uniqueVisit(evts(x)).toDF()))
+      })
+    }
     if (fams("restore"))
       results += restoreCheck(spark, soakSec)
     if (fams("gate")) {
