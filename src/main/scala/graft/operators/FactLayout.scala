@@ -50,7 +50,15 @@ object FactLayout {
   private[graft] def ensureLayout(s: SparkSession, d: String): (String, String) = {
     layoutCache.computeIfAbsent(d, _ => {
       val root = sys.env.getOrElse("SPARK_GRAFT_FACT_DT", "/tmp/graft_fact_dt")
-      val tag = d.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "")
+      // the on-disk layout outlives the JVM, so unlike centroidCache
+      // it cannot rely on the immutable-corpus-path convention alone:
+      // a REGENERATED corpus at the same path with a stale layout
+      // would silently serve old data to the oracle compare. Bind the
+      // layout dir to the source file's (length, mtime) fingerprint —
+      // regeneration changes it and forces a rewrite.
+      val src = new java.io.File(s"$d/lineitem.parquet")
+      val fp = s"${src.length()}_${src.lastModified()}"
+      val tag = d.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+", "") + s"_$fp"
       val factPath = s"$root/$tag/lineitem_dtz"
       val dimPath = s"$root/$tag/calendar_dim"
       if (!(success(factPath) && success(dimPath))) {
