@@ -1583,7 +1583,16 @@ object Similarity {
     * k = clamp(n/256, floor, 512) — single-sourced so the driver
     * derivation and the spec pin (HyperplaneSigSpec) cannot drift;
     * the DuckDB oracle carries the same arithmetic in its `nb` CTE
-    * ([[ivfSqlPrefix]] with `derivedK = true`). */
+    * ([[ivfSqlPrefix]] with `derivedK = true`).
+    *
+    * Past the 512 cap (n > 2¹⁷) cluster size grows as n/512 and the
+    * within-cluster pair term re-enters quadratically in it — the
+    * 100× probe (n = 200k, size ~390) still reads 10.5× warm, but at
+    * ~10⁶ vectors the next lever is raising this cap together with
+    * [[derivedTrainCap]]'s multiple (both single-sourced; the
+    * graft_cent_assign probe already absorbs the ASSIGN side of a
+    * larger k — the binding constraint is the TRAINING assign, which
+    * still evaluates k exact topCents literals per sampled row). */
   def derivedClusters(n: Long, floor: Int = 16): Int =
     math.max(floor.toLong, math.min(512L, n / 256L)).toInt
 
