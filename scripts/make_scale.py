@@ -46,8 +46,11 @@ the r12 dedup_ngram_jaccard 17x reading is that corpus pathology, not
 the operator; `heaps` is the realistic-vocabulary instrument that
 separates the two. Non-document tables transform as in `independent`.
 
-Usage: make_scale.py [factor] [outdir] [rotated|independent|heaps]
-       (defaults: 5 /tmp/sf0.5 rotated)
+Usage: make_scale.py [factor] [outdir] [rotated|independent|heaps] [tables]
+       (defaults: 5 /tmp/sf0.5 rotated all-tables; `tables` is a
+       comma list, e.g. `embeddings` for a vectors-only corpus — the
+       r14 300x SemDeDup probe needs 600k vectors but not 180M
+       lineitem rows)
 """
 import sys, os, random, math
 import duckdb
@@ -56,6 +59,9 @@ factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.5"
 mode = sys.argv[3] if len(sys.argv) > 3 else "rotated"
 assert mode in ("rotated", "independent", "heaps"), mode
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+def want(t):
+    return only is None or t in only
 src = "/root/testdata/sf0.1"
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
@@ -69,7 +75,7 @@ maxdoc = con.execute(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fet
 # both transforms re-join words on single spaces; dropping it broke
 # every op that reads the stored length column (the 10x sweep's 3
 # failures)
-if mode == "rotated":
+if mode == "rotated" and want("documents"):
     # rotate words by i (breaks shingles across copies, but boundary
     # shingles only: cross-copy pairs stay TRUE near-dups — see header)
     con.execute(f"""COPY (
@@ -81,7 +87,7 @@ if mode == "rotated":
           lang, source
         FROM (SELECT *, string_split(text, ' ') AS w FROM '{src}/documents.parquet')''')})
     ) TO '{out}/documents.parquet' (FORMAT PARQUET)""")
-else:
+elif want("documents"):
     # independent: per-copy vocabulary permutation (copy 0 = identity).
     # vocab ordered by hash(word||'a{i}') pairs positionally with vocab
     # ordered by hash(word||'b{i}') — a bijection on the token set.
@@ -108,7 +114,10 @@ else:
             copy_vocab = fresh + reuse
             pool.extend(fresh)
             heaps_rng.shuffle(copy_vocab)
-            vals = ", ".join(f"({r + 1}, '{w}')" for r, w in enumerate(copy_vocab))
+            # escape quotes: a source token carrying a single quote
+            # would otherwise break the inline VALUES list (r13 advice)
+            vals = ", ".join(f"({r + 1}, '{w.replace(chr(39), chr(39) * 2)}')"
+                             for r, w in enumerate(copy_vocab))
             con.execute(f"""CREATE OR REPLACE TABLE map_{i} AS
               SELECT a.word, b.mapped FROM
                 (SELECT word, row_number() OVER (ORDER BY md5(word || 'a{i}')) AS r FROM vocab) a
@@ -139,7 +148,7 @@ else:
 
 # embeddings: shift vec_id; per-copy vector transform depends on mode
 maxvec = con.execute(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
-if mode == "rotated":
+if mode == "rotated" and want("embeddings"):
     # nudge each copy by a tiny per-copy constant so vectors are
     # distinct but the cluster geometry survives (copies stay cos~1)
     con.execute(f"""COPY (
@@ -149,7 +158,7 @@ if mode == "rotated":
           label
         FROM '{src}/embeddings.parquet' ''')}
     ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
-else:
+elif want("embeddings"):
     # independent: signed dimension permutation per copy (orthogonal —
     # within-copy geometry exact, cross-copy cosines decorrelated)
     def emb_expr(i):
@@ -175,12 +184,14 @@ else:
 # spaces stay SHARED so the bipartite graphs densify the way a bigger
 # warehouse's do (same dims, more facts)
 maxord = con.execute(f"SELECT max(o_orderkey)+1 FROM '{src}/orders.parquet'").fetchone()[0]
-con.execute(f"""COPY (
-  {copies(lambda i: f"SELECT o_orderkey + {i * maxord} AS o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM '{src}/orders.parquet'")}
-) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
-con.execute(f"""COPY (
-  {copies(lambda i: f"SELECT l_orderkey + {i * maxord} AS l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM '{src}/lineitem.parquet'")}
-) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
+if want("orders"):
+    con.execute(f"""COPY (
+      {copies(lambda i: f"SELECT o_orderkey + {i * maxord} AS o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM '{src}/orders.parquet'")}
+    ) TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+if want("lineitem"):
+    con.execute(f"""COPY (
+      {copies(lambda i: f"SELECT l_orderkey + {i * maxord} AS l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM '{src}/lineitem.parquet'")}
+    ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
 
 # events: shift event_id AND user_id per copy — more USERS with the
 # same per-user session structure (a bigger site), never the same user
@@ -191,17 +202,20 @@ con.execute(f"""COPY (
 # copied through unchanged and the event families never scaled.)
 maxev = con.execute(f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
 maxusr = con.execute(f"SELECT max(user_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
-con.execute(f"""COPY (
-  {copies(lambda i: f'''
-    SELECT event_id + {i * maxev} AS event_id, ts,
-      user_id + {i * maxusr} AS user_id, event_type, value, props
-    FROM '{src}/events.parquet' ''')}
-) TO '{out}/events.parquet' (FORMAT PARQUET)""")
+if want("events"):
+    con.execute(f"""COPY (
+      {copies(lambda i: f'''
+        SELECT event_id + {i * maxev} AS event_id, ts,
+          user_id + {i * maxusr} AS user_id, event_type, value, props
+        FROM '{src}/events.parquet' ''')}
+    ) TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
 # small tables copy through unchanged (dims are dims at any scale)
 for t in ["region", "nation", "customer", "supplier", "part"]:
-    con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    if want(t):
+        con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
 for t in ["documents", "embeddings", "orders", "lineitem", "events"]:
-    n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
-    print(t, n)
+    if want(t):
+        n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(t, n)

@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
 
 /** ANN-assisted centroid assignment for SemDeDup (the FAISS-assign
   * analog, Abbas et al. 2023 §3): the k trained centroids are bucketed
-  * OFFLINE (driver-side, k ≤ 512) into `nTables` random-hyperplane
+  * OFFLINE (driver-side, k ≤ Similarity.MaxClusters — 2 MB of doubles
+  * at the 4096 cap) into `nTables` random-hyperplane
   * band tables of `w` bits each, and per ROW the vector computes one
   * `nTables·w`-bit signature, probes its `nTables` buckets, and takes
   * exact cosines against only the gathered candidates — O(nTables·w +

@@ -95,14 +95,27 @@ object FactLayout {
     // DPP benefit-heuristic pins for toy file counts (FileSourcesSpec
     // lesson). Session-wide, but scoped in effect: this is the only
     // registered query reading a PARTITIONED file source, so no other
-    // registered plan can see a DPP decision change.
+    // registered plan can see a DPP decision change. They CANNOT be
+    // save/restored around plan construction: DPP insertion happens at
+    // physical planning, i.e. lazily at first action, after this
+    // method returns — restoring early would silently drop the
+    // pruning. Constraint recorded in the CLAUDE.md new-operator
+    // checklist: any future partitioned-source registered query must
+    // re-evaluate these two toy-corpus heuristics (r13 advice).
     s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
     s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100")
     val fact = s.read.parquet(factPath)
     val dim = s.read.parquet(dimPath)
     // middle quarter of the corpus (bounded collect: ≤ a few dozen
-    // quarter strings); 0-based index len/2 = the oracle's rn = cnt//2+1
-    val quarters = dim.select(col("quarter")).distinct().orderBy(col("quarter"))
+    // quarter strings); 0-based index len/2 = the oracle's rn = cnt//2+1.
+    // Null quarters (a null l_shipdate lands in the default partition)
+    // are dropped on BOTH sides — Spark's orderBy sorts nulls first
+    // while the oracle's row_number sorts them last, so one null month
+    // would silently shift the middle pick (r13 advice; latent — the
+    // corpora have no null shipdates, and the oracle's mon CTE now
+    // carries the matching IS NOT NULL).
+    val quarters = dim.select(col("quarter")).distinct()
+      .filter(col("quarter").isNotNull).orderBy(col("quarter"))
       .collect().map(_.getString(0))
     val targetQ = quarters(quarters.length / 2)
     // clustered-column windows from two bounded scalars — literals,
@@ -129,7 +142,8 @@ object FactLayout {
     s"""WITH pk AS (
        |  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
        |mon AS (
-       |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS cal_month FROM lineitem),
+       |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS cal_month
+       |  FROM lineitem WHERE l_shipdate IS NOT NULL),
        |qt AS (
        |  SELECT cal_month,
        |    substr(cal_month, 1, 4) || '-Q' ||

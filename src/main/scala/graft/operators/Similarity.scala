@@ -39,6 +39,15 @@ object Similarity {
     * recall denominator can never drift from the result-set size. */
   private[graft] val AnnK = 5
 
+  /** [[semanticDedup]]'s derived-k ceiling, shared by
+    * [[derivedClusters]] and the `derivedK` oracle CTE
+    * ([[ivfSqlPrefix]]) — one constant so engine and oracle cannot
+    * silently diverge. Declared BEFORE every generated-SQL val: object
+    * init order would otherwise bake a 0 into any oracle string built
+    * ahead of this line. r14 raised it 512 → 4096 (see
+    * [[derivedClusters]]). */
+  val MaxClusters: Int = 4096
+
   /** Declared corpus bound for [[knnGraph]], the registered all-pairs
     * exactness baseline. Past this, the quadratic pair set stops being
     * a baseline and starts being an outage (10¹⁰ pairs at the bound);
@@ -358,9 +367,27 @@ object Similarity {
     * list), not the full corpus — the standard IVF recipe: at 100 TB
     * you cannot (and need not) Lloyd every vector; a thousands-sized
     * sample pins the centroids and only the single assignment pass
-    * touches the whole corpus. */
+    * touches the whole corpus.
+    *
+    * `annAssign` (r14, the k-cap raise): past [[AnnAssignMinK]]
+    * centroids the per-iteration training assign runs through the SAME
+    * [[graft.functions.CentAssign]] bucketed probe as the serving
+    * assign (nProbe = 1; band tables rebuilt per iteration from the
+    * current centroids — a driver-side k·⌊64/w⌋ hashing pass), instead
+    * of evaluating k exact topCents literals per sampled row: the
+    * exact path is O(trainCap·k) = O(128·k²) dots AND a k-struct
+    * literal plan that stops codegen'ing long before the 4096 cap.
+    * The probe only PRUNES each row's candidate centroids; the row
+    * still takes exact cosines against them, and the vanishingly rare
+    * empty-candidate row drops from that iteration's means (a
+    * sample-weight, not correctness, effect — Lloyd is a heuristic
+    * seeding step and stays fully deterministic). semanticDedup gates
+    * this on k > AnnAssignMinK — a CONSTANT, not the test-override
+    * parameter — so every gate-SF oracle trains exact and
+    * byte-identical, and forced-ANN specs still isolate the serving
+    * assign. */
   private[graft] def kmeansCentroids(c: DataFrame, nLists: Int, iters: Int,
-    trainCap: Int = 2048): Array[Centroid] = {
+    trainCap: Int = 2048, annAssign: Boolean = false): Array[Centroid] = {
     // Sample by xxhash64(vec_id) order, NOT by id value: ids may be
     // sparse, non-zero-based, or clustered by ingest order (hash order
     // is ingest-independent). orderBy+limit plans as TakeOrdered — one
@@ -380,8 +407,21 @@ object Similarity {
       // the WHOLE Lloyd run replays bit-for-bit in the DuckDB oracles
       // ([[ivfSqlPrefix]]). The ≤1e-6 centroid perturbation is far
       // below any assignment-relevant scale on unit-ish vectors.
+      val assignCol =
+        if (annAssign) {
+          val w = derivedAssignWidth(nLists)
+          get(org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.CentAssign(
+              org.apache.spark.sql.GraftColumnBridge.expression(col("v")),
+              cents.map(_.v.toIndexedSeq).toIndexedSeq,
+              1, w, derivedAssignTables(w), AssignSeed)), lit(0))
+        } else topCents(cents, col("v"), 1)(0)("cent_id")
       val means = train
-        .withColumn("list_id", topCents(cents, col("v"), 1)(0)("cent_id"))
+        .withColumn("list_id", assignCol)
+        // annAssign: the rare empty-candidate row yields a null
+        // list_id and drops from this iteration's means (exact path:
+        // never null, filter is a no-op)
+        .filter(col("list_id").isNotNull)
         .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("list_id"), col("pos"))
         .agg(sum(round(col("x") * 1e6, 0).cast("long")).as("sx"),
@@ -473,9 +513,13 @@ object Similarity {
     * graph_kcore exponential-inline lesson). Ends with
     * `fin(cent_id, cv)`; append further CTEs with a leading comma. */
   /** `derivedK = true` replays [[semanticDedup]]'s corpus-derived
-    * cluster count: k = clamp(count/256, nLists, 512) computed in a
-    * 1-row CTE, consumed as a scalar subquery by the seed cut — the
-    * Lloyd iteration stages are k-agnostic, so nothing else changes. */
+    * cluster count: k = clamp(count/256, nLists, [[MaxClusters]])
+    * computed in a 1-row CTE, consumed as a scalar subquery by the
+    * seed cut — the Lloyd iteration stages are k-agnostic, so nothing
+    * else changes. (The replay is always the EXACT training assign:
+    * at every gate SF k floors at nLists < AnnAssignMinK, so the
+    * engine's large-k `annAssign` training mode never activates where
+    * an oracle runs.) */
   private def ivfSqlPrefix(nLists: Int, iters: Int, trainCap: Int = 2048,
       derivedK: Boolean = false): String = {
     import SqlHash._
@@ -488,7 +532,7 @@ object Similarity {
     val nbCte = if (derivedK)
       s"""nb AS MATERIALIZED (
          |  SELECT k, greatest($trainCap, 128 * k) AS cap FROM (
-         |    SELECT greatest($nLists, least(512, count(*) // 256)) AS k
+         |    SELECT greatest($nLists, least($MaxClusters, count(*) // 256)) AS k
          |    FROM embeddings)),
          |""".stripMargin
     else ""
@@ -1295,8 +1339,8 @@ object Similarity {
     annMinK: Int = AnnAssignMinK): DataFrame = {
     val c = corpus(s, d)
     // derived cluster COUNT (r12 — the graph_kcore/knnGraphLsh
-    // derived-k recipe): k = clamp(n/256, nClusters, 512), one bounded
-    // count to the driver (which already runs the Lloyd loop). The
+    // derived-k recipe): k = clamp(n/256, nClusters, MaxClusters), one
+    // bounded count to the driver (which already runs the Lloyd loop). The
     // fixed k = 16 went quadratic in the r12 10×-independent sweep:
     // cluster SIZE grows with the corpus, and SemDeDup's within-cluster
     // candidate pairs grow with its square (27× at 10× data, warm).
@@ -1312,8 +1356,8 @@ object Similarity {
     // candidates were linear but the centroid ASSIGN (topCents: k
     // cosines per row) was O(n·k) ≈ O(n^1.5) under derived k ≈ √n/16.
     // r13 replaces it past the guard with the ANN-assisted assign the
-    // r12 note specified — graft_cent_assign buckets the ≤512 centroids
-    // into ⌊64/w⌋ hyperplane band tables of w = derivedAssignWidth(k)
+    // r12 note specified — graft_cent_assign buckets the ≤MaxClusters
+    // centroids into ⌊64/w⌋ hyperplane band tables of w = derivedAssignWidth(k)
     // bits (expected occupancy k/2^w ≤ ~4, one 64-bit sig per row) and
     // each row probes its ⌊64/w⌋ buckets, taking exact cosines against
     // only the gathered candidates: ≤ ~100 dim-dots per row at any
@@ -1328,7 +1372,14 @@ object Similarity {
     val k = Similarity.derivedClusters(c.count(), nClusters)
     val key = (d, k, kmeansIters)
     val cents = Option(centroidCache.get(key)).getOrElse {
-      val trained = kmeansCentroids(c, k, kmeansIters, derivedTrainCap(k))
+      // training's assign goes through the bucketed probe past the
+      // CONSTANT guard (never the annMinK test-override: forced-ANN
+      // specs must swap the serving assign only, and every gate SF
+      // trains exact + oracle-byte-identical). annAssign is a function
+      // of k, so the (d, k, iters) cache key still fully determines
+      // the trained centroids.
+      val trained = kmeansCentroids(c, k, kmeansIters, derivedTrainCap(k),
+        annAssign = k > AnnAssignMinK)
       val prior = centroidCache.putIfAbsent(key, trained)
       if (prior != null) prior else trained
     }
@@ -1580,21 +1631,29 @@ object Similarity {
   }
 
   /** [[semanticDedup]]'s derived cluster count,
-    * k = clamp(n/256, floor, 512) — single-sourced so the driver
-    * derivation and the spec pin (HyperplaneSigSpec) cannot drift;
-    * the DuckDB oracle carries the same arithmetic in its `nb` CTE
-    * ([[ivfSqlPrefix]] with `derivedK = true`).
+    * k = clamp(n/256, floor, [[MaxClusters]]) — single-sourced so the
+    * driver derivation and the spec pin (HyperplaneSigSpec) cannot
+    * drift; the DuckDB oracle carries the same arithmetic in its `nb`
+    * CTE ([[ivfSqlPrefix]] with `derivedK = true`).
     *
-    * Past the 512 cap (n > 2¹⁷) cluster size grows as n/512 and the
-    * within-cluster pair term re-enters quadratically in it — the
-    * 100× probe (n = 200k, size ~390) still reads 10.5× warm, but at
-    * ~10⁶ vectors the next lever is raising this cap together with
-    * [[derivedTrainCap]]'s multiple (both single-sourced; the
-    * graft_cent_assign probe already absorbs the ASSIGN side of a
-    * larger k — the binding constraint is the TRAINING assign, which
-    * still evaluates k exact topCents literals per sampled row). */
+    * r14 raised the cap 512 → 4096 (the r13 verdict-1 structural
+    * drift): at the old cap, past n ≈ 2¹⁷ cluster size grew as n/512
+    * and the within-cluster pair term re-entered ~quadratically in it.
+    * The cap was never the ASSIGN side's constraint — the
+    * graft_cent_assign probe is ~constant work per row at any derived
+    * k — it guarded the TRAINING assign, which evaluated k exact
+    * topCents literals per sampled row (O(trainCap·k) = O(128·k²)
+    * dots, plus a k-struct literal plan that stops codegen'ing long
+    * before 4096). [[kmeansCentroids]]' `annAssign` mode (r14) moves
+    * training onto the same bucketed probe past [[AnnAssignMinK]], so
+    * training is O(trainCap·~const) and the cap can sit where memory
+    * does: 4096 centroids × 64 dims of plan-reference doubles = 2 MB,
+    * and expected cluster size stays ~256 out to n ≈ 2²⁰ vectors.
+    * Gate SFs (n ≤ 4095) still floor at `floor` — every oracle is
+    * byte-identical, and the oracle re-derives the same cap from its
+    * own count. */
   def derivedClusters(n: Long, floor: Int = 16): Int =
-    math.max(floor.toLong, math.min(512L, n / 256L)).toInt
+    math.max(floor.toLong, math.min(MaxClusters.toLong, n / 256L)).toInt
 
   /** [[semanticDedup]]'s Lloyd sample size, max(2048, 128·k) — ~128
     * training rows per seed at every derived k (the r12 512-cap note:
@@ -1607,14 +1666,22 @@ object Similarity {
   def derivedTrainCap(k: Int): Int = math.max(2048, 128 * k)
 
   /** [[semanticDedup]]'s ANN-assign band width: w = clamp(⌈log₂ k⌉ −
-    * 2, 4, 8) bits per table keeps expected bucket occupancy k/2^w at
-    * ~2–4 for every derived k ≤ 512, so the per-row candidate gather
-    * stays constant-size. With [[AssignTables]] = 8 tables the packed
-    * signature is 8w ≤ 64 bits — ONE `graft_hyperplane_sig`-shaped
-    * long per row. Pinned beyond the gate floor by CentAssignSpec. */
+    * 2, 4, 12) bits per table keeps expected bucket occupancy k/2^w at
+    * ~2–4 for every derived k ≤ [[MaxClusters]], so the per-row
+    * candidate gather stays constant-size. [[derivedAssignTables]]
+    * spends the full signature budget — ⌊64/w⌋ tables of w bits, so
+    * w·⌊64/w⌋ ≤ 64 and the packed signature is ONE
+    * `graft_hyperplane_sig`-shaped long per row at every width (r13
+    * advice: the old doc cited a nonexistent `AssignTables = 8`).
+    * r14 lifted the upper clamp 8 → 12 with the k-cap raise: at the
+    * old cap the clamp never bound below k = 1024, so every measured
+    * config is unchanged; past it, w = 8 would have let occupancy grow
+    * as k/256 (16 at k = 4096) — w = clamp now holds occupancy ≤ 4 out
+    * to the new cap (k = 4096 → w = 10, 6 tables, occupancy 4).
+    * Pinned beyond the gate floor by CentAssignSpec. */
   def derivedAssignWidth(k: Int): Int = {
     val ceilLog2 = 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1))
-    math.min(8, math.max(4, ceilLog2 - 2))
+    math.min(12, math.max(4, ceilLog2 - 2))
   }
 
   /** ANN-assign table count: use the FULL 64-bit signature budget —

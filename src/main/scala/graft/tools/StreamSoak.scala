@@ -139,23 +139,30 @@ object StreamSoak {
     }
   }
 
-  /** Kill-and-restore under load (r12 verdict-4): runs jumpDetect
-    * twice over the SAME deterministic rate-derived event stream —
+  /** Kill-and-restore under load (r12 verdict-4): runs a jump-verdict
+    * op twice over the SAME deterministic rate-derived event stream —
     * once continuously, once STOPPED at half-soak and restarted from
     * its checkpoint — both into exactly-once parquet sinks, and
     * asserts the jump VERDICT SETS are identical below the safe
     * horizon (the slower run's max progress minus gap + watermark +
     * slack, all event-time). Users are spread 5M wide so most events
     * are isolated and verdicts are DENSE — a lost/duplicated state
-    * row after restore shows up as a set difference, not silence. */
-  private def restoreCheck(s: SparkSession, soakSec: Int): String = {
-    val root = "/tmp/soak_restore"
+    * row after restore shows up as a set difference, not silence.
+    *
+    * r14 (verdict-6): parameterized by offered rate and op so the
+    * `restore_top` family can prove recovery at the headroom ladder's
+    * highest clean rung (classic 800k, modern 400k on RocksDB), not
+    * just at the 200k cruise rate. */
+  private def restoreCheck(s: SparkSession, soakSec: Int,
+      rps: Long = 200000L, opTag: String = "jumpDetect")(
+      build: org.apache.spark.sql.Dataset[StreamOps.Evt] => DataFrame =
+        StreamOps.jumpDetect(_).toDF()): String = {
+    val root = s"/tmp/soak_restore/$opTag@$rps"
     rmTree(root)
     val users = 5000000L
     def run(tag: String, kill: Boolean): Unit = {
-      def start() = StreamOps.jumpDetect(evt(rateSource(s, 200000L), users)
+      def start() = build(evt(rateSource(s, rps), users)
           .as[StreamOps.Evt](org.apache.spark.sql.Encoders.product[StreamOps.Evt]))
-        .toDF()
         .writeStream
         .format("parquet")
         .option("path", s"$root/$tag/data")
@@ -190,7 +197,7 @@ object StreamSoak {
       val which =
         if (refTs.isEmpty && kilTs.isEmpty) "both"
         else if (refTs.isEmpty) "ref" else "restored"
-      return s"""{"op":"jumpDetect[kill+restore]","equal":false,"reason":"no verdicts in $which sink"}"""
+      return s"""{"op":"$opTag[kill+restore]","offered_rps":$rps,"equal":false,"reason":"no verdicts in $which sink"}"""
     }
     val maxRef = refTs.get
     val maxKil = kilTs.get
@@ -201,7 +208,7 @@ object StreamSoak {
     val onlyRef = r.exceptAll(k).count()
     val onlyKil = k.exceptAll(r).count()
     val ok = onlyRef == 0 && onlyKil == 0 && nRef > 0
-    s"""{"op":"jumpDetect[kill+restore]","verdicts_below_bound":$nRef,"only_in_ref":$onlyRef,"only_in_restored":$onlyKil,"equal":$ok}"""
+    s"""{"op":"$opTag[kill+restore]","offered_rps":$rps,"verdicts_below_bound":$nRef,"only_in_ref":$onlyRef,"only_in_restored":$onlyKil,"equal":$ok}"""
   }
 
   private def rmTree(p: String): Unit = {
@@ -218,6 +225,7 @@ object StreamSoak {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     // families: comma list of windowed,cep,rocksdb,restore,gate
     // (default all) + opt-in `headroom` (rate-ladder capacity probe)
+    // and `restore_top` (kill+restore at the ladder-top rates — r14)
     val fams: Set[String] =
       if (args.length > 2) args(2).split(",").toSet
       else Set("windowed", "cep", "rocksdb", "restore", "gate")
@@ -296,7 +304,18 @@ object StreamSoak {
       })
     }
     if (fams("restore"))
-      results += restoreCheck(spark, soakSec)
+      results += restoreCheck(spark, soakSec)()
+    if (fams("restore_top")) {
+      // r13 verdict-6: recovery proven AT the measured capacity — the
+      // headroom ladder's highest clean rung per twin (classic 800k;
+      // modern 400k, which REQUIRES RocksDB — run the classic top rung
+      // on RocksDB too so the pair differs only in the API)
+      results ++= withRocksDb(spark)(Seq(
+        restoreCheck(spark, soakSec, 800000L, "jumpDetect[rocksdb]")(
+          StreamOps.jumpDetect(_).toDF()),
+        restoreCheck(spark, soakSec, 400000L, "modern.jumpDetect[rocksdb]")(
+          ModernState.jumpDetect(_).toDF())))
+    }
     if (fams("gate")) {
       // the ingest gate: shingle+128-hash signature per doc + band join
       val corpus = graft.Tables.documents(spark, sfDir).select("doc_id", "text")

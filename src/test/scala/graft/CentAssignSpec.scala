@@ -104,21 +104,78 @@ class CentAssignSpec extends SparkSpec {
   }
 
   test("derived formulas: assign width and train cap beyond the gate floor") {
-    // independent references (straight math, no shared helpers)
-    def refW(k: Int): Int =
-      math.min(8, math.max(4, math.ceil(math.log(k) / math.log(2)).toInt - 2))
-    (2 to 512).foreach { k =>
+    // independent references (straight math, no shared helpers).
+    // ceil(log2 k) via iterative doubling, NOT floating-point log
+    // division — log(4096)/log(2) can land an ulp above 12.0 and
+    // ceil to 13 (the r14 cap raise extends this loop to 4096, where
+    // that artifact bites)
+    def ceilLog2(k: Int): Int = {
+      var c = 0; var p = 1L
+      while (p < k) { p <<= 1; c += 1 }
+      c
+    }
+    // r14: upper clamp 8 → 12 with the k-cap raise (binds only past
+    // k = 1024 — every previously measured config unchanged)
+    def refW(k: Int): Int = math.min(12, math.max(4, ceilLog2(k) - 2))
+    (2 to 4096).foreach { k =>
       val w = Similarity.derivedAssignWidth(k)
       assert(w == refW(k), s"width drift at k=$k")
       assert(w * Similarity.derivedAssignTables(w) <= 64, s"sig overflow at k=$k")
       assert(Similarity.derivedTrainCap(k) == math.max(2048, 128 * k))
+      // the cap-raise's point: expected bucket occupancy k/2^w stays
+      // ≤ 4 at every derived k up to the new MaxClusters
+      assert(k.toDouble / (1L << w) <= 4.0, s"occupancy blowout at k=$k (w=$w)")
     }
+    assert(Similarity.MaxClusters == 4096)
     // the gate floor: k=16 keeps the historical 2048-row draw
     assert(Similarity.derivedTrainCap(16) == 2048)
-    // activation sizes: 10x-independent (k=78) and 30x (k=234)
+    // activation sizes: 10x-independent (k=78), 30x (k=234), the old
+    // cap (k=512), the 100x corpus under the raised cap (k=781), the
+    // 300x vector corpus (k=2343), and the new cap itself
     assert(Similarity.derivedAssignWidth(78) == 5)
     assert(Similarity.derivedAssignWidth(234) == 6)
     assert(Similarity.derivedAssignWidth(512) == 7)
+    assert(Similarity.derivedAssignWidth(781) == 8)
+    assert(Similarity.derivedAssignWidth(2343) == 10)
+    assert(Similarity.derivedAssignWidth(4096) == 10)
+    assert(Similarity.derivedAssignTables(10) == 6)
+  }
+
+  test("annAssign training (the r14 cap-raise lever): deterministic and quality-preserving") {
+    // past AnnAssignMinK the Lloyd assign runs through the bucketed
+    // probe (O(trainCap·~const) instead of O(128·k²) exact dots); this
+    // pins the mode DIRECTLY: bit-determinism across runs, the full
+    // centroid shape, and cluster quality within a whisker of the
+    // exact-trained run's (the probe prunes candidates, so a broken
+    // bucket table would show up as collapsed quality here)
+    // kmeansCentroids' dot arithmetic rides graft_dot — registered by
+    // every operator entry point, but this spec calls the trainer raw
+    graft.Graft.registerFunctions(spark)
+    val c = corpus
+    val k = 32
+    val exact = Similarity.kmeansCentroids(c, k, iters = 3, trainCap = 2048)
+    val ann1 = Similarity.kmeansCentroids(c, k, iters = 3, trainCap = 2048,
+      annAssign = true)
+    val ann2 = Similarity.kmeansCentroids(c, k, iters = 3, trainCap = 2048,
+      annAssign = true)
+    assert(ann1.length == k && exact.length == k)
+    assert(ann1.forall(ct => ct.v.length == 64 && ct.norm > 0.0))
+    assert(ann1.map(ct => (ct.id, ct.v.toSeq)).toSeq ==
+      ann2.map(ct => (ct.id, ct.v.toSeq)).toSeq,
+      "annAssign training must be bit-deterministic across runs")
+    // mean best-centroid cosine over the corpus — the Lloyd objective
+    def quality(cents: Array[Similarity.Centroid]): Double = {
+      val rows = c.collect().map(_.getSeq[Double](1).toArray)
+      rows.map { v =>
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        cents.map { ct =>
+          v.indices.foldLeft(0.0)((a, j) => a + v(j) * ct.v(j)) / (nv * ct.norm)
+        }.max
+      }.sum / rows.length
+    }
+    val (qe, qa) = (quality(exact), quality(ann1))
+    assert(qa >= 0.95 * qe,
+      f"annAssign-trained cluster quality $qa%.4f < 0.95 x exact $qe%.4f")
   }
 
   test("guard: gate plans stay exact; forced ANN swaps the assign only") {

@@ -81,6 +81,22 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }
 
+  test("bench compact line carries value_remeasured next to value (r13 verdict-4)") {
+    // the driver parses only the ~2000-char stdout tail; the raw sweep
+    // total under mid-sweep contention misreads as a regression unless
+    // the contention-corrected total rides the SAME line
+    val line = Bench.compactLine(238.4, 192.8, 199, 199, "[]", "{}",
+      """{"query":"q1_pricing_summary"}""", "/root/testdata/sf0.1", "/tmp/b.json")
+    assert(line.contains("\"value\":238.40"), line)
+    assert(line.contains("\"value_remeasured\":192.80"), line)
+    // substituted total can only be <= the raw total (re-measure
+    // replaces a contended capture, never inflates a clean one) — the
+    // emitter's map-substitution invariant callers rely on
+    assert(line.indexOf("\"value\":") < line.indexOf("\"value_remeasured\":"))
+    // one line, no interior newline — the tail-capture premise
+    assert(!line.trim.contains("\n"))
+  }
+
   test("BASELINE.md budget table matches BenchBudgets.budgets exactly") {
     // The repo rule is "update BOTH files in the same commit"; round 4
     // shipped with 12 rows missing and 5 stale values in the markdown.

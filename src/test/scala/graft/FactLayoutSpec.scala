@@ -37,8 +37,11 @@ class FactLayoutSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length <= 3,
       s"expected 1..3 month rows, got ${rows.length}")
     assert(rows.forall(_.getLong(2) > 0))
-    val quarters = rows.map(_.getString(0).substring(0, 4) +
-      "-Q" + ((rows.head.getString(0).substring(5, 7).toInt - 1) / 3 + 1)).toSet
+    // each row's OWN month derives its quarter (r13 advice: deriving
+    // every row's quarter from rows.head could only catch year
+    // boundaries, never a 03→04 month straddle within one year)
+    val quarters = rows.map(r => r.getString(0).substring(0, 4) +
+      "-Q" + ((r.getString(0).substring(5, 7).toInt - 1) / 3 + 1)).toSet
     assert(quarters.size == 1, s"months span quarters: $quarters")
 
     val (factPath, _) = FactLayout.ensureLayout(spark, sf0001)

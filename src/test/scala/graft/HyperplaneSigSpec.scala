@@ -103,7 +103,9 @@ class HyperplaneSigSpec extends SparkSpec {
     // independent references (straight bit math, no Spark functions)
     def refW(n: Long): Int =
       math.min(16, math.max(8, (63 - java.lang.Long.numberOfLeadingZeros(n)) - 3))
-    def refK(n: Long): Int = math.max(16L, math.min(512L, n / 256L)).toInt
+    // r14: cap 512 → 4096 (the SemDeDup k-cap raise; the oracle's nb
+    // CTE carries the same literal via Similarity.MaxClusters)
+    def refK(n: Long): Int = math.max(16L, math.min(4096L, n / 256L)).toInt
     val ns = Seq(40L, 200L, 2000L, 4096L, 4097L, 20000L, 60000L, 524288L, 10000000L)
     // the PRODUCTION column expression (shared with embeddingNearDup's plan)
     val viaSpark = ns.toDF("n")
