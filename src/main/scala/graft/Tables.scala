@@ -18,8 +18,69 @@ import org.apache.spark.sql.functions._
   * All reads are plain parquet scans so Catalyst keeps pushdown/pruning.
   */
 object Tables {
-  private def p(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema memo (r14): `spark.read.parquet(path)` re-infers the
+    * schema on EVERY call by reading parquet footers — a fixed
+    * ~40-80 ms driver cost charged to each of the ~600 table
+    * constructions in a bench sweep. The memo plays the metastore's
+    * role: the FIRST read of a path still infers from the files
+    * themselves (nothing is hard-coded — a regenerated corpus with a
+    * different encoding re-derives on first touch), and every later
+    * read passes the known schema so planning skips footer I/O. Keyed
+    * by full path PLUS the path's mtime: different SF dirs never share
+    * an entry, and a same-path rewrite (specs regenerate temp corpora
+    * in place) invalidates by changing the mtime — one local stat per
+    * construction buys the safety. Data reads are untouched — this
+    * caches table METADATA, not results. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def p(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path)).toMillis
+      catch { case _: Throwable => 0L }
+    val schema = schemaMemo.computeIfAbsent(s"$path@$mtime",
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** r14, guide §2.5 ("input skew: one huge unsplittable file —
+    * repartition immediately after the read"): a corpus that fits in
+    * ONE scan split (single parquet file, single row group — exactly
+    * how the test corpora ship) is read by ONE task, so every per-row
+    * expression upstream of the first exchange — dot products, gram
+    * fan-outs, binary decodes — runs on one core while the rest idle.
+    * `spread` hash-repartitions such a scan to the session's default
+    * parallelism, keyed on `key` for deterministic row placement
+    * (never round-robin: retried tasks must reproduce placement
+    * without the sort-before-repartition tax). The condition DERIVES
+    * from input size vs the session's split size, not a local-mode
+    * constant: a corpus bigger than one split already carries natural
+    * scan parallelism and is returned untouched, so at scale no
+    * shuffle is added and the added exchange is bounded by one split
+    * of bytes. Explicit-N repartition is exempt from AQE partition
+    * coalescing, so the spread survives to the expressions it feeds. */
+  def spread(s: SparkSession, df: DataFrame, dir: String, name: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    // measurement escape hatch: lets A/B probes time the unspread plan
+    // without a code edit (results are identical either way)
+    if (sys.env.contains("SPARK_GRAFT_NO_SPREAD")) return df
+    val path = java.nio.file.Paths.get(s"$dir/$name.parquet")
+    val bytes =
+      try {
+        if (java.nio.file.Files.isDirectory(path)) {
+          val st = java.nio.file.Files.list(path)
+          try st.mapToLong(f => try java.nio.file.Files.size(f) catch {
+            case _: Throwable => 0L
+          }).sum()
+          finally st.close()
+        } else java.nio.file.Files.size(path)
+      } catch { case _: Throwable => Long.MaxValue }
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    if (bytes < maxSplit) df.repartition(s.sparkContext.defaultParallelism, key)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = p(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = p(s, d, "nation")
@@ -28,8 +89,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = p(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = p(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = p(s, d, "lineitem")
+  /** embeddings is ALWAYS consumed through heavy per-row expressions
+    * (dot products, signature probes), so it arrives [[spread]]; the
+    * whole similarity family measured flat-to-better with it (r14,
+    * emb_knn_graph 4.5 → 0.6 s). documents is split by MEASURED
+    * consumer shape instead: shingle/verify/per-row-scoring operators
+    * call [[documentsSpread]], while gram-aggregation shapes (pmi,
+    * lm_bigram, corpus_report, the gram-join family) and the
+    * contraction loop keep the plain single-split read — their
+    * map-side partial aggregation collapses duplicate grams best in
+    * few large tasks, and the sweep read +0.1..+0.6 s per query with
+    * a blanket spread. lineitem/orders consumers are scan-bound
+    * aggregates where an extra exchange costs more than it
+    * parallelizes — never spread. */
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spread(s, p(s, d, "documents"), d, "documents", col("doc_id"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, p(s, d, "embeddings"), d, "embeddings", col("vec_id"))
 
   /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
     * Spark only reads as a long (spark.sql.legacy.parquet.nanosAsLong)
@@ -59,5 +136,9 @@ object Tables {
         col("event_type"), col("value"), col("props"))
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    // NOT spread (r14, measured): every event consumer re-keys by
+    // user/session/window almost immediately, so a spread here is a
+    // pure extra exchange — the sweep read +0.4..+1.2 s across the
+    // ea_*/asof/rfm family with it, against no pre-exchange heavy work
   }
 }

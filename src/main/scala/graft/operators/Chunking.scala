@@ -22,7 +22,7 @@ object Chunking {
     * a row-field read. */
   def chunk(s: SparkSession, d: String): DataFrame = {
     val toks = col("toks")
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d) // r14 guide 2.5: per-row tokenize + window slice
       .withColumn("toks", tokens(col("text")))
       .filter(size(toks) > 0)
       .select(
@@ -56,7 +56,7 @@ object Chunking {
     * redaction pass a corpus gets before training. Pure regexp
     * (codegen'd), identical semantics in the oracle. */
   def piiScrub(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d) // r14 guide 2.5: per-row regex rewrite
       .select(
         col("doc_id"),
         regexp_replace(

@@ -248,7 +248,7 @@ object Dedup {
     // the signature pass reads the RAW shingle stream (min() is
     // idempotent under duplicates, so the distinct's shuffle would be
     // pure cost); only the exact-verify pass needs distinct sets
-    val rawShingles = Tables.documents(s, d)
+    val rawShingles = Tables.documentsSpread(s, d) // r14 guide 2.5: parallel shingle fan-out
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
     val base = pmod(xxhash64(col("shingle")), lit(Prime))
     val hashed = rawShingles.select(
@@ -280,7 +280,7 @@ object Dedup {
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
 
-    verifyJaccardSets(Tables.documents(s, d), candidates)
+    verifyJaccardSets(Tables.documentsSpread(s, d), candidates) // r14: parallel set build
   }
 
   /** MinHash+LSH over the NATIVE fused expression
@@ -484,7 +484,7 @@ object Dedup {
     * (see [[simhash]]'s doc for the measured 4× over the native
     * aggregate). */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+    val toks = Tables.documentsSpread(s, d) // r14 guide 2.5: parallel shingle+bit-sum pass
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("tok"))
     val h = xxhash64(col("tok"))
     val bitSums = toks.groupBy(col("doc_id"))
@@ -831,7 +831,7 @@ object Dedup {
     * interval fold — one window over each doc's duplicated positions,
     * bounded by tokens-per-doc, never corpus-sized. */
   def spanExtract(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsSpread(s, d) // r14 guide 2.5: parallel posexplode+window
     val occ = docs.select(col("doc_id"),
       posexplode(shingles(col("text"), SharedN)).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
@@ -902,7 +902,7 @@ object Dedup {
     * same bounded-collect discipline as the multimodal reassembly),
     * so no per-token window is paid. */
   def spanRemoval(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsSpread(s, d) // r14 guide 2.5: parallel token explode+rebuild
     val toksArr = tokens(col("text"))
     val toks = docs.select(col("doc_id"), posexplode(toksArr).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).as("pos"), col("tok"))

@@ -591,7 +591,7 @@ object Multimodal {
          |        'frame_no', CAST(f AS BIGINT),
          |        'delta', element_at(sums, f + 1) - element_at(sums, f))),
          |    x -> abs(x.delta) > $SceneCutThreshold)), 1)""".stripMargin)
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d) // r14 guide 2.5: per-frame integer features in-row
       .select(col("doc_id"), col("text").as("payload"))
       .withColumn("frames", frames)
       .filter(col("frames") >= 2)

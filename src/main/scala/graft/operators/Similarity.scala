@@ -29,6 +29,10 @@ object Similarity {
 
   private[graft] def corpus(s: SparkSession, d: String): DataFrame = {
     graft.Graft.registerFunctions(s)
+    // r14: Tables.embeddings arrives spread across the session's
+    // parallelism when the file is a single scan split (guide §2.5) —
+    // the downstream dot/sig expressions are exactly the per-row-heavy
+    // case that spread exists for
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }

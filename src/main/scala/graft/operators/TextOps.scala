@@ -33,7 +33,7 @@ object TextOps {
     val toks = size(tokens(col("text"))).cast("double")
     val stops = coalesce(regexp_count(lower(col("text")), lit(stopwordPattern)), lit(0)).cast("double")
     val chars = length(col("text")).cast("double")
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d) // r14 guide 2.5: per-row regex/token work
       .select(
         col("doc_id"),
         chars.as("n_chars"),
@@ -73,7 +73,7 @@ object TextOps {
     val pick = hits.foldRight[Column](lit("und")) { case ((lang, h), acc) =>
       when(h === best && best > 0, lang).otherwise(acc)
     }
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d) // r14 guide 2.5: per-row marker regexes
       .select(col("doc_id"), pick.as("pred_lang"),
         hits.head._2.as("en_hits"))
       .orderBy(col("doc_id"))
@@ -255,7 +255,7 @@ object TextOps {
     * size never enters. Ratios divide identical integers in both
     * engines, so the doubles compare exactly. */
   def repetition(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsSpread(s, d) // r14 guide 2.5: in-row shingle arrays
       .select(col("doc_id"),
         shingles(col("text"), 2).as("bg"),
         shingles(col("text"), 3).as("tg"))
@@ -409,7 +409,7 @@ object TextOps {
     * rule inputs reuse the same codegen'd expressions as
     * [[quality]]/[[repetition]] — no shuffle, no second scan. */
   def qualityGate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsSpread(s, d) // r14 guide 2.5: in-row rule expressions
       .select(col("doc_id"),
         length(col("text")).as("chars"),
         size(tokens(col("text"))).as("toks"),
@@ -696,7 +696,7 @@ object TextOps {
     * value is an INTEGER (fold-mod hash, integer weight); the one
     * double division happens once per doc on exact integer inputs. */
   def classifierScore(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsSpread(s, d) // r14 guide 2.5: per-term fold hash
     val terms = docs.select(col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
     val codes = transform(sequence(lit(1), length(col("term"))),
@@ -779,7 +779,7 @@ object TextOps {
     * the reduction is order-free. */
   def entropy(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val terms = Tables.documents(s, d).select(col("doc_id"),
+    val terms = Tables.documentsSpread(s, d).select(col("doc_id"), // r14 guide 2.5
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("term"))
     val perDocTerm = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("ct"))
@@ -1012,7 +1012,7 @@ object TextOps {
     * corpus docs plus planted tie/short-doc cases. */
   def winnow(s: SparkSession, d: String, k: Int = 4, w: Int = 4): DataFrame = {
     graft.Graft.registerFunctions(s)
-    val hashed = Tables.documents(s, d)
+    val hashed = Tables.documentsSpread(s, d) // r14 guide 2.5: rolling-hash windows
       .select(col("doc_id"), shingles(lower(col("text")), k).as("sh"))
       .filter(size(col("sh")) >= 1)
       .select(col("doc_id"),
