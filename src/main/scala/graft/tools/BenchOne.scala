@@ -13,12 +13,14 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val spark = graft.Bench.benchSession(cpus)
-    // warm the scan path on whatever fact table the corpus carries
-    // (vectors-only scale corpora have no lineitem — r14)
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable =>
-      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    }
+    // warm the scan path on whatever table the corpus carries
+    // (table-subset scale corpora may ship ONLY embeddings or ONLY
+    // documents — r14)
+    Seq("lineitem", "embeddings", "documents").view
+      .map { t =>
+        try { spark.read.parquet(s"$sfDir/$t.parquet").count(); true }
+        catch { case _: Throwable => false }
+      }.find(identity)
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to iters).map { _ =>
