@@ -187,7 +187,15 @@ object BenchBudgets {
     "dedup_gram_frac" -> 1.55,  // re-frozen r10: native Shingles (was 5.2)
     "dedup_span_extract" -> 1.6,  // re-frozen r10: native Shingles (was 5.1)
     "dedup_span_removal" -> 2.65,  // re-frozen r10: native Shingles (was 3.8)
-    "dedup_incremental" -> 1.45,  // re-frozen r10: native Shingles (was 2.95)
+    "dedup_incremental" -> 2.10,  // re-frozen r14: skew-adaptive rare/hot
+                                  // candidates (the ngramJaccardDocs
+                                  // machinery — dfreq pass + capped index
+                                  // + prefix windows) replaced the naive
+                                  // gram join, which one boilerplate hot
+                                  // gram blows up quadratically (measured
+                                  // OOM at 100×-fixed-vocab; 200e9 rows
+                                  // on the boiler corpus). Quiet-host
+                                  // median-of-5 1.69 (was 1.45, naive)
     "dedup_bloom_gate" -> 1.9,  // frozen r5 (quiet-host median 1.47)
     "emb_whiten" -> 1.65,       // re-frozen r7: exploded (vec_id, pos,
                                 // val) oracle-hashable output — 64×

@@ -985,38 +985,113 @@ object Dedup {
     * against its own earlier rows) without ever re-comparing
     * corpus × corpus. Every pair the committed corpus forms
     * internally is already settled; only pairs touching the delta
-    * matter, so the inverted-index join probes with DELTA grams
-    * only — candidate volume is Σ_g df_delta(g)·df_all(g), linear in
-    * the batch for any corpus size. Verdict per new doc: dropped if
-    * some corpus doc, or an EARLIER doc of the same batch (min-id
-    * survivor convention, matching [[Clusters.dedupSurvivors]]),
-    * clears the Jaccard threshold; the reported partner prefers
-    * corpus over batch, then smallest id. The streaming twin is
-    * `StreamOps.nearDupGate`; a boilerplate-heavy corpus would swap
-    * the plain gram join for [[ngramJaccardDocs]]'s skew-adaptive
-    * capped/prefix candidate machinery — the verdict logic is
-    * unchanged. */
-  def incremental(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(s, d)
+    * matter, so the inverted-index join probes with DELTA grams only.
+    * Verdict per new doc: dropped if some corpus doc, or an EARLIER
+    * doc of the same batch (min-id survivor convention, matching
+    * [[Clusters.dedupSurvivors]]), clears the Jaccard threshold; the
+    * reported partner prefers corpus over batch, then smallest id.
+    * The streaming twin is `StreamOps.nearDupGate`.
+    *
+    * r14 (guide §2.5, hot keys): candidates now run the SAME
+    * skew-adaptive rare/hot split as [[ngramJaccardDocs]], probing
+    * with delta grams. The old naive delta×corpus gram join bounded
+    * candidates at Σ_g df_delta(g)·df_all(g) — linear in the batch
+    * ONLY while per-gram document frequency is bounded; ONE
+    * boilerplate shingle shared by millions of corpus docs multiplies
+    * every delta occurrence by that df (measured: the 100×
+    * fixed-vocabulary corpus, where every gram's df ~ 1000, pushed
+    * the naive join to 22.8e9 intersection rows and an 8 GiB-heap
+    * OOM). Now grams with df ≤ [[HotDf]] take the capped
+    * inverted-index join (bucket ≤ cap ⇒ no quadratic blowup), and
+    * hot grams go through the PPJoin prefix filter over hot-touching
+    * docs only — a qualifying pair either shares a rare gram (caught
+    * by the capped index) or shares only hot grams, and then the
+    * globally rarest shared gram sits in both prefixes (the prefix
+    * theorem, [[ngramJaccardDocs]]'s exactness argument verbatim with
+    * the probe side restricted to delta docs). On a df-uniform corpus
+    * (every gate SF: max df at sf0.1 is 25) the hot branch is EMPTY —
+    * zero window/prefix rows — and the rare join IS the old naive
+    * join; the only added gate-SF cost is the df count+join, itself
+    * partial-aggregable. Output is bit-identical (oracle replays the
+    * full naive intersection in SQL; DedupSpec pins naive ≡ adaptive
+    * on a planted hot-gram corpus). */
+  def incremental(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame =
+    incrementalDocs(Tables.documents(s, d), threshold)
+
+  /** [[incremental]] over an explicit documents frame — `hotDf`
+    * parameterized for the planted-hot-corpus spec (the
+    * [[ngramJaccardDocs]] testing seam). */
+  def incrementalDocs(docs: DataFrame, threshold: Double = 0.5,
+      hotDf: Long = HotDf): DataFrame = {
     val isDelta = col("source").isin(DeltaSources: _*)
-    val tagged = docs.select(col("doc_id"), isDelta.as("is_new"))
-    val sh = shingleRows(s, d)
-    val shTagged = sh.join(tagged, "doc_id")
-    val deltaSh = shTagged.filter(col("is_new")).select(col("doc_id"), col("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // the gram join output IS the intersection stream (the cRare
-    // lesson): one row per shared gram, counted straight into c
-    val inter = deltaSh.as("a")
-      .join(shTagged.as("b"),
+    val withSets = docs.select(col("doc_id"), isDelta.as("is_new"),
+      array_distinct(shingles(col("text"), 3)).as("set"))
+    val sizes = withSets.select(col("doc_id"), size(col("set")).as("sz"))
+    val sh = withSets.select(col("doc_id"), col("is_new"),
+      explode(col("set")).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val tagged = sh.join(dfreq, "shingle")
+
+    // rare path: capped inverted index, delta probe side — the join
+    // output IS the intersection stream (the cRare lesson): one row
+    // per shared rare gram, counted straight into c_r
+    val rareAll = tagged.filter(col("df") <= hotDf)
+      .select(col("doc_id"), col("is_new"), col("shingle"))
+    val cRare = rareAll.filter(col("is_new"))
+      .select(col("doc_id"), col("shingle")).as("a")
+      .join(rareAll.select(col("doc_id"), col("shingle")).as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("nid"), col("b.doc_id").as("pid"),
-        col("b.is_new").as("p_new"))
-      .agg(count(lit(1)).as("c"))
+      .groupBy(col("a.doc_id").as("nid"), col("b.doc_id").as("pid"))
+      .agg(count(lit(1)).as("c_r"))
+
+    // hot path: PPJoin prefixes over ONLY the docs touching a hot
+    // gram; empty at every gate SF (no df exceeds the cap there)
+    val hotRows = tagged.filter(col("df") > hotDf)
+    val hotDocs = hotRows.select(col("doc_id")).distinct()
+    val ranked = tagged.join(hotDocs, "doc_id")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), xxhash64(col("shingle")))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1 &&
+        col("df") > hotDf)
+      .select(col("doc_id"), col("is_new"), col("shingle"))
+    val hotPrefixPairs = prefix.filter(col("is_new"))
+      .select(col("doc_id"), col("shingle")).as("a")
+      .join(prefix.select(col("doc_id"), col("shingle")).as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("nid"), col("b.doc_id").as("pid"))
+      .distinct()
+    // hot-intersection counts, only for pairs that CAN share a hot
+    // gram (both ends hot-touching): rare pairs restricted to hot
+    // docs ∪ the prefix-caught hot-only pairs
+    val hotPairKeys = cRare.select(col("nid"), col("pid"))
+      .join(hotDocs.select(col("doc_id").as("nid")), Seq("nid"), "left_semi")
+      .join(hotDocs.select(col("doc_id").as("pid")), Seq("pid"), "left_semi")
+      // re-project: the second key-joined semi join surfaces pid first,
+      // and unionAll is positional (the ngramJaccardDocs guard)
+      .select(col("nid"), col("pid"))
+      .unionAll(hotPrefixPairs)
+      .distinct()
+    val cHot = hotPairKeys
+      .join(hotRows.select(col("doc_id").as("nid"), col("shingle").as("s_n")), "nid")
+      .join(hotRows.select(col("doc_id").as("pid"), col("shingle").as("s_p")), "pid")
+      .filter(col("s_n") === col("s_p"))
+      .groupBy(col("nid"), col("pid"))
+      .agg(count(lit(1)).as("c_h"))
+
+    // every shared gram counted exactly once (rare by the capped
+    // join, hot by the hot branch); partner flag re-attached from the
+    // one-row-per-doc tag table
+    val inter = cRare.join(cHot, Seq("nid", "pid"), "full_outer")
+      .withColumn("c", coalesce(col("c_r"), lit(0L)) + coalesce(col("c_h"), lit(0L)))
     val scored = inter
       .join(sizes.select(col("doc_id").as("nid"), col("sz").as("sa")), "nid")
       .join(sizes.select(col("doc_id").as("pid"), col("sz").as("sb")), "pid")
       .withColumn("jac", col("c").cast("double") / (col("sa") + col("sb") - col("c")))
       .filter(col("jac") >= threshold)
+      .join(docs.select(col("doc_id").as("pid"), isDelta.as("p_new")), "pid")
       // a same-batch partner only disqualifies if it came earlier
       .filter(!col("p_new") || col("pid") < col("nid"))
     val w = Window.partitionBy(col("nid"))

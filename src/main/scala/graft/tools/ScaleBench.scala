@@ -36,7 +36,13 @@ object ScaleBench {
     val only = args.toSet
     val spark = graft.Bench.benchSession(cpus)
     val sc = spark.sparkContext
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm the scan path on whatever table the corpus carries
+    // (table-subset scale corpora may ship ONLY documents — r14)
+    Seq("lineitem", "embeddings", "documents").view
+      .map { t =>
+        try { spark.read.parquet(s"$sfDir/$t.parquet").count(); true }
+        catch { case _: Throwable => false }
+      }.find(identity)
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     val watchdog = Executors.newSingleThreadScheduledExecutor()

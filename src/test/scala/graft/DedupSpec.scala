@@ -230,6 +230,55 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(g => g._1 == 10L || g._1 == 11L))
   }
 
+  test("incremental stays exact on a boilerplate-skewed corpus (hot path engaged)") {
+    import spark.implicits._
+    // every doc opens with a shared 10-token boilerplate header (its 8
+    // shingles go hot at hotDf = 4); per-pair unique tails stay on the
+    // capped index; docs 36-39 overlap ONLY via hot shingles (the
+    // prefix-path-or-nothing case). Corpus = even ids, delta = odd.
+    val boiler = "the quick brown fox jumps over a very lazy dog"
+    val docs = (0L until 40L).map { i =>
+      val text =
+        if (i >= 36) boiler // hot-only duplicates across corpus and delta
+        else s"$boiler unique${i / 2} tail${i / 2} more${i / 2} extra${i / 2}"
+      (i, text, "en", if (i % 2 == 1) "src0" else "src9")
+    }.toDF("doc_id", "text", "lang", "source")
+
+    val got = Dedup.incrementalDocs(docs, hotDf = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+
+    // naive ground truth in plain Scala: per delta doc, the best
+    // (corpus-first, then smallest-id) >=0.5-jaccard partner among the
+    // corpus and EARLIER delta rows — the jac value is compared too,
+    // so a hot/rare intersection miscount cannot hide behind an
+    // unchanged partner pick
+    def sh3(t: String) = t.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    val texts = (0L until 40L).map { i =>
+      i -> (if (i >= 36) boiler
+            else s"$boiler unique${i / 2} tail${i / 2} more${i / 2} extra${i / 2}")
+    }.toMap
+    def jacOf(n: Long, p: Long): Double = {
+      val (a, b) = (sh3(texts(n)), sh3(texts(p)))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    val expect = (0L until 40L).filter(_ % 2 == 1).sorted.map { n =>
+      val partners = (0L until 40L).filter { p =>
+        p != n && (p % 2 == 0 || p < n) && jacOf(n, p) >= 0.5
+      }
+      val best = partners.sortBy(p => (p % 2, p)).headOption
+      (n, if (best.isEmpty) 1 else 0, best.getOrElse(-1L),
+        best.map(jacOf(n, _)).getOrElse(-1.0))
+    }
+    // delta 37 is pure boilerplate: it has NO rare shingles, so every
+    // candidate it forms can only arrive through the hot prefix path —
+    // the ground truth must still find it a partner (a broken hot path
+    // would report keep = 1)
+    assert(expect.exists(e => e._1 == 37L && e._2 == 0))
+    assert(got === expect)
+  }
+
   test("simhash pairs are genuinely similar (jaccard >= 0.3) with high recall") {
     val exact = exactPairs(sf0001)
     val sh = Dedup.simhash(spark, sf0001).collect()
